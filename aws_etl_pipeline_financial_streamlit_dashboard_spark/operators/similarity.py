@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns (driver-mandated extension
+surface, SURVEY.md §2.13): brute-force cosine top-k as the exact
+baseline, LSH-bucketed and IVF variants as the scale paths.
+
+Embeddings are ``array<float>`` columns; all math is done in built-in
+higher-order functions (zip_with/aggregate — JVM-side, codegen'd), cast
+to double for deterministic parity with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ over two array columns, computed in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with NULL on zero-norm inputs (nullif guard —
+    same NULL-division semantic as the rest of the engine)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector.
+
+    The single query vector broadcasts to every partition (a 1-row
+    broadcast nested-loop join); similarity is computed in one narrow
+    pass and top-k resolves as TakeOrderedAndProject (per-partition
+    heaps + driver merge — no global sort, no full shuffle). This is
+    the exact-scan baseline: O(N·d) work fully parallel across splits.
+
+    Determinism: similarity is rounded before ranking and ties break on
+    id, so the result set is stable across engines and partitionings.
+    """
+    query = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    return (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )
+
+
+def knn_join_brute_force(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN join: for every query vector, its k nearest corpus vectors.
+
+    Broadcast the smaller side (queries); rank per query with a window.
+    O(|Q|·|C|·d) — exact, parallel over corpus splits; use the IVF path
+    when |Q|·|C| is too large.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_assign_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means over the corpus (Lloyd iterations
+    expressed as DataFrame aggs — no driver-side loops over rows).
+
+    Seeding is deterministic: the ``n_cells`` vectors with the smallest
+    ``id mod seed_mod`` act as initial centroids (reproducible without
+    RNG). Each iteration: broadcast centroids → assign argmin-L2 cell →
+    groupBy cell → elementwise mean via ``posexplode`` agg. Returns
+    (assignments, centroids).
+    """
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
+    centroids = (
+        embeddings.orderBy(F.pmod(F.col(id_col), F.lit(seed_mod)), F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col)))
+            .alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    points = embeddings.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # distance² = Σ(aᵢ−bᵢ)²; argmin via min_by over the exploded
+        # point×centroid broadcast join.
+        joined = points.crossJoin(F.broadcast(cents))
+        dist = F.aggregate(
+            F.zip_with("vec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            joined.select("pid", "vec", "cell", dist.alias("d2"))
+            .groupBy("pid")
+            .agg(
+                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                F.first("vec").alias("vec"),
+            )
+        )
+
+    assigned = assign(centroids)
+    for _ in range(n_iters - 1):
+        # recompute centroids: elementwise mean per cell
+        new_cents = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        assigned = assign(new_cents)
+    final_cents = (
+        assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    return assigned.select("pid", "cell", "vec"), final_cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe only the ``n_probe`` cells whose
+    centroids are closest to the query, then exact cosine inside those
+    cells. Scan cost drops to ~n_probe/n_cells of the corpus; recall
+    is tunable via n_probe. Approximate → rows-only oracle check."""
+    assigned, cents = ivf_assign_centroids(embeddings, n_cells, 2, id_col, vec_col)
+    assigned = assigned.cache()
+    qvec = assigned.filter(F.col("pid") == query_id).select(
+        F.col("vec").alias("__qvec")
+    )
+    cdist = F.aggregate(
+        F.zip_with("centroid", "__qvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(qvec))
+        .select("cell", cdist.alias("d2"))
+        .orderBy("d2", "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    sim = rhu(cosine(F.col("vec"), F.col("__qvec")), 6)
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("pid") != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(F.col("pid").alias("neighbor_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: sign-pattern bucket
+    over ``n_planes`` fixed pseudo-random hyperplanes (deterministic
+    coefficients from a hash of (plane, dim)); candidates = query's
+    bucket, then exact cosine re-rank. Approximate → rows-only check."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    import math
+
+    def plane(p: int) -> list[float]:
+        # deterministic pseudo-random unit-ish vector per plane
+        vals = [
+            math.sin(0.5 + p * 1013.0 + d * 91.7) for d in range(dim)
+        ]
+        return vals
+
+    def bucket_expr(col: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            coeffs = plane(p)
+            s = None
+            for d, c in enumerate(coeffs):
+                term = F.element_at(col, d + 1).cast("double") * F.lit(c)
+                s = term if s is None else s + term
+            bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    with_bucket = embeddings.withColumn("__bucket", bucket_expr(F.col(vec_col)))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    return (
+        with_bucket.crossJoin(F.broadcast(q))
+        .filter((F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != query_id))
+        .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )

@@ -1,0 +1,686 @@
+"""Oracle-differential query catalog.
+
+One entry per operator family from SURVEY.md §2, expressed over the
+driver testdata star schema (TESTDATA.md): the Spark side is the
+idiomatic DataFrame/SQL plan, the oracle side is ANSI SQL run by DuckDB
+on the same parquet. The driver compares row-count + schema +
+order-insensitive value hash at sf0.01 (BASELINE.md).
+
+Conventions (hash-stability across engines):
+- every computed/aggregate column is aliased identically on both sides;
+- float aggregates are rounded: 2 decimals for price-magnitude values
+  (distributed summation order differs from DuckDB's serial sum by
+  ~1e-7 absolute at 1e7 magnitude — 2 decimals is boundary-safe),
+  6 decimals for unit-magnitude ratios;
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings;
+- division guards with nullif(x,0): both engines then yield NULL,
+  pinning the divide-by-zero semantic chosen in SURVEY.md §7
+  (Spark/SQL NULL, diverging from pandas ±inf on cleaning.py:59,87).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.core import (
+    argmax_latest,
+    select_rename,
+    union_align,
+    unpivot_metrics,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    dec_sum,
+    round_half_up as rhu,
+    sql_dec_sum,
+    sql_stable_avg,
+    stable_avg,
+)
+
+
+@dataclass
+class QuerySpec:
+    """A catalog entry: Spark plan + DuckDB oracle + metadata."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    headline: bool = False  # included in bench.py
+
+    def __post_init__(self) -> None:
+        if self.doc:
+            self.spark.__doc__ = self.doc
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    headline: bool = False,
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, doc, headline)
+        return fn
+
+    return deco
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in QUERIES.items() if v.headline}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Projections / filters (SURVEY.md §2.2)
+# ===========================================================================
+
+
+@register(
+    "q01_projection_cast",
+    """
+    SELECT c_custkey AS cust_id,
+           c_name AS cust_name,
+           c_mktsegment AS segment,
+           CAST(c_acctbal AS DOUBLE) AS acct_balance,
+           CAST(c_nationkey AS VARCHAR) AS nation_code
+    FROM customer
+    """,
+    doc="""Fixed-schema projection: select + rename + cast (P1, F6, F7;
+    cleaning.py:29-30 column_mapping equivalent). Catalyst prunes the
+    unselected columns down to the parquet scan — the reference's manual
+    pruning becomes automatic I/O reduction.""",
+)
+def q01_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = {
+        "c_custkey": "cust_id",
+        "c_name": "cust_name",
+        "c_mktsegment": "segment",
+        "c_acctbal": "acct_balance",
+        "c_nationkey": "nation_code",
+    }
+    df = select_rename(_t(spark, sf_dir, "customer"), mapping)
+    return df.withColumns(
+        {
+            "acct_balance": F.col("acct_balance").cast("double"),
+            "nation_code": F.col("nation_code").cast("string"),
+        }
+    )
+
+
+@register(
+    "q02_point_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           FLOOR((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders WHERE o_custkey = 7
+    """,
+    doc="""Equality point filter (P4; Frontend.py:28-55 `WHERE ticker =`
+    equivalent). The predicate reaches the parquet scan as a pushed
+    filter — row groups that can't contain custkey 7 are skipped.""",
+)
+def q02_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == 7)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            rhu("o_totalprice", 2).alias("total_price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q03_first_row",
+    """
+    SELECT o_orderkey, o_custkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 1
+    """,
+    doc="""First-row scalar extraction (P6/O2; Frontend.py:34-37). Full
+    tiebreak ordering makes LIMIT 1 deterministic across engines.""",
+)
+def q03_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY.md §2.3)
+# ===========================================================================
+
+
+@register(
+    "q04_argmax_latest_order",
+    """
+    SELECT o.o_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           FLOOR((o.o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders o
+    INNER JOIN (
+        SELECT o_custkey, MAX(o_orderdate) AS max_date
+        FROM orders GROUP BY o_custkey
+    ) m ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.max_date
+    """,
+    doc="""Latest-row-per-group argmax keeping ties (A1+J1;
+    cleaning.py:62-63 groupby-max + inner self-join). The oracle mirrors
+    the reference's two-pass agg+join; the Spark plan is the idiomatic
+    single-shuffle rank() window (operators.core.argmax_latest) — same
+    result set, half the passes.""",
+)
+def q04_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = argmax_latest(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", keep_ties=True
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        rhu("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@register(
+    "q05_left_join_enrich",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name,
+           FLOOR((s.s_acctbal) * 100.0 + 0.5) / 100.0 AS acct_balance
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="""Left-outer dimension enrichment chain (J4+J5; cleaning.py:88,
+    Frontend.py:62-66). nation/region are broadcast — no shuffle of the
+    fact side at any scale.""",
+)
+def q05_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey, "left")
+        .join(region, nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            rhu("s_acctbal", 2).alias("acct_balance"),
+        )
+    )
+
+
+@register(
+    "q06_semi_anti_join",
+    """
+    SELECT c_custkey, c_name, 'with_orders' AS bucket
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS bucket
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="""Semi + anti join (completeness beyond the reference, which has
+    neither — SURVEY.md §2.3 'not present'). leftsemi/leftanti avoid
+    materializing the join fan-out entirely.""",
+)
+def q06_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    order_keys = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        customer.join(order_keys, customer.c_custkey == order_keys.o_custkey, "leftsemi")
+        .select("c_custkey", "c_name", F.lit("with_orders").alias("bucket"))
+    )
+    without = (
+        customer.join(order_keys, customer.c_custkey == order_keys.o_custkey, "leftanti")
+        .select("c_custkey", "c_name", F.lit("no_orders").alias("bucket"))
+    )
+    return with_orders.unionByName(without)
+
+
+# ===========================================================================
+# Aggregations (SURVEY.md §2.4) — incl. the flagship
+# ===========================================================================
+
+_FLAGSHIP_ORACLE = f"""
+    WITH order_stats AS (
+        SELECT o_custkey,
+               COUNT(*) AS order_cnt,
+               {sql_dec_sum('o_totalprice', 2)} AS spend,
+               MAX(o_totalprice) AS max_order
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT n.n_name AS segment_nation,
+           COUNT(*) AS n_customers,
+           {sql_stable_avg('c.c_acctbal', 2)} AS avg_acctbal,
+           {sql_stable_avg('os.order_cnt', 6)} AS avg_order_cnt,
+           {sql_stable_avg('os.spend', 2)} AS avg_spend,
+           {sql_stable_avg('os.max_order', 2)} AS avg_max_order,
+           {sql_dec_sum('os.spend', 2)} AS total_spend
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN order_stats os ON c.c_custkey = os.o_custkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "q07_flagship_industry_avg",
+    _FLAGSHIP_ORACLE,
+    doc="""FLAGSHIP: multi-AVG group-by over a 3-way left-join chain —
+    the reference's most complex query (A2+J5+P7; Frontend.py:60-69:
+    12 AVGs over company_info LEFT JOIN financial_statements LEFT JOIN
+    ratios GROUP BY industry). Analog: customer (dim) LEFT JOIN nation
+    (industry label, broadcast) LEFT JOIN per-customer order stats
+    (fact rollup), grouped by nation with null-skipping AVGs.
+
+    Scale shape: the fact rollup partial-aggregates map-side before its
+    shuffle; the dim join is broadcast; the final group-by shuffles only
+    ~|customers| pre-aggregated rows.""",
+    headline=True,
+)
+def q07_flagship_industry_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    order_stats = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dec_sum("o_totalprice", 2).alias("spend"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+    )
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey, "left"
+    ).join(order_stats, customer.c_custkey == order_stats.o_custkey, "left")
+    return joined.groupBy(F.col("n_name").alias("segment_nation")).agg(
+        F.count("*").alias("n_customers"),
+        stable_avg("c_acctbal", 2).alias("avg_acctbal"),
+        stable_avg("order_cnt", 6).alias("avg_order_cnt"),
+        stable_avg("spend", 2).alias("avg_spend"),
+        stable_avg("max_order", 2).alias("avg_max_order"),
+        dec_sum("spend", 2).alias("total_spend"),
+    )
+
+
+@register(
+    "q08_monthly_avg_series",
+    f"""
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           {sql_stable_avg('o_totalprice', 2)} AS avg_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY STRFTIME(o_orderdate, '%Y-%m')
+    ORDER BY month
+    """,
+    doc="""Group-by-avg over a 'YYYY-MM' month key + chronological string
+    sort (A3+O1+F3; Frontend.py:71-79). Preserves the reference's
+    string-month contract: zero-padded lexical sort == chronological
+    (SURVEY.md §1.2).""",
+    headline=True,
+)
+def q08_monthly_avg_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            stable_avg("o_totalprice", 2).alias("avg_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q09_groupby_max",
+    """
+    SELECT o_custkey,
+           STRFTIME(MAX(o_orderdate), '%Y-%m') AS latest_month,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="""Group-by max on the time key (A1; cleaning.py:62). String-max
+    on 'YYYY-MM' == chronological max; partial aggregation runs map-side
+    before the single shuffle.""",
+)
+def q09_groupby_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.date_format(F.max("o_orderdate"), "yyyy-MM").alias("latest_month"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ===========================================================================
+# Derived columns / scalar functions (SURVEY.md §2.8)
+# ===========================================================================
+
+
+@register(
+    "q10_derived_ratios",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge,
+           FLOOR((l_extendedprice / NULLIF(l_quantity, 0)) * 100.0 + 0.5) / 100.0 AS unit_price,
+           FLOOR(((l_extendedprice - l_quantity) / NULLIF(l_extendedprice + l_quantity, 0)) * 1000000.0 + 0.5) / 1000000.0 AS spread
+    FROM lineitem
+    """,
+    doc="""Derived arithmetic columns (F8-F10; cleaning.py:59,82,87:
+    current_ratio, market_cap, ev_to_ebitda). nullif-guarded division
+    pins the NULL divide-by-zero semantic (SURVEY.md §7) in both
+    engines. Whole-stage codegen: all four expressions evaluate in one
+    fused pass over the scan — no shuffle.""",
+)
+def q10_derived_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_nz = F.nullif(F.col("l_quantity"), F.lit(0.0))
+    denom = F.nullif(F.col("l_extendedprice") + F.col("l_quantity"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rhu(revenue, 2).alias("revenue"),
+        rhu(revenue * (1 + F.col("l_tax")), 2).alias("charge"),
+        rhu(F.col("l_extendedprice") / qty_nz, 2).alias("unit_price"),
+        rhu((F.col("l_extendedprice") - F.col("l_quantity")) / denom, 6).alias(
+            "spread"
+        ),
+    )
+
+
+@register(
+    "q11_string_date_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           REGEXP_REPLACE(LOWER(REPLACE(p_type, ' ', '_')), '[^a-z0-9_]', '', 'g') AS type_ident,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(p_retailprice AS DOUBLE) AS price_dbl
+    FROM part
+    """,
+    doc="""Scalar string/cast surface (F1, F2, F6, F7; retrieval.py:23,78:
+    identifier normalization + uppercase contract). All JVM-side
+    codegen'd expressions — no UDFs.""",
+)
+def q11_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.regexp_replace(
+            F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))),
+            "[^a-z0-9_]",
+            "",
+        ).alias("type_ident"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_retailprice").cast("double").alias("price_dbl"),
+    )
+
+
+@register(
+    "q12_month_display_format",
+    """
+    SELECT DISTINCT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           STRFTIME(o_orderdate, '%b %Y') AS month_display
+    FROM orders
+    """,
+    doc="""Month-key round trip: 'YYYY-MM' storage key → 'Mon YYYY'
+    display format (F3-F5; retrieval.py:44, Frontend.py:57-58,81-82).""",
+)
+def q12_month_display_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.date_format("o_orderdate", "MMM yyyy").alias("month_display"),
+        )
+        .distinct()
+    )
+
+
+# ===========================================================================
+# Sorts / top-k (SURVEY.md §2.6)
+# ===========================================================================
+
+
+@register(
+    "q13_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="""Top-k by value with deterministic tiebreak (extends O1/O2 —
+    the reference has no top-k). Spark executes as TakeOrderedAndProject:
+    per-partition heap + driver merge, never a full global sort.""",
+)
+def q13_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", rhu("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# ===========================================================================
+# Set operations / reshaping (SURVEY.md §2.7, §2.9)
+# ===========================================================================
+
+
+@register(
+    "q14_union_align",
+    """
+    SELECT c_mktsegment AS label,
+           {a} AS avg_acctbal,
+           COUNT(*) AS n_rows,
+           CAST(NULL AS DOUBLE) AS avg_retailprice
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT p_brand AS label,
+           CAST(NULL AS DOUBLE) AS avg_acctbal,
+           COUNT(*) AS n_rows,
+           {b} AS avg_retailprice
+    FROM part GROUP BY p_brand
+    """.format(a=sql_stable_avg('c_acctbal', 2), b=sql_stable_avg('p_retailprice', 2)),
+    doc="""Union-all with by-name schema alignment, missing columns
+    null-filled (U1+U2; Frontend.py:86 pd.concat). Spark:
+    unionByName(allowMissingColumns=True) — positional union would
+    silently corrupt (SURVEY.md §7).""",
+)
+def q14_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("label"))
+        .agg(
+            stable_avg("c_acctbal", 2).alias("avg_acctbal"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    brand = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("label"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            stable_avg("p_retailprice", 2).alias("avg_retailprice"),
+        )
+    )
+    out = union_align(seg, brand)
+    return out.withColumns(
+        {
+            "avg_acctbal": F.col("avg_acctbal").cast("double"),
+            "avg_retailprice": F.col("avg_retailprice").cast("double"),
+        }
+    )
+
+
+@register(
+    "q15_unpivot_metrics",
+    """
+    WITH agg AS (
+        SELECT c_mktsegment,
+               {a} AS avg_acctbal,
+               FLOOR((MIN(c_acctbal)) * 100.0 + 0.5) / 100.0 AS min_acctbal,
+               FLOOR((MAX(c_acctbal)) * 100.0 + 0.5) / 100.0 AS max_acctbal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'avg_acctbal' AS metric, avg_acctbal AS value FROM agg
+    UNION ALL
+    SELECT c_mktsegment, 'min_acctbal' AS metric, min_acctbal AS value FROM agg
+    UNION ALL
+    SELECT c_mktsegment, 'max_acctbal' AS metric, max_acctbal AS value FROM agg
+    """.format(a=sql_stable_avg('c_acctbal', 2)),
+    doc="""Wide→long unpivot (R2; Frontend.py:96-97 transpose-for-charting).
+    Spark's native unpivot replaces pandas .T — row identity is data
+    (R4 label columns), not an index.""",
+)
+def q15_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            stable_avg("c_acctbal", 2).alias("avg_acctbal"),
+            rhu(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            rhu(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+    return unpivot_metrics(
+        agg, ["c_mktsegment"], ["avg_acctbal", "min_acctbal", "max_acctbal"]
+    )
+
+
+# ===========================================================================
+# Multi-table join chain (bench headline; exercises the full star)
+# ===========================================================================
+
+
+@register(
+    "q16_star_join_revenue",
+    """
+    SELECT r.r_name AS region_name,
+           STRFTIME(o.o_orderdate, '%Y') AS order_year,
+           {rev} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, STRFTIME(o.o_orderdate, '%Y')
+    """.format(rev=sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2)),
+    doc="""Full star-schema join chain with revenue rollup (TPC-H Q5
+    shape; generalizes J5/J6 to fact scale). Scale plan: lineitem⋈orders
+    shuffles on orderkey (the only big-big join), then customer joins on
+    the shuffled side; nation/region broadcast. Partial aggregation
+    collapses before the final group-by shuffle of ~|regions×years|
+    rows.""",
+    headline=True,
+)
+def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q17_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {sq} AS sum_qty,
+           {sb} AS sum_base_price,
+           {sd} AS sum_disc_price,
+           {sc} AS sum_charge,
+           {aq} AS avg_qty,
+           {ap} AS avg_price,
+           {ad} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sq=sql_dec_sum('l_quantity', 2),
+        sb=sql_dec_sum('l_extendedprice', 2),
+        sd=sql_dec_sum('l_extendedprice * (1 - l_discount)', 2),
+        sc=sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2),
+        aq=sql_stable_avg('l_quantity', 6),
+        ap=sql_stable_avg('l_extendedprice', 2),
+        ad=sql_stable_avg('l_discount', 6),
+    ),
+    doc="""TPC-H Q1 pricing summary (A2 multi-aggregate shape at fact
+    scale). One scan, map-side partial agg, tiny final shuffle; the
+    shipdate predicate pushes to parquet row-group stats.""",
+    headline=True,
+)
+def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            dec_sum(disc_price, 2).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            stable_avg("l_quantity", 6).alias("avg_qty"),
+            stable_avg("l_extendedprice", 2).alias("avg_price"),
+            stable_avg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# Extension + streaming catalog entries register on import.
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa: E402,F401
+    catalog_ext,
+    catalog_streaming,
+)

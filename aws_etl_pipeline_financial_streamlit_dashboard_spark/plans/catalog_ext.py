@@ -1,0 +1,301 @@
+"""Extension-operator catalog entries: dedup, text analysis, similarity
+search over the ``documents`` / ``embeddings`` testdata (SURVEY.md
+§2.13). Registered into plans.catalog.QUERIES on import.
+
+Oracle notes: engine-specific hash functions (xxhash64) can't be
+replicated in DuckDB, so signature-based ops (simhash, minhash-LSH,
+winnowing) get rows-only checks; everything expressible in portable SQL
+(exact dedup, token stats, md5 fingerprints, n-gram Jaccard via list
+comprehension, brute-force cosine) gets a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import dedup as D
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import similarity as S
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import text as X
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
+
+
+# ===========================================================================
+# Dedup ladder
+# ===========================================================================
+
+
+@register(
+    "x01_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, MD5(text) AS fingerprint, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+    doc="""Exact dedup via content-hash groupBy (tier 1 of the dedup
+    ladder): one row per distinct text, smallest doc_id wins, copy count
+    retained. Only the 16-byte md5 shuffles — not the text.""",
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS inter,
+               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM pairs
+    WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+"""
+
+
+@register(
+    "x02_ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="""N-gram Jaccard near-dup pairs (tier 4 exact verify) via
+    inverted-index self-join on 3-gram shingles — candidates grow with
+    true overlap, not n². Oracle replicates the shingle set with DuckDB
+    list comprehensions.""",
+)
+def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register(
+    "x03_simhash_dedup",
+    None,  # engine-specific xxhash64 → rows-only check
+    doc="""SimHash near-dup collapse (tier 2): 64-bit sign-of-bit-votes
+    signature per doc, group identical signatures, keep min id. Pure
+    column expressions over xxhash64 (engine-specific → rows-only
+    oracle).""",
+)
+def x03_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_dedup(docs, "doc_id", "text", n=2).select("doc_id", "simhash")
+
+
+@register(
+    "x04_minhash_lsh_pairs",
+    None,  # xxhash64-based signatures → rows-only check
+    doc="""MinHash+LSH candidate pairs with exact Jaccard verify
+    (tier 3): 32-hash signature, 8 bands — the banding S-curve keeps the
+    candidate join linear-ish at corpus scale. Verified superset-free
+    against x02 in tests.""",
+)
+def x04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@register(
+    "x05_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+           LEN(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_ish
+    FROM documents
+    """,
+    doc="""Token counting (whitespace + BPE-ish regex fragments) — the
+    LLM budget triad: chars, whitespace tokens, tokenizer-fragment
+    estimate. All codegen'd regexp expressions, no UDF.""",
+)
+def x05_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "x06_quality_score",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tokens,
+           FLOOR((LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                                 t -> regexp_matches(t, '^(the|a|of|and)$'))) * 1.0
+                 / NULLIF(LEN(regexp_split_to_array(TRIM(text), '\\s+')), 0)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio
+    FROM documents
+    """,
+    doc="""Quality-scoring features: length, token count, stopword ratio
+    (the standard pretraining quality filters). The heuristic itself is
+    replicated verbatim in the oracle — parity on the arithmetic, not on
+    an opinion.""",
+)
+def x06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    stop_re = "^(the|a|of|and)$"
+    n_stop = F.size(F.filter(toks, lambda t: t.rlike(stop_re)))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        rhu(n_stop / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "x07_fingerprint",
+    """
+    SELECT doc_id, MD5(text) AS fingerprint,
+           SUBSTR(MD5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+    doc="""Document fingerprinting: md5 content id + an 8-hex-char shard
+    key prefix (uniform partitioner for content-addressed storage at
+    corpus scale).""",
+)
+def x07_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.substring(F.md5("text"), 1, 8).alias("shard_key"),
+    )
+
+
+_LANG_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+        LEN(list_filter(toks, x -> regexp_matches(x, '^(der|die|und|das)$'))) * 1.0 / NULLIF(LEN(toks),0) AS score_de,
+        LEN(list_filter(toks, x -> regexp_matches(x, '^(the|a|of|and)$'))) * 1.0 / NULLIF(LEN(toks),0) AS score_en,
+        LEN(list_filter(toks, x -> regexp_matches(x, '^(el|los|y|las)$'))) * 1.0 / NULLIF(LEN(toks),0) AS score_es,
+        LEN(list_filter(toks, x -> regexp_matches(x, '^(le|la|et|les)$'))) * 1.0 / NULLIF(LEN(toks),0) AS score_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(COALESCE(score_de,0), COALESCE(score_en,0),
+                              COALESCE(score_es,0), COALESCE(score_fr,0)) = 0 THEN 'und'
+                WHEN COALESCE(score_de,0) >= COALESCE(score_en,0)
+                 AND COALESCE(score_de,0) >= COALESCE(score_es,0)
+                 AND COALESCE(score_de,0) >= COALESCE(score_fr,0) THEN 'de'
+                WHEN COALESCE(score_en,0) >= COALESCE(score_es,0)
+                 AND COALESCE(score_en,0) >= COALESCE(score_fr,0) THEN 'en'
+                WHEN COALESCE(score_es,0) >= COALESCE(score_fr,0) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           FLOOR((COALESCE(score_de,0)) * 1000000.0 + 0.5) / 1000000.0 AS score_de,
+           FLOOR((COALESCE(score_en,0)) * 1000000.0 + 0.5) / 1000000.0 AS score_en,
+           FLOOR((COALESCE(score_es,0)) * 1000000.0 + 0.5) / 1000000.0 AS score_es,
+           FLOOR((COALESCE(score_fr,0)) * 1000000.0 + 0.5) / 1000000.0 AS score_fr
+    FROM s
+"""
+
+
+@register(
+    "x08_lang_id",
+    _LANG_ORACLE,
+    doc="""Heuristic language ID: argmax over per-language marker-word
+    frequency ratios, 'und' when all zero, lexicographic tiebreak
+    (operators.text.lang_id). The oracle reproduces the identical
+    argmax, so parity covers the full decision path.""",
+)
+def x08_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.lang_id(docs).select(
+        "doc_id", "pred_lang", "score_de", "score_en", "score_es", "score_fr"
+    )
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               FLOOR((list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                           FOR i IN range(1, len(e.embedding) + 1)])
+                 / NULLIF(
+                     SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                    FOR i IN range(1, len(e.embedding) + 1)]))
+                     * SQRT(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                                      FOR i IN range(1, len(q.qv) + 1)])),
+                     0)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 1
+    )
+    SELECT neighbor_id, cosine_sim FROM sims
+    ORDER BY cosine_sim DESC, neighbor_id
+    LIMIT 10
+"""
+
+
+@register(
+    "x09_cosine_topk",
+    _COSINE_ORACLE,
+    doc="""Brute-force cosine top-k (exact ANN baseline): broadcast the
+    query vector, one narrow similarity pass, TakeOrderedAndProject
+    top-k (per-partition heaps, no global sort). Similarity rounded
+    before ranking + id tiebreak → engine-stable result set.""",
+)
+def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, query_id=1, k=10)
+
+
+@register(
+    "x10_ivf_topk",
+    None,  # approximate by construction → rows-only check
+    doc="""IVF approximate top-k: deterministic k-means coarse quantizer
+    (Lloyd iterations as DataFrame aggs), probe the 4 nearest of 16
+    cells, exact cosine inside probed cells — ~4/16 of the scan cost at
+    corpus scale. Recall vs x09 asserted in tests.""",
+)
+def x10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_id=1, k=10, n_cells=16, n_probe=4)
+
+
+@register(
+    "x11_knn_join",
+    None,  # exact but heavy oracle; covered rows-only + tests vs x09
+    doc="""Brute-force k-NN join: top-5 neighbors for every vector of a
+    16-vector query set (broadcast the small side, window-rank per
+    query). The batched form of x09.""",
+)
+def x11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return S.knn_join_brute_force(queries, emb, k=5)

@@ -1,0 +1,169 @@
+"""Streaming-semantics catalog entries over the ``events`` table
+(SURVEY.md §2.11 — the reference has no streaming; these are the
+extension operators the driver testdata's events table exists for).
+
+Each windowed aggregation is defined once over the batch DataFrame API
+(`F.window` / `F.session_window`) — the *same expression* runs under
+Structured Streaming `readStream` (see streaming/jobs.py); the batch
+form is what the oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    dec_sum,
+    sql_dec_sum,
+    sql_stable_avg,
+    stable_avg,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "s01_tumbling_window",
+    """
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value,
+           {av} AS avg_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """.format(sv=sql_dec_sum('value', 2), av=sql_stable_avg('value', 6)),
+    doc="""Tumbling 1-hour window aggregation by event type — the
+    foundational streaming agg (identical expression runs under
+    readStream with a watermark; batch form checked by time_bucket
+    oracle). Partial agg map-side; shuffle carries only (window, type)
+    groups.""",
+)
+def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", 2).alias("sum_value"),
+            stable_avg("value", 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "s02_sliding_window",
+    """
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w_start, value
+        FROM events
+    )
+    SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value
+    FROM expanded
+    GROUP BY w_start
+    """.format(sv=sql_dec_sum('value', 2)),
+    doc="""Sliding window: 1-hour windows every 30 minutes. Each event
+    lands in exactly 2 windows; the oracle expands event→window
+    membership explicitly (start = 30-min bucket, and that minus 30
+    min), which is precisely Spark's internal window expansion.""",
+)
+def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "s03_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="""Session windows with a 30-minute inactivity gap per user —
+    Spark's session_window vs the classic gaps-and-islands SQL in the
+    oracle. Output is (user, session_start, event count); Spark's
+    session *end* includes the gap padding by definition, so start+count
+    is the engine-portable projection.""",
+)
+def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "s04_event_type_rollup",
+    """
+    SELECT event_type,
+           STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sv} AS sum_value
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 day', ts)
+    """.format(sv=sql_dec_sum('value', 2)),
+    doc="""Daily rollup with distinct-user counts — the hypertable-style
+    continuous aggregate shape (day × type grain). COUNT(DISTINCT)
+    expands then collapses in Catalyst's two-phase distinct agg.""",
+)
+def s04_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.window("ts", "1 day")["start"], "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dec_sum("value", 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference has no engine of its own (pandas in-process + Postgres,
+SURVEY.md §4); here every knob that matters at cluster scale is set
+explicitly so the same code runs on local[N] for tests and on a large
+cluster unchanged:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- UTC session timezone: deterministic timestamp semantics vs the oracle.
+- Arrow on: Pandas-UDF extension operators move data in Arrow batches.
+- zstd parquet: the reference chose parquet explicitly for compression
+  cost (README.md:20,29); zstd is the modern default at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "aws-etl-financial-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores) so the
+    driver harness and tests share one code path; on a real cluster the
+    master comes from spark-submit and this arg is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # the driver testdata's events.ts is TIMESTAMP(NANOS): read as
+        # long and convert in sources.readers.read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Small-dim broadcast joins are the dominant join strategy for the
+        # star schema here; keep the default 10MB threshold explicit so it
+        # is visible and tunable.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

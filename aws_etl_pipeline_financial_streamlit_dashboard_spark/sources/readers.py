@@ -1,0 +1,86 @@
+"""Declarative readers (SURVEY.md §2.1 S1-S5).
+
+The reference reads parquet directories, a CSV seed list, and a JSON
+config with pandas + boto3 (cleaning.py:15-17, retrieval.py:77-78,
+TableTransform.py:16-18). Spark-first equivalents are one-liners that
+keep predicate pushdown and column pruning available to Catalyst — the
+reference pruned columns manually (SURVEY.md §4); here the lazy plan
+does it, so a query touching 2 columns scans 2 columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.schemas import TESTDATA_TABLES
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet directory/file scan (S1; cleaning.py:15-17 equivalent).
+
+    ``spark.read.parquet`` handles part-file directories natively and
+    exposes the scan to Catalyst for filter/column pushdown.
+
+    The driver's ``events`` table stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in session.get_spark) the column arrives as nanos-since-epoch
+    longs and is converted here to a proper timestamp (truncation to
+    micros matches DuckDB's ns→us conversion).
+    """
+    if name == "events":
+        # runtime-settable; makes the reader work under any caller's
+        # SparkSession (the driver builds its own)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver testdata table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each testdata table as a temp view for ``spark.sql`` plans
+    (the S5 pattern: the reference delegated serving SQL to Postgres,
+    Frontend.py:28-79; here the engine itself serves SQL)."""
+    dfs = load_testdata(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_csv_seed(spark: SparkSession, path: str, column: str = "ticker_name") -> DataFrame:
+    """CSV seed-dimension scan (S2; retrieval.py:77-78 equivalent).
+
+    Projects the seed column and uppercases it — the case-insensitive
+    lookup contract (retrieval.py:78, Frontend.py:23).
+    """
+    return (
+        spark.read.option("header", "true").csv(path)
+        .select(F.upper(F.col(column)).alias(column))
+    )
+
+
+def read_json_config(spark: SparkSession, path: str) -> dict:
+    """JSON config scan (S3; TableTransform.py:16-18 equivalent).
+
+    Config is driver-side state, not distributed data — plain json load.
+    """
+    import json
+
+    with open(path) as f:
+        return json.load(f)

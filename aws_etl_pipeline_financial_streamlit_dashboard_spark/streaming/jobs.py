@@ -1,0 +1,91 @@
+"""Structured Streaming jobs (SURVEY.md §2.11 extension surface).
+
+The reference's 'live' pipeline is EventBridge-scheduled batch with S3
+marker files as inter-stage triggers (retrieval.py:156-160,
+README.md:20). The Spark-native equivalents:
+
+- a file-source stream with ``Trigger.AvailableNow`` replaces the
+  marker-triggered Lambda chain: each run drains whatever new files
+  landed, exactly once, then stops — the same incremental batch
+  contract, but with offsets/dedup handled by the engine;
+- watermarked windowed aggregations handle late events explicitly
+  (the reference has no late-data story).
+
+The aggregation *expressions* live in plans/catalog_streaming.py and
+are shared verbatim between batch and streaming execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental file-source stream over a parquet directory (the
+    marker-file orchestration replacement). Schema is pinned — required
+    for streaming sources and for scan pruning."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    The watermark bounds state: windows older than max(ts) − watermark
+    are finalized and evicted, so state size is O(active windows), not
+    O(stream length) — the property that lets this run forever at
+    scale. Late events within the watermark still merge into their
+    window; older ones drop (documented, deliberate).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+) -> None:
+    """Drain-all-new-files-then-stop micro-batch run: the Spark-native
+    form of the reference's marker-triggered incremental refresh.
+    Append mode + watermark = finalized windows only reach the sink."""
+    events = stream_events_from_files(spark, src_path)
+    agg = tumbling_counts_stream(events)
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
