@@ -1,0 +1,83 @@
+"""Structured Streaming tests: the file-source incremental pipeline
+(marker-orchestration replacement) actually runs under
+Trigger.AvailableNow, and the windowed agg matches its batch twin."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+    run_available_now_to_parquet,
+    stream_events_from_files,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_available_now_drains_and_stops(spark, sf_dir, tmpdir):
+    src = os.path.join(tmpdir, "src")
+    dst = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    events = read_table(spark, sf_dir, "events")
+    events.write.parquet(src)
+
+    run_available_now_to_parquet(spark, src, dst, ckpt)
+    out = spark.read.parquet(dst)
+    # append mode + watermark: only windows older than max(ts) − 2h are
+    # finalized and emitted
+    batch = tumbling_counts_stream(events)  # same expression, batch run
+    batch_windows = {
+        r["window_start"]
+        for r in batch.select("window_start").distinct().collect()
+    }
+    out_windows = {r["window_start"] for r in out.select("window_start").distinct().collect()}
+    assert out_windows  # something was finalized
+    assert out_windows <= batch_windows
+    # emitted windows carry identical aggregates to the batch run
+    joined = out.alias("s").join(
+        batch.alias("b"),
+        ["window_start", "event_type"],
+        "inner",
+    )
+    mismatches = joined.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.col("s.sum_value") != F.col("b.sum_value"))
+    ).count()
+    assert mismatches == 0
+    assert joined.count() == out.count()
+
+
+def test_incremental_second_batch(spark, sf_dir, tmpdir):
+    """Second availableNow run picks up only newly landed files —
+    the marker-file orchestration contract, engine-managed."""
+    src = os.path.join(tmpdir, "src")
+    dst = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    events = read_table(spark, sf_dir, "events").cache()
+    first_half = events.filter(F.col("event_id") % 2 == 0)
+    second_half = events.filter(F.col("event_id") % 2 == 1)
+
+    first_half.write.parquet(src)
+    run_available_now_to_parquet(spark, src, dst, ckpt)
+    n1 = spark.read.parquet(dst).count()
+
+    # land more files into the same source dir; rerun with same checkpoint
+    second_half.write.mode("append").parquet(src)
+    run_available_now_to_parquet(spark, src, dst, ckpt)
+    n2 = spark.read.parquet(dst).count()
+    assert n2 >= n1  # new finalized windows appended, nothing reprocessed twice
+
+    stream = stream_events_from_files(spark, src)
+    assert stream.isStreaming
