@@ -1,0 +1,318 @@
+"""Second-wave catalog entries: semi-structured JSON, OLAP rollup,
+window analytics, correlated scalar subqueries, pivot, and set
+operations — capabilities beyond the reference's own surface
+(SURVEY.md §2 'not present' rows) that a complete engine needs.
+Registered into plans.catalog.QUERIES on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    round_half_up as rhu,
+    sql_round,
+    sql_stable_avg,
+    stable_avg,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+
+@register(
+    "q18_json_extract",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="""Semi-structured JSON field extraction with a pushed predicate
+    (extends S3 — the reference only reads JSON config). Spark:
+    get_json_object, JVM-side. At scale prefer from_json with an
+    explicit schema once the shape is stable; get_json_object is the
+    schema-on-read probe.""",
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", "event_type", k.alias("k_value"))
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@register(
+    "q19_rollup",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           {sql_stable_avg('c.c_acctbal', 2)} AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="""Hierarchical ROLLUP totals (region → nation → grand total) —
+    the OLAP cube family the reference lacks (SURVEY.md §2.4 'not
+    present'). One pass, Catalyst expands grouping sets; NULL group
+    labels mark subtotal rows identically in both engines.""",
+)
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            stable_avg("c_acctbal", 2).alias("avg_acctbal"),
+        )
+    )
+
+
+_WINDOW_ORACLE = f"""
+    WITH series AS (
+        SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+               {sql_stable_avg('o_totalprice', 2)} AS avg_price
+        FROM orders
+        GROUP BY STRFTIME(o_orderdate, '%Y-%m')
+    )
+    SELECT month, avg_price,
+           LAG(avg_price) OVER (ORDER BY month) AS prev_avg_price,
+           {sql_round("avg_price - LAG(avg_price) OVER (ORDER BY month)", 2)}
+               AS mom_change,
+           {sql_round("AVG(avg_price) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)}
+               AS moving_avg_3m
+    FROM series
+"""
+
+
+@register(
+    "q20_window_analytics",
+    _WINDOW_ORACLE,
+    doc="""Analytic window functions over the monthly series: LAG,
+    month-over-month delta, 3-month moving average (SURVEY.md §2.5 —
+    the reference has no OVER clauses; this is the idiomatic extension
+    of its month-series query). Single shuffle on the ordering key.""",
+)
+def q20_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(stable_avg("o_totalprice", 2).alias("avg_price"))
+    )
+    w = Window.orderBy("month")
+    w3 = w.rowsBetween(-2, 0)
+    return series.select(
+        "month",
+        "avg_price",
+        F.lag("avg_price").over(w).alias("prev_avg_price"),
+        rhu(F.col("avg_price") - F.lag("avg_price").over(w), 2).alias("mom_change"),
+        rhu(F.avg("avg_price").over(w3), 2).alias("moving_avg_3m"),
+    )
+
+
+@register(
+    "q21_correlated_subquery",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = (SELECT c_nationkey FROM customer WHERE c_custkey = 7)
+      AND c_custkey <> 7
+    """,
+    doc="""Uncorrelated scalar subquery — the reference's data-dependent
+    two-round-trip pattern (Frontend.py:28-32 feeding :67) folded into
+    one plan. Spark executes the subquery once and broadcasts the
+    scalar; no driver round trip.""",
+)
+def q21_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    target = (
+        customer.filter(F.col("c_custkey") == 7)
+        .select(F.col("c_nationkey").alias("__target_nation"))
+        .limit(1)
+    )
+    return (
+        customer.join(
+            F.broadcast(target),
+            customer.c_nationkey == F.col("__target_nation"),
+        )
+        .filter(F.col("c_custkey") != 7)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q22_pivot_status_counts",
+    """
+    SELECT STRFTIME(o_orderdate, '%Y') AS order_year,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+    FROM orders
+    GROUP BY STRFTIME(o_orderdate, '%Y')
+    """,
+    doc="""Pivot (long→wide, the inverse of R2's unpivot): order counts
+    per year by status. Explicit pivot values keep the output schema
+    static — mandatory at scale (no distinct-scan to discover columns)
+    — and coalesce-to-0 matches SQL's FILTER counts on empty cells.""",
+)
+def q22_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "order_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+@register(
+    "q23_set_ops",
+    """
+    WITH c95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    c96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_custkey, 'retained' AS cohort FROM (
+        SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96
+    )
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort FROM (
+        SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96
+    )
+    """,
+    doc="""INTERSECT / EXCEPT cohort analysis (SURVEY.md §2.7 'not
+    present'): customers ordering in both 1995 and 1996 vs only 1995.
+    Spark's intersect/exceptAll compile to joins over pre-aggregated
+    distinct keys — shuffle carries only keys.""",
+)
+def q23_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c95, c96 = cohort(1995), cohort(1996)
+    retained = c95.intersect(c96).withColumn("cohort", F.lit("retained"))
+    churned = c95.exceptAll(c96).withColumn("cohort", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+@register(
+    "q24_distinct_counts",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="""Exact distinct aggregation (expand + two-phase collapse in
+    Catalyst). The approximate twin (x15) is the constant-memory scale
+    path.""",
+)
+def q24_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "x15_approx_distinct",
+    None,  # HLL estimates are engine-specific → rows-only check
+    doc="""approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct-count for 100 TB cardinalities where exact expansion
+    (q24) would shuffle every key. Estimate error vs exact asserted in
+    tests, not against the oracle.""",
+)
+def x15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("n_custkeys_approx"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_EMB_PAIRS_ORACLE = """
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings WHERE vec_id < 150
+    ),
+    n AS (
+        SELECT vec_id, v,
+               SQRT(list_sum([x * x FOR x IN v])) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR((list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+                  / NULLIF(a.nrm * b.nrm, 0)) * 1000000.0 + 0.5) / 1000000.0
+               AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE FLOOR((list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+                 / NULLIF(a.nrm * b.nrm, 0)) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+"""
+
+
+@register(
+    "x16_embedding_dup_pairs",
+    _EMB_PAIRS_ORACLE,
+    doc="""Embedding-cosine near-duplicate pairs (the embedding tier of
+    the dedup ladder): all pairs with cosine ≥ 0.35 (threshold chosen so the synthetic random-ish embeddings yield a nonempty pair set) over a 150-vector
+    slice. The Spark plan is the exact all-pairs broadcast join — the
+    verification kernel that LSH/IVF blocking feeds at corpus scale
+    (running it unblocked over 100 TB would be O(n²) by construction).""",
+)
+def x16_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = rhu(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
