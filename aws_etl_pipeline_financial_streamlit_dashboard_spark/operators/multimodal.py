@@ -112,7 +112,10 @@ def extract_media_features(
                 ids.append(row[id_col])
                 types.append(media_type)
                 sizes.append(len(payload))
-                ents.append(round(ent, 6))
+                # floor(x·1e6+0.5)/1e6 — engine-portable HALF_UP, same
+                # formula as functions.scalars.round_half_up (Python's
+                # round() is HALF_EVEN and would drift from the oracle)
+                ents.append(math.floor(ent * 1e6 + 0.5) / 1e6)
                 feats.append(_fake_decode(payload, feat_dim))
             yield pd.DataFrame(
                 {

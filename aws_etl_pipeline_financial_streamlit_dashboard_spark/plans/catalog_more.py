@@ -316,3 +316,127 @@ def x16_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.35)
     )
+
+
+@register(
+    "x12_media_features",
+    """
+    SELECT doc_id AS asset_id,
+           'doc' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           FLOOR(ent * 1000000.0 + 0.5) / 1000000.0 AS byte_entropy
+    FROM (
+        SELECT doc_id, entropy(c) AS ent
+        FROM (SELECT doc_id, unnest(split(text, '')) AS c FROM documents)
+        GROUP BY doc_id
+    ) e
+    JOIN documents USING (doc_id)
+    """,
+    doc="""Multimodal feature extraction (SURVEY.md §2.13): documents'
+    text encoded to an opaque binary payload column, run through the
+    Arrow-batched mapInPandas decode/feature pass
+    (operators.multimodal.extract_media_features, fake decoder — real
+    image/audio libs are stubbed per the driver mandate). Oracle checks
+    the real distributed outputs (byte count + Shannon byte entropy);
+    the docs are ASCII so DuckDB's char-level entropy() equals our
+    byte-level one. Decode parallelism == partition count.""",
+)
+def x12_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.encode("text", "UTF-8").alias("payload"))
+    )
+    feats = extract_media_features(
+        docs, id_col="doc_id", payload_col="payload", media_type="doc", fake=True
+    )
+    return feats.select("asset_id", "media_type", "n_bytes", "byte_entropy")
+
+
+@register(
+    "x13_frame_sample",
+    """
+    SELECT doc_id,
+           f.frame_idx,
+           f.off AS byte_offset,
+           substr(text, f.off + 1, 64) AS frame_chars
+    FROM documents,
+         LATERAL (SELECT range(0, greatest(length(text), 1), 64) AS l) q,
+         UNNEST([{'frame_idx': i - 1, 'off': l[i]}
+                 FOR i IN range(1, least(len(l), 8) + 1)]) AS t(f)
+    """,
+    doc="""Frame sampling over binary media payloads (SURVEY.md §2.13
+    video plumbing): up to 8 evenly spaced 64-byte 'frames' per asset
+    via sequence+posexplode+substring — all JVM-side, no Python. The
+    real video frame decoder is the stubbed step; offset math, explode
+    fan-out, and byte slicing are the distributed production shape.""",
+)
+def x13_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.encode("text", "UTF-8").alias("payload"))
+    )
+    frames = sample_frames(
+        docs, id_col="doc_id", payload_col="payload", every_n_bytes=64, max_frames=8
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        F.col("frame_bytes").cast("string").alias("frame_chars"),
+    )
+
+
+@register(
+    "x17_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           p.value AS purchase_value,
+           v.value AS last_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="""As-of (point-in-time) join: each purchase event picks up the
+    value of the same user's latest preceding view event — the
+    trades⋈quotes pattern of financial tick stores. DuckDB's native
+    ASOF JOIN is the oracle; the Spark side is the union-merge
+    algorithm (operators.asof.asof_join): tag + union + one windowed
+    forward-fill shuffle instead of a per-key nested-loop range join.""",
+)
+def x17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_view_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "purchase_value",
+        "last_view_value",
+    )

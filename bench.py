@@ -29,13 +29,31 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.session import get_spark  # noqa: E402
 
 
+def _shuffle_partitions(sf_dir: str, cpus: int) -> int:
+    """Size the shuffle by the data, not the core count.
+
+    Rule: one partition per ~64 MB of input (the AQE advisory target),
+    floored at 8 so tiny scale factors still exercise parallel reduce
+    paths, capped at 4× cores. At sf0.1 (~17 MB total) this yields 8 —
+    32 reducers on 600k rows is pure scheduling overhead; at cluster
+    scale the byte-based term dominates and AQE coalesces from there.
+    """
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            total += os.path.getsize(os.path.join(sf_dir, f))
+    except OSError:
+        return cpus
+    return max(8, min(4 * cpus, total // (64 << 20)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=_shuffle_partitions(sf_dir, int(cpus)),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
