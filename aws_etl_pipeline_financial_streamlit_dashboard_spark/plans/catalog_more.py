@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
     round_half_up as rhu,
+    sql_dec_sum,
     sql_round,
     sql_stable_avg,
     stable_avg,
@@ -439,4 +440,79 @@ def x17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "purchase_value",
         "last_view_value",
+    )
+
+
+@register(
+    "q25_salted_aggregate",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dec_sum('o_totalprice', 2)} AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="""Salted two-phase aggregation over a genuinely skewed key —
+    orders has exactly three o_orderstatus values, so at 100 TB a plain
+    groupBy lands ~1/3 of the table on each of three reducers while the
+    rest of the cluster idles. operators.skew.salted_aggregate spreads
+    each hot key over 16 salted sub-groups (phase 1), then combines the
+    ≤16 partial rows per key (phase 2). Semantics-preserving: the
+    oracle is the plain GROUP BY.""",
+)
+def q25_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+        dec_sum,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return salted_aggregate(
+        orders,
+        ["o_orderstatus"],
+        partial_aggs={
+            "cnt": F.count("*"),
+            # decimal partial sums: exact, so the two-phase combine is
+            # order-independent and matches the oracle bitwise
+            "amt": F.sum(F.col("o_totalprice").cast("decimal(38,10)")),
+            "mx": F.max("o_totalprice"),
+        },
+        final_aggs={
+            "n_orders": F.sum("cnt"),
+            "total_price": F.round(F.sum("amt"), 2).cast("double"),
+            "max_price": F.max("mx"),
+        },
+    ).select("o_orderstatus", "n_orders", "total_price", "max_price")
+
+
+@register(
+    "s05_stateful_running_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="""Custom stateful operator (applyInPandasWithState): per-user
+    lifetime running totals maintained as explicit GroupState across
+    micro-batches (streaming/stateful.py). applyInPandasWithState is
+    streaming-only, so this entry executes a REAL streaming query —
+    parquet file source → stateful operator → memory sink, drained
+    under Trigger.AvailableNow — and returns the drained table. Both
+    sides accumulate exact integer cents (event values are 2-decimal
+    money), so the oracle comparison is exact, not float-tolerance.""",
+)
+def s05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateful import (
+        run_running_totals_available_now,
+    )
+
+    return run_running_totals_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
     )
