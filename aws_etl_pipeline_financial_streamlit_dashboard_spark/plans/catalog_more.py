@@ -516,3 +516,97 @@ def s05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_running_totals_available_now(
         spark, os.path.join(sf_dir, "events.parquet")
     )
+
+
+@register(
+    "q26_percentiles",
+    """
+    SELECT o_orderstatus,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0
+               AS median_price,
+           FLOOR(quantile_cont(o_totalprice, 0.95) * 10000.0 + 0.5) / 10000.0
+               AS p95_price,
+           FLOOR(quantile_cont(o_totalprice, 0.99) * 10000.0 + 0.5) / 10000.0
+               AS p99_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="""Exact interpolated percentiles (median/p95/p99) per group —
+    the distributional aggregate family the reference lacks entirely.
+    Spark's percentile == SQL percentile_cont interpolation. Scale
+    note: exact percentile buffers per-group values; at 100 TB switch
+    to approx_percentile (t-digest, bounded memory) — the exact form
+    is the oracle-checkable twin.""",
+)
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            rhu(F.col("p")[0], 4).alias("median_price"),
+            rhu(F.col("p")[1], 4).alias("p95_price"),
+            rhu(F.col("p")[2], 4).alias("p99_price"),
+        )
+    )
+
+
+@register(
+    "q27_gap_fill",
+    """
+    WITH counts AS (
+        SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders
+        FROM orders WHERE o_totalprice > 490000
+        GROUP BY 1
+    ),
+    bounds AS (SELECT min(month) AS mn, max(month) AS mx FROM counts),
+    spine AS (
+        SELECT STRFTIME(t.d, '%Y-%m') AS month
+        FROM bounds,
+             UNNEST(generate_series(strptime(mn, '%Y-%m'),
+                                    strptime(mx, '%Y-%m'),
+                                    INTERVAL 1 MONTH)) AS t(d)
+    )
+    SELECT s.month,
+           COALESCE(c.n_orders, 0) AS n_orders,
+           c.n_orders IS NULL AS filled
+    FROM spine s LEFT JOIN counts c USING (month)
+    """,
+    doc="""Time-series gap filling (resample-to-monthly): a calendar
+    spine generated from the series' own bounds (sequence + explode,
+    all JVM-side), left-joined to the sparse counts, gaps zero-filled
+    and flagged. The reference's month series silently skips empty
+    months (Frontend.py:71-79); financial resampling must not. The
+    spine is tiny (one row per month) → broadcast join; the counts
+    side pre-aggregates before the join so the shuffle carries months,
+    not orders.""",
+)
+def q27_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 490000)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    bounds = counts.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_date("mn", "yyyy-MM"),
+                F.to_date("mx", "yyyy-MM"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM").alias("month"))
+    return (
+        F.broadcast(spine)
+        .join(counts, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("n_orders").isNull().alias("filled"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at 100 TB must be visible in the executed plan, not assumed.
+
+Each assertion pins a property that silently regressing would only show
+up as a production slowdown: parquet filter pushdown, column pruning at
+the scan, broadcast joins for dims, whole-stage codegen coverage, and
+shuffle counts for the canonical query shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    # scan must read exactly the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_broadcasts_dim_and_bounds_shuffles(spark, sf_dir):
+    df = QUERIES["q07_flagship_industry_avg"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation dim never shuffles
+    # two aggregation shuffles (order stats, final group-by) + at most
+    # one join exchange — more means a regression added a shuffle
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_star_join_single_shuffle(spark, sf_dir):
+    """q16's star join must broadcast every dimension at this scale:
+    the only exchange is the final aggregation's."""
+    df = QUERIES["q16_star_join_revenue"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_whole_stage_codegen(spark, sf_dir):
+    """The q17 scan→filter→partial-agg pipeline must fuse into
+    whole-stage codegen (no Python, no interpreted eval in the hot
+    path). AQE finalizes the plan lazily, so execute first."""
+    df = QUERIES["q17_pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # finalize AQE on THIS query execution (count() builds its own)
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_point_filter_no_shuffle(spark, sf_dir):
+    """Dashboard point lookups (P4) must be scan+filter only."""
+    df = QUERIES["q02_point_filter"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_dedup_exact_is_single_shuffle(spark, sf_dir):
+    df = QUERIES["x01_dedup_exact"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1
