@@ -610,3 +610,74 @@ def q27_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").isNull().alias("filled"),
         )
     )
+
+
+@register(
+    "q28_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="""CUBE over (status, priority): all 2^k grouping-set
+    combinations in one pass (completes the grouping-sets family with
+    q19's ROLLUP). Catalyst expands the sets before the shuffle, so
+    the exchange carries each input row once per grouping set of a
+    single partial-aggregated stream — not k separate scans.""",
+)
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q29_range_join",
+    """
+    SELECT e.event_id, COUNT(p.event_id) AS n_purchases_1h
+    FROM events e LEFT JOIN events p
+      ON e.user_id = p.user_id AND p.event_type = 'purchase'
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="""Time-interval correlation: purchases by the same user within
+    one hour after each error event. The Spark plan is the bucketed
+    range join (operators.rangejoin.bucketed_range_join): time cells
+    join as part of the equi-key (shuffle = 2|L|+|R| rows), with the
+    exact interval predicate applied within cells — instead of the
+    per-key nested loop a raw non-equi join degenerates to. Left-outer
+    semantics recovered by re-joining pair counts to the error set.""",
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+        bucketed_range_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = bucketed_range_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
+        window_seconds=3600,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("p_event_id").alias("n_purchases_1h")
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_purchases_1h"), F.lit(0)).alias("n_purchases_1h"),
+        )
+    )
