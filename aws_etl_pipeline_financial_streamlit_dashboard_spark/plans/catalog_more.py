@@ -681,3 +681,74 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_purchases_1h"), F.lit(0)).alias("n_purchases_1h"),
         )
     )
+
+
+_COMPONENTS_ORACLE = r"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM edges0
+              UNION ALL SELECT doc_b, doc_a FROM edges0),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT node AS doc_id,
+           MIN(label) AS component_id,
+           node = MIN(label) AS is_canonical
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "x18_dedup_components",
+    _COMPONENTS_ORACLE,
+    doc="""Dedup cluster resolution: n-gram Jaccard pairs (x02's edges)
+    → connected components via iterative min-label propagation
+    (operators.components) → every document labeled with its cluster's
+    canonical (min) doc_id. This is the step that turns pairwise
+    near-dup evidence into 'keep one per cluster' — transitive: a≈b,
+    b≈c groups {a,b,c} even when a,c never matched. Oracle: DuckDB
+    recursive CTE computing the same closure. Iterative (non-SQL) on
+    the Spark side: one shuffle per round, lineage truncated per round,
+    O(diameter) rounds.""",
+)
+def x18_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    )
