@@ -89,3 +89,46 @@ def run_available_now_to_parquet(
         .start()
         .awaitTermination()
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on event_id within the watermark
+    horizon (``dropDuplicatesWithinWatermark``): re-delivered events —
+    at-least-once sources redeliver on every retry/failover — are
+    dropped if their duplicate arrives within the watermark window.
+
+    State contract at scale: the engine keeps one entry per key seen in
+    the last ``watermark`` of event time and evicts older state, so
+    memory is O(keys/horizon), not O(stream length) — the property that
+    distinguishes this from a batch ``dropDuplicates``, whose state
+    would grow forever on an unbounded stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedup_to_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Incremental exactly-once ingest: file stream → watermarked dedup
+    → parquet. Re-running after new (possibly overlapping) files land
+    appends only never-seen events."""
+    events = stream_events_from_files(spark, src_path)
+    (
+        dedup_events_stream(events, watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

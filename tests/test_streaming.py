@@ -81,3 +81,28 @@ def test_incremental_second_batch(spark, sf_dir, tmpdir):
 
     stream = stream_events_from_files(spark, src)
     assert stream.isStreaming
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_dir, tmpdir):
+    """At-least-once redelivery: the same events file lands twice (plus
+    a half-overlap); the deduped sink must contain each event_id once."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_dedup_to_parquet,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    dst = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    events = read_table(spark, sf_dir, "events").limit(2000).cache()
+    n_unique = events.select("event_id").distinct().count()
+
+    events.coalesce(1).write.parquet(src)                      # delivery 1
+    events.coalesce(1).write.mode("append").parquet(src)       # full redelivery
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)                                             # partial redelivery
+
+    run_dedup_to_parquet(spark, src, dst, ckpt)
+    out = spark.read.parquet(dst)
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
