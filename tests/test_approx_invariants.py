@@ -1,0 +1,73 @@
+"""Quality invariants for the rows-only (engine-specific) operators:
+the driver's oracle can't hash-match hash signatures, LSH candidate
+sets, IVF results, or HLL estimates — so pin their quality against the
+exact twins instead. Bounds carry slack under measured values (LSH
+recall measured 1.0, IVF 0.8, HLL error < 1%) so they catch real
+regressions, not seed jitter."""
+
+from __future__ import annotations
+
+import duckdb
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["x02_ngram_jaccard_pairs"].spark(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["x04_minhash_lsh_pairs"].spark(spark, sf_dir).collect()
+    }
+    assert exact, "exact pair set empty — threshold no longer exercises dedup"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall degraded: {recall:.2f}"
+    # candidate pairs must be ordered and self-free
+    assert all(a < b for a, b in lsh)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    exact = {
+        r["neighbor_id"]
+        for r in QUERIES["x09_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    ivf = {
+        r["neighbor_id"]
+        for r in QUERIES["x10_ivf_topk"].spark(spark, sf_dir).collect()
+    }
+    assert len(ivf) == len(exact)  # same k
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall degraded: {recall:.2f}"
+
+
+def test_hll_within_declared_error(spark, sf_dir):
+    approx = {
+        r["o_orderstatus"]: r["n_custkeys_approx"]
+        for r in QUERIES["x15_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        rel = abs(approx[k] - e) / max(e, 1)
+        # rsd=0.02 → 3σ ≈ 6%; 10% bound leaves margin
+        assert rel <= 0.10, f"{k}: HLL error {rel:.3f}"
+
+
+def test_simhash_signatures_deterministic(spark, sf_dir):
+    a = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["x03_simhash_dedup"].spark(spark, sf_dir).collect()
+    }
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERIES["x03_simhash_dedup"].spark(spark, sf_dir).collect()
+    }
+    assert a == b  # content-derived, run-independent
+    assert len(a) > 0
