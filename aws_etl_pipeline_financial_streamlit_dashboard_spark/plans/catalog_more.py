@@ -752,3 +752,39 @@ def x18_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
     )
+
+
+@register(
+    "q30_not_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    AND c_acctbal > 9000
+    """,
+    doc="""Correlated NOT EXISTS through the engine's raw SQL entry
+    point: the catalog is otherwise DataFrame-built; this entry
+    registers temp views and hands Catalyst the same ANSI SQL the
+    oracle runs — the serving path a reference user migrating their
+    SQL would take. Catalyst decorrelates NOT EXISTS into a left-anti
+    join (same physical plan family as q06).""",
+)
+def q30_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        AND c_acctbal > 9000
+        """
+    )

@@ -107,3 +107,49 @@ def test_state_carries_forward_for_same_key(spark, tmpdir):
     # final cumulative row rather than the intermediate)
     assert len(rows) == 2
     assert rows[-1] == (3, 17.5)
+
+
+def test_sessionize_emits_open_sessions(spark, tmpdir):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateful import (
+        sessionize_users,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    base = 1_700_000_000_000_000  # epoch micros
+    pdf = [
+        (1, base),
+        (1, base + 60_000_000),      # +60s, same session
+        (2, base + 5_000_000),
+    ]
+    spark.createDataFrame(
+        [(u, t) for u, t in pdf], "user_id long, ts_us long"
+    ).selectExpr("user_id", "timestamp_micros(ts_us) AS ts", "1.0 AS value").coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, value double").parquet(src)
+    q = (
+        sessionize_users(stream, gap_ms=30 * 60 * 1000)
+        .writeStream.format("memory")
+        .queryName("sessionize_open_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the query alive to fire pending
+    # timeouts even under availableNow — poll for the data batch's
+    # emissions, then stop explicitly
+    import time
+
+    for _ in range(60):
+        if spark.table("sessionize_open_test").count() >= 2:
+            break
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(timeout=60)
+    rows = {r["user_id"]: r for r in spark.table("sessionize_open_test").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["closed"] is False
+    assert (rows[1]["session_end"] - rows[1]["session_start"]).total_seconds() == 60
+    assert rows[2]["n_events"] == 1
