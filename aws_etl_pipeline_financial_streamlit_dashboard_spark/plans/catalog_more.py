@@ -788,3 +788,45 @@ def q30_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND c_acctbal > 9000
         """
     )
+
+
+@register(
+    "x19_corpus_prep",
+    r"""
+    WITH cand AS (
+        SELECT * FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+    ),
+    keep AS (SELECT text, MIN(doc_id) AS doc_id FROM cand GROUP BY text),
+    kept AS (SELECT c.* FROM cand c JOIN keep k ON c.doc_id = k.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+    FROM kept
+    GROUP BY source
+    """,
+    doc="""Composed training-data prep pipeline in ONE lazy plan:
+    language filter → length/quality gate → exact dedup (deterministic
+    min-id winner; the shuffle carries md5 hashes, not text) →
+    per-source document and token budget rollup. The shape every LLM
+    corpus build runs; here it is a single Catalyst DAG — filters reach
+    the scan, dedup is the only wide stage over the filtered subset,
+    and the rollup is a partial-agg shuffle of |sources| rows.""",
+)
+def x19_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cand = docs.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 400)
+    )
+    kept = exact_dedup(cand, content_cols=["text"], id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )

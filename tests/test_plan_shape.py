@@ -84,3 +84,21 @@ def test_dedup_exact_is_single_shuffle(spark, sf_dir):
     df = QUERIES["x01_dedup_exact"].spark(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Serving tables written partitionBy(month): a month filter must
+    prune partitions at planning time (PartitionFilters, one dir read)
+    — the scale replacement for the reference's whole-table re-reads."""
+    out = str(tmp_path / "sp_by_month")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.mode("overwrite").partitionBy("month").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("month") == "1995-03")
+    plan = _formatted(df)
+    assert "PartitionFilters: [isnotnull(month" in plan
+    # the pushed month equality prunes to a single partition dir
+    # (attribute ids vary: "(month#N = 1995-03)")
+    assert "= 1995-03)" in plan
