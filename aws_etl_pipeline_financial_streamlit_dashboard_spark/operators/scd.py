@@ -1,0 +1,80 @@
+"""SCD Type-2 merge — dimension history with effective-dated rows.
+
+The reference's serving refresh is a full overwrite: yesterday's
+company_info is gone after every load (TableTransform.py:26-29).
+Financial analytics needs the opposite — "what did we believe about
+this company in March" — which is slowly-changing-dimension type 2:
+each key keeps a history of rows with ``[effective_from, effective_to)``
+validity, the open row having ``effective_to = NULL``.
+
+One equi-join + unions, no iteration, no MERGE statement dependency:
+
+- unchanged keys keep their open row;
+- changed keys: the open row closes at the update's effective date and
+  a new open row appends;
+- brand-new keys insert an open row;
+- already-closed history rows pass through untouched.
+
+Scale: the join is on the dimension key (broadcast when the update
+batch is small — the usual case: daily changes ≪ dimension size), and
+the closed-history passthrough never shuffles at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+) -> DataFrame:
+    """Apply ``updates`` (one row per key: ``key, *attrs, eff_from``)
+    to an SCD2 ``history`` (``key, *attrs, eff_from, eff_to``).
+
+    Attribute comparison is null-safe (``<=>``); a key appearing in
+    ``updates`` with identical attrs is a no-op.
+    """
+    attrs = list(attrs)
+    closed = history.filter(F.col(eff_to).isNotNull())
+    open_rows = history.filter(F.col(eff_to).isNull())
+
+    u = updates.select(
+        F.col(key).alias("__u_key"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(eff_from).alias("__u_from"),
+    )
+    j = open_rows.join(u, open_rows[key] == F.col("__u_key"), "full_outer")
+
+    same = F.lit(True)
+    for a in attrs:
+        same = same & (F.col(a).eqNullSafe(F.col(f"__u_{a}")))
+
+    has_old = F.col(key).isNotNull()
+    has_new = F.col("__u_key").isNotNull()
+
+    # old open rows that survive: no update, or update with same attrs
+    kept_open = j.filter(has_old & (~has_new | same)).select(
+        key, *attrs, eff_from, eff_to
+    )
+    # old open rows closed by a real change
+    newly_closed = j.filter(has_old & has_new & ~same).select(
+        key, *attrs, eff_from, F.col("__u_from").alias(eff_to)
+    )
+    # new open rows: changed keys + brand-new keys
+    new_open = j.filter(has_new & (~has_old | ~same)).select(
+        F.col("__u_key").alias(key),
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__u_from").alias(eff_from),
+        F.lit(None).cast(history.schema[eff_to].dataType).alias(eff_to),
+    )
+    return closed.unionByName(kept_open).unionByName(newly_closed).unionByName(
+        new_open
+    )

@@ -67,3 +67,26 @@ def write_marker(path: str, step: str) -> str:
     with open(path, "w") as f:
         f.write(stamp)
     return stamp
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Partition-level upsert: overwrite ONLY the partitions present in
+    ``df``, leaving the rest of the table untouched (dynamic partition
+    overwrite).
+
+    This is the incremental form of the reference's full-table
+    replace (TableTransform.py:26-29 `if_exists="replace"`): a monthly
+    refresh that touches 1 month of a 100 TB table rewrites 1/1200th
+    of it instead of all of it, and readers see other partitions
+    unchanged throughout.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

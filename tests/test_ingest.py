@@ -107,3 +107,31 @@ def test_overwrite_idempotence_and_marker(spark, tickers):
         assert os.path.exists(marker) and "extract" in stamp
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_partitions_touches_only_written_months(spark, tmp_path):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.sinks import (
+        upsert_partitions,
+    )
+
+    path = str(tmp_path / "monthly")
+    base = spark.createDataFrame(
+        [("2024-01", "AAPL", 1.0), ("2024-01", "MSFT", 2.0), ("2024-02", "AAPL", 3.0)],
+        "month string, ticker string, px double",
+    )
+    upsert_partitions(base, path, ["month"])
+
+    # refresh only 2024-02 with corrected data
+    fix = spark.createDataFrame(
+        [("2024-02", "AAPL", 30.0), ("2024-02", "MSFT", 40.0)],
+        "month string, ticker string, px double",
+    )
+    upsert_partitions(fix, path, ["month"])
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [
+        ("AAPL", 1.0, "2024-01"),
+        ("AAPL", 30.0, "2024-02"),
+        ("MSFT", 2.0, "2024-01"),
+        ("MSFT", 40.0, "2024-02"),
+    ]

@@ -106,3 +106,44 @@ def test_streaming_dedup_drops_redelivered_events(spark, sf_dir, tmpdir):
     out = spark.read.parquet(dst)
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_dim_join(spark, sf_dir, tmpdir):
+    """Stream-static enrichment: the events stream joins the customer
+    dimension (broadcast per micro-batch) — the streaming form of the
+    reference's fact-dim lookups. Aggregated per segment and checked
+    against the identical batch plan."""
+    src = os.path.join(tmpdir, "src")
+    events = read_table(spark, sf_dir, "events")
+    events.coalesce(1).write.parquet(src)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, value double"
+        ).parquet(src)
+        .join(dim, "user_id")  # stream-static join: no state, no watermark
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_static_join_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.table("stream_static_join_test").collect()
+    }
+    expected = {
+        r["c_mktsegment"]: r["n"]
+        for r in events.join(dim, "user_id").groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
