@@ -1,3 +1,7 @@
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.asof import asof_join
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+    connected_components,
+)
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.core import (
     argmax_latest,
     cast_columns,
@@ -5,11 +9,31 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.core import 
     union_align,
     unpivot_metrics,
 )
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.monitor import (
+    quality_report,
+    with_quality_metrics,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.scd import scd2_merge
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
 
 __all__ = [
     "argmax_latest",
+    "asof_join",
+    "bucketed_range_join",
     "cast_columns",
+    "connected_components",
+    "quality_report",
+    "salted_aggregate",
+    "salted_join",
+    "scd2_merge",
     "select_rename",
     "union_align",
     "unpivot_metrics",
+    "with_quality_metrics",
 ]

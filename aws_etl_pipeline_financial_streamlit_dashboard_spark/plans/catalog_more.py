@@ -830,3 +830,34 @@ def x19_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
     )
+
+
+@register(
+    "q31_volatility_stats",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_round('stddev_samp(value)', 4)} AS value_stddev,
+           {sql_round('var_samp(value)', 4)} AS value_var,
+           {sql_round("corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE))", 6)}
+               AS corr_value_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="""Statistical aggregates — sample stddev/variance (the
+    volatility measures a financial engine cannot lack) and Pearson
+    correlation against a JSON-extracted factor. Single-pass
+    moment-based accumulators in both engines (partial-aggregable:
+    sum, sum of squares, co-moments merge associatively across
+    partitions — no second pass at 100 TB); HALF_UP-rounded for
+    cross-engine float parity.""",
+)
+def q31_volatility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        rhu(F.stddev_samp("value"), 4).alias("value_stddev"),
+        rhu(F.var_samp("value"), 4).alias("value_var"),
+        rhu(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
+    )
