@@ -861,3 +861,37 @@ def q31_volatility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhu(F.var_samp("value"), 4).alias("value_var"),
         rhu(F.corr(F.col("value"), k), 6).alias("corr_value_k"),
     )
+
+
+@register(
+    "q32_generator_source",
+    """
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           ISODOW(d) AS iso_weekday,
+           ISODOW(d) >= 6 AS is_weekend,
+           STRFTIME(d, '%Y-%m') AS month
+    FROM UNNEST(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                INTERVAL 1 DAY)) AS t(d)
+    """,
+    doc="""Generator source: a calendar dimension produced inside the
+    engine (spark.range → date arithmetic), no input table at all —
+    the spine every time-series join/gap-fill needs (q27 derives its
+    spine from data bounds; this one is the standalone fixed-range
+    form). spark.range parallelizes the generation; at 100 TB scale
+    the same pattern generates synthetic benchmark data in-cluster
+    instead of shipping it.""",
+)
+def q32_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_days = 91  # 2024-01-01 .. 2024-03-31
+    d = F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+    return spark.range(n_days).select(
+        F.date_format(d, "yyyy-MM-dd").alias("day"),
+        F.dayofweek(d).alias("dow_raw"),
+        F.date_format(d, "yyyy-MM").alias("month"),
+    ).select(
+        "day",
+        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+        ((F.col("dow_raw") + 5) % 7 + 1).alias("iso_weekday"),
+        (((F.col("dow_raw") + 5) % 7 + 1) >= 6).alias("is_weekend"),
+        "month",
+    )

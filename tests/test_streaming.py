@@ -147,3 +147,34 @@ def test_stream_static_dim_join(spark, sf_dir, tmpdir):
         .agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmpdir):
+    """Two invocations sharing a checkpoint: the second must resume
+    from committed offsets and process only files that landed between
+    runs — the engine-managed replacement for the reference's marker
+    files, with exactly-once instead of hope."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_dedup_to_parquet,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    dst = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    events = read_table(spark, sf_dir, "events").limit(3000).cache()
+    first = events.filter(F.col("event_id") < 1000)
+    second = events.filter(
+        (F.col("event_id") >= 500) & (F.col("event_id") < 2000)
+    )  # overlaps run 1
+
+    first.coalesce(1).write.parquet(src)
+    run_dedup_to_parquet(spark, src, dst, ckpt)
+    n1 = spark.read.parquet(dst).count()
+    assert n1 == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_dedup_to_parquet(spark, src, dst, ckpt)  # same checkpoint
+    out = spark.read.parquet(dst)
+    union_n = first.unionByName(second).select("event_id").distinct().count()
+    assert out.count() == union_n                       # overlap deduped
+    assert out.select("event_id").distinct().count() == union_n
