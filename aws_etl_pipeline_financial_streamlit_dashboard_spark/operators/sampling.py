@@ -1,0 +1,64 @@
+"""Stratified sampling and corpus mixing — the composition ops of a
+training-data pipeline (after filtering and dedup comes "mix sources
+to a target recipe").
+
+Both are seeded: resampling with the same seed is reproducible, which
+is what makes a data recipe auditable. Randomness is per-row Bernoulli
+(``sampleBy``) — no shuffle, no coordination; each task draws
+independently, so the realized fraction converges on the target with
+O(1/√n) error at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``): strata absent from
+    ``fractions`` are dropped (fraction 0) — the 'keep 10% of web, all
+    of books' recipe shape."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    target_weights: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Down-sample sources so realized token shares approximate
+    ``target_weights`` (normalized). Sources needing MORE than they
+    have are kept whole (fraction capped at 1.0 — this operator never
+    up-samples; repeat-epoch upsampling is a training-loop decision,
+    not a data-prep one).
+
+    Two passes: one aggregate to learn current token counts per source
+    (tiny: |sources| rows), then one Bernoulli sample. The aggregate is
+    collected to the driver — |sources| is assumed human-scale.
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(token_col).alias("toks"))
+        .collect()
+    }
+    weights = {s: w for s, w in target_weights.items() if s in totals}
+    z = sum(weights.values())
+    if not z:
+        return df.limit(0)
+    grand = sum(totals[s] for s in weights)
+    fractions = {}
+    for s, w in weights.items():
+        target_tokens = grand * (w / z)
+        fractions[s] = min(1.0, target_tokens / max(totals[s], 1))
+    return df.sampleBy(source_col, fractions, seed=seed)

@@ -63,29 +63,32 @@ def main() -> None:
         names = [n.strip() for n in extra.split(",") if n.strip() in QUERIES]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name].spark
-        fn(spark, sf_dir).count()  # warm-up: listing, codegen, JIT
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).count()  # warm-up: listing, codegen, JIT
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = repr(exc)[:200]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or sf_dir
     try:
         sf_value: float | str = float(sf_label)
     except ValueError:
         sf_value = sf_label
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_value,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
