@@ -16,6 +16,10 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.monitor impo
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
     bucketed_range_join,
 )
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+    mix_corpora,
+    stratified_sample,
+)
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.scd import scd2_merge
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
     salted_aggregate,
@@ -28,11 +32,13 @@ __all__ = [
     "bucketed_range_join",
     "cast_columns",
     "connected_components",
+    "mix_corpora",
     "quality_report",
     "salted_aggregate",
     "salted_join",
     "scd2_merge",
     "select_rename",
+    "stratified_sample",
     "union_align",
     "unpivot_metrics",
     "with_quality_metrics",

@@ -895,3 +895,25 @@ def q32_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("dow_raw") + 5) % 7 + 1) >= 6).alias("is_weekend"),
         "month",
     )
+
+
+@register(
+    "x20_stratified_sample",
+    None,  # Spark's per-row RNG is engine-specific → rows-only check
+    doc="""Seeded stratified sample of the documents corpus (50% of
+    src0..src4, all of src5..src9): the data-recipe primitive
+    (operators.sampling). Deterministic under its seed — reruns return
+    identical rows — but not reproducible by another engine's RNG, so
+    the driver applies the rows-only check; determinism and fraction
+    accuracy are pinned in tests/test_sampling.py instead.""",
+)
+def x20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    fractions = {f"src{i}": (0.5 if i < 5 else 1.0) for i in range(10)}
+    return stratified_sample(docs, "source", fractions, seed=42).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
