@@ -917,3 +917,65 @@ def x20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", fractions, seed=42).select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+@register(
+    "x21_approx_percentiles",
+    None,  # t-digest estimates are engine-specific → rows-only check
+    doc="""approx_percentile (t-digest-style sketch): the constant-
+    memory quantile path for 100 TB where exact percentile (q26) would
+    buffer per-group values. Accuracy vs the exact twin is asserted in
+    tests/test_approx_invariants.py (relative error ≤ 1% at accuracy
+    10000), not against the oracle.""",
+)
+def x21_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.col("p")[0].alias("median_approx"),
+            F.col("p")[1].alias("p95_approx"),
+        )
+    )
+
+
+_TOP_TOKENS_ORACLE = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM tok
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+"""
+
+
+@register(
+    "x22_top_tokens",
+    _TOP_TOKENS_ORACLE,
+    doc="""Corpus vocabulary heavy-hitters: explode whitespace tokens,
+    count, top-20 (deterministic tie-break on the token). The word-
+    count shape at corpus scale: map-side partial aggregation collapses
+    each task's token stream to its local vocabulary before the
+    shuffle, so the exchange carries |vocab| rows, not |tokens|; the
+    final top-k is TakeOrderedAndProject (no global sort
+    materialization).""",
+)
+def x22_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -71,3 +71,18 @@ def test_simhash_signatures_deterministic(spark, sf_dir):
     }
     assert a == b  # content-derived, run-independent
     assert len(a) > 0
+
+
+def test_approx_percentile_near_exact(spark, sf_dir):
+    approx = {
+        r["o_orderstatus"]: (r["median_approx"], r["p95_approx"])
+        for r in QUERIES["x21_approx_percentiles"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["median_price"], r["p95_price"])
+        for r in QUERIES["q26_percentiles"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / max(abs(e), 1) <= 0.01, (k, a, e)
