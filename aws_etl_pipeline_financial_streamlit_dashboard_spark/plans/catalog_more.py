@@ -979,3 +979,67 @@ def x22_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+_TFIDF_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               FLOOR(t.tf * LN((n.n + 1.0) / (d.df + 1.0)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS tfidf
+        FROM tf t JOIN df d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+"""
+
+
+@register(
+    "x23_tfidf_top_term",
+    _TFIDF_ORACLE,
+    doc="""TF-IDF keyword extraction: most characteristic term per
+    document (smoothed idf = ln((N+1)/(df+1)), argmax per doc). The
+    full text-analysis composition in one DAG: explode → TF group-by →
+    DF group-by (distinct docs per token) → broadcast-join the tiny
+    corpus-size scalar → window argmax. Scores are HALF_UP-rounded to
+    6 BEFORE the argmax ordering so near-ties (libm ln differs across
+    engines in the last ulp) collapse to the deterministic token
+    tie-break identically in both engines. Shuffles carry (doc,token)
+    aggregates, never raw token streams.""",
+)
+def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # corpus size: one scalar, computed once
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        rhu(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
