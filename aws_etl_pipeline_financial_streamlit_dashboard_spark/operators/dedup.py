@@ -28,8 +28,27 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     argmin; deterministic, unlike dropDuplicates' arbitrary winner).
     Shuffles the md5 of content, not the content itself, by
     pre-hashing — at corpus scale the shuffle payload is 16 bytes/row.
+
+    The hash key uses a null-safe, length-prefixed encoding: each column
+    becomes ``v<len>:<value>`` (or ``n`` for NULL) before concatenation.
+    A bare ``concat_ws`` would silently skip NULLs, colliding NULL with
+    '' and letting multi-column contents shift across boundaries
+    (('a', NULL, 'b') == ('a', 'b', NULL)); the length prefix also makes
+    the encoding injective when values contain the separator itself.
     """
-    key = F.md5(F.concat_ws("\x00", *[F.col(c) for c in content_cols]))
+    parts = [
+        F.coalesce(
+            F.concat(
+                F.lit("v"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("n"),
+        )
+        for c in content_cols
+    ]
+    key = F.md5(F.concat_ws("\x00", *parts))
     w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -224,47 +224,78 @@ def ivf_topk(
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_id: int,
+    dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: sign-pattern bucket
-    over ``n_planes`` fixed pseudo-random hyperplanes (deterministic
-    coefficients from a hash of (plane, dim)); candidates = query's
-    bucket, then exact cosine re-rank. Approximate → rows-only check."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    """Approximate top-k via random-hyperplane LSH with OR-amplification:
+    ``n_tables`` independent hash tables, each a sign-pattern bucket over
+    ``n_planes`` fixed pseudo-random hyperplanes (deterministic
+    coefficients — reproducible across runs). A vector is a candidate if
+    it shares the query's bucket in ANY table (the classic AND-within /
+    OR-across construction: per-table collision prob s_cos^p, overall
+    1-(1-s^p)^L — the S-curve that keeps recall high while each table
+    still prunes to ~1/2^p of the corpus). Candidates are exact-cosine
+    re-ranked. Approximate → rows-only check; recall vs the exact x09
+    baseline is asserted in tests.
+
+    ``dim`` (the embedding dimensionality) is an explicit parameter:
+    deriving it from the data would need a driver-side ``.first()`` —
+    a collect-class job before the real one, which at 100 TB is an
+    extra scan. Callers know their embedding dim; pass it.
+
+    Scale shape: bucket computation is one narrow pass of codegen'd
+    column arithmetic; the query row broadcasts; candidate filtering is
+    a per-partition predicate (no shuffle). At corpus scale you'd
+    materialize the bucket columns once and equi-join queries on
+    (table, bucket) instead of broadcasting a predicate — the banded
+    structure is the same one minhash_lsh_pairs uses.
+    """
     import math
 
-    def plane(p: int) -> list[float]:
-        # deterministic pseudo-random unit-ish vector per plane
-        vals = [
-            math.sin(0.5 + p * 1013.0 + d * 91.7) for d in range(dim)
+    def plane(t: int, p: int) -> list[float]:
+        # deterministic pseudo-random unit-ish vector per (table, plane)
+        return [
+            math.sin(0.5 + t * 7919.0 + p * 1013.0 + d * 91.7)
+            for d in range(dim)
         ]
-        return vals
 
-    def bucket_expr(col: Column) -> Column:
-        bits = []
+    def bucket_expr(col: Column, t: int) -> Column:
+        # Plane coefficients as literal arrays + zip_with/aggregate dots:
+        # keeps the codegen'd expression tree O(tables·planes) nodes, not
+        # O(tables·planes·dim) unrolled adds (which overflows janino's
+        # method-size limit for realistic dims).
+        out = None
         for p in range(n_planes):
-            coeffs = plane(p)
-            s = None
-            for d, c in enumerate(coeffs):
-                term = F.element_at(col, d + 1).cast("double") * F.lit(c)
-                s = term if s is None else s + term
-            bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
+            coeffs = F.array(*[F.lit(c) for c in plane(t, p)])
+            s = F.aggregate(
+                F.zip_with(col, coeffs, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p)
+            out = bit if out is None else out + bit
         return out
 
-    with_bucket = embeddings.withColumn("__bucket", bucket_expr(F.col(vec_col)))
+    buckets = F.array(
+        *[bucket_expr(F.col(vec_col), t) for t in range(n_tables)]
+    )
+    with_bucket = embeddings.withColumn("__buckets", buckets)
     q = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+        F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
+    )
+    # candidate ⇔ buckets collide in at least one table
+    collides = F.exists(
+        F.zip_with("__buckets", "__qbuckets", lambda a, b: a == b),
+        lambda x: x,
     )
     sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
     return (
         with_bucket.crossJoin(F.broadcast(q))
-        .filter((F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != query_id))
+        .filter(collides & (F.col(id_col) != query_id))
         .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
         .limit(k)

@@ -77,7 +77,19 @@ def salted_join(
     a co-partitioned downstream op). Replication multiplies the small
     side's shuffle volume by ``n_salts`` — keep it for genuinely
     moderate 'small' sides.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``n_salts``×, so any join type that emits *unmatched
+    small-side* rows (right/full outer) would emit each such row once
+    per salt — n_salts duplicate null-extended rows. Rather than
+    silently corrupting results, other join types raise.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            f"{n_salts}x under right/full outer semantics"
+        )
     on = list(on)
     salted = skewed.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))
     replicated = small.withColumn(

@@ -299,3 +299,20 @@ def x11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 16)
     return S.knn_join_brute_force(queries, emb, k=5)
+
+
+@register(
+    "x24_lsh_topk",
+    None,  # approximate by construction → rows-only check
+    doc="""Random-hyperplane LSH approximate top-k with OR-amplification:
+    8 independent hash tables of 4-plane sign buckets; candidate ⇔ any
+    table collides with the query's bucket, then exact cosine re-rank.
+    Each table prunes to ~1/16 of the corpus; the union keeps recall up
+    (1-(1-s^4)^8 S-curve) — the third point on the exact→IVF→LSH cost
+    ladder. dim is passed explicitly (no driver-side .first() to infer
+    it). Recall vs the exact x09 baseline asserted in
+    tests/test_approx_invariants.py.""",
+)
+def x24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, query_id=1, dim=64, k=10)

@@ -801,7 +801,8 @@ def q30_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (SELECT c.* FROM cand c JOIN keep k ON c.doc_id = k.doc_id)
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens
     FROM kept
     GROUP BY source
     """,
@@ -1026,16 +1027,25 @@ def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # corpus size: one scalar, computed once
+    # Corpus size stays INSIDE the DAG: a 1-row aggregate broadcast into
+    # the scored frame, so there is no driver-side count() (collect-class
+    # round trip = an extra full scan before the real job at 100 TB).
+    n = docs.agg(F.count("*").alias("n_docs_total"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    scored = tf.join(df, "token").select(
-        "doc_id",
-        "token",
-        rhu(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n), how="cross")
+        .select(
+            "doc_id",
+            "token",
+            rhu(
+                F.col("tf")
+                * F.log((F.col("n_docs_total") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (

@@ -104,7 +104,7 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            > INTERVAL '30 minutes'
+                            >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),

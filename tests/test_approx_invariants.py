@@ -42,6 +42,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall degraded: {recall:.2f}"
 
 
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    exact = {
+        r["neighbor_id"]
+        for r in QUERIES["x09_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    lsh = {
+        r["neighbor_id"]
+        for r in QUERIES["x24_lsh_topk"].spark(spark, sf_dir).collect()
+    }
+    assert len(lsh) == len(exact)  # same k
+    # measured 0.5-0.7 at sf0.001/sf0.01 (synthetic near-isotropic
+    # embeddings are LSH's hardest case); 0.4 bound catches collapse
+    # (e.g. bucket predicate broken → random 10) without seed jitter
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.4, f"LSH top-k recall degraded: {recall:.2f}"
+
+
 def test_hll_within_declared_error(spark, sf_dir):
     approx = {
         r["o_orderstatus"]: r["n_custkeys_approx"]
