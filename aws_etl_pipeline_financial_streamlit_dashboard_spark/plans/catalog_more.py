@@ -1053,3 +1053,53 @@ def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("token").alias("top_term"), "tfidf")
     )
+
+
+# ===========================================================================
+# CSV seed scan (S2) — driver-checked
+# ===========================================================================
+
+_SEED_CSV_PATH = "/tmp/spark_graft_seed/tickers.csv"
+# Reference-shaped seed dimension (retrieval.py:77-78: a ticker-list CSV
+# on S3 with a ticker_name column, read case-insensitively). Content is
+# deterministic and written lazily so both engines read the same file.
+_SEED_CSV_ROWS = [
+    "aapl", "Msft", "GOOG", "amzn", "meta",
+    "nvda", "Tsla", "brk.b", "jpm", "v",
+]
+
+
+def _ensure_seed_csv() -> str:
+    import os
+
+    os.makedirs(os.path.dirname(_SEED_CSV_PATH), exist_ok=True)
+    if not os.path.exists(_SEED_CSV_PATH):
+        tmp = _SEED_CSV_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ticker_name\n")
+            f.writelines(t + "\n" for t in _SEED_CSV_ROWS)
+        os.replace(tmp, _SEED_CSV_PATH)  # atomic: no half-written reads
+    return _SEED_CSV_PATH
+
+
+_ensure_seed_csv()  # at import, so the oracle can run in either order
+
+
+@register(
+    "q33_csv_seed_scan",
+    f"""
+    SELECT upper(ticker_name) AS ticker_name
+    FROM read_csv_auto('{_SEED_CSV_PATH}', header=true,
+                       all_varchar=true)
+    """,
+    doc="""CSV seed-dimension scan (S2; retrieval.py:77-78): header CSV →
+    project the seed column → uppercase (the case-insensitive ticker
+    contract, retrieval.py:78 / Frontend.py:23). The one catalog entry
+    whose source is CSV, driver-checking sources.readers.read_csv_seed
+    end to end. The seed file is a fixed dimension (not sf-scaled),
+    written deterministically to a shared path for both engines.""",
+)
+def q33_csv_seed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_csv_seed
+
+    return read_csv_seed(spark, _ensure_seed_csv())
