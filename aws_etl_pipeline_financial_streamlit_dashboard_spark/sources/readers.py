@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.schemas import TESTDATA_TABLES
 
 
+# Analyzed-relation cache: resolving a table (parquet footer read +
+# schema inference + py4j round trips) costs ~0.1 s per call; a
+# metastore-backed engine resolves each table once and reuses the
+# relation, so this reader does too. DataFrames are immutable plan
+# objects — reuse across queries is safe. Keyed by Spark application id
+# so a restarted session never sees stale JVM references; the testdata
+# tables themselves are immutable by driver contract.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet directory/file scan (S1; cleaning.py:15-17 equivalent).
 
@@ -30,6 +40,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     longs and is converted here to a proper timestamp (truncation to
     micros matches DuckDB's ns→us conversion).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # runtime-settable; makes the reader work under any caller's
         # SparkSession (the driver builds its own)
@@ -40,6 +54,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    _TABLE_CACHE[key] = df
     return df
 
 

