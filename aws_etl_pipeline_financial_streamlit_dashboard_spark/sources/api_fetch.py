@@ -108,6 +108,106 @@ def fake_fetcher(ticker: str) -> tuple[dict, list[dict]]:
     return info, bars
 
 
+class RetryingFetcher:
+    """Retry/backoff decorator for any :data:`Fetcher` — the production
+    policy the reference lacks (its extract loop drops a whole linspace
+    batch on one failure, retrieval.py:140-151).
+
+    Exponential backoff with deterministic jitter: attempt ``i`` sleeps
+    ``base * 2**i * (1 + (hash(ticker, i) % 1000) / 2000)`` seconds —
+    jitter derived from the ticker, not an RNG, so behavior is
+    reproducible and fleet-wide retries of the same failure window
+    don't synchronize into a thundering herd. Runs INSIDE the
+    ``mapInPandas`` workers, so a retrying ticker stalls only its own
+    partition's row, not the job.
+
+    ``retry_on`` bounds which failures retry (rate limits / transient
+    transport errors); anything else propagates immediately to the
+    caller's per-ticker error isolation. ``sleep`` is injectable for
+    tests.
+    """
+
+    def __init__(
+        self,
+        inner: Fetcher,
+        max_attempts: int = 3,
+        base_delay_s: float = 1.0,
+        retry_on: tuple[type[BaseException], ...] = (ConnectionError, TimeoutError),
+        sleep: Callable[[float], None] | None = None,
+    ) -> None:
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        self._inner = inner
+        self._max_attempts = max_attempts
+        self._base = base_delay_s
+        self._retry_on = retry_on
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self._sleep = sleep
+
+    def _jitter(self, ticker: str, attempt: int) -> float:
+        h = sum(ord(c) * (i + 1) for i, c in enumerate(ticker))
+        return 1.0 + ((h * 31 + attempt * 17) % 1000) / 2000.0
+
+    def __call__(self, ticker: str) -> tuple[dict, list[dict]]:
+        last: BaseException | None = None
+        for attempt in range(self._max_attempts):
+            try:
+                return self._inner(ticker)
+            except self._retry_on as exc:
+                last = exc
+                if attempt + 1 < self._max_attempts:
+                    self._sleep(self._base * (2**attempt) * self._jitter(ticker, attempt))
+        assert last is not None
+        raise last
+
+
+def yfinance_fetcher(ticker: str) -> tuple[dict, list[dict]]:
+    """Real yfinance client behind the same :data:`Fetcher` protocol
+    (retrieval.py:10-66 equivalent): ``Ticker.info`` snapshot +
+    2 years of monthly bars, column names normalized to the reference
+    contract (lowercased/underscored, retrieval.py:23,45; month key
+    'YYYY-MM', retrieval.py:44).
+
+    yfinance is not installed in this container — the import is gated
+    and raises ImportError with guidance; wrap in
+    ``RetryingFetcher(yfinance_fetcher)`` for the production policy.
+    All tests run against ``fake_fetcher`` through the identical
+    protocol, so the distributed plumbing is exercised without network.
+    """
+    try:
+        import yfinance  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - no network/lib here
+        raise ImportError(
+            "yfinance is not available in this environment; inject "
+            "fake_fetcher (tests) or install yfinance (production)"
+        ) from exc
+
+    tk = yfinance.Ticker(ticker)  # pragma: no cover - network path
+    raw = {str(k).lower(): ("" if v is None else str(v)) for k, v in tk.info.items()}
+    info = {f.name: raw.get(f.name) for f in INFO_SCHEMA.fields if f.name != "fetch_error"}
+    info["ticker"] = ticker
+    hist = tk.history(period="2y", interval="1mo")
+    bars = []
+    for idx, row in hist.iterrows():
+        bars.append(
+            {
+                "month": idx.strftime("%Y-%m"),
+                "ticker": ticker,
+                "open": float(row["Open"]),
+                "close": float(row["Close"]),
+                "high": float(row["High"]),
+                "low": float(row["Low"]),
+                "volume": float(row["Volume"]),
+                "dividends": float(row.get("Dividends", 0.0)),
+                "stock_splits": float(row.get("Stock Splits", 0.0)),
+            }
+        )
+    return info, bars
+
+
 def fetch_info(
     tickers: DataFrame,
     fetcher: Fetcher = fake_fetcher,

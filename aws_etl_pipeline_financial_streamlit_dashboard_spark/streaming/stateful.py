@@ -69,6 +69,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+RUNNING_TOTALS_TTL_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, evicted boolean"
+)
+
+
+def running_user_totals_ttl(events: DataFrame, ttl_ms: int) -> DataFrame:
+    """TTL-bounded variant of :func:`running_user_totals`: a user's
+    state is evicted after ``ttl_ms`` of processing-time inactivity,
+    emitting a final row flagged ``evicted=true``.
+
+    :func:`running_user_totals` keeps state forever by contract (a
+    lifetime aggregate); under unbounded key cardinality — the normal
+    case for a 100 TB ingest keyed by user/document — that is a state
+    store that only grows. This variant bounds the store to keys active
+    within the TTL window: the idle key's final total is flushed
+    downstream (where a compacted table can absorb it) and its state
+    freed. A key that reappears after eviction starts a fresh total —
+    downstream merges on user_id, the same contract as log-compaction.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "evicted": [True],
+                }
+            )
+            return
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "evicted": [False],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        RUNNING_TOTALS_TTL_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def sessionize_users(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
     """Gap-based sessionization with explicit state finalization: a
     user's session closes when no event arrives within ``gap_ms`` of

@@ -153,3 +153,54 @@ def test_sessionize_emits_open_sessions(spark, tmpdir):
     assert rows[1]["n_events"] == 2 and rows[1]["closed"] is False
     assert (rows[1]["session_end"] - rows[1]["session_start"]).total_seconds() == 60
     assert rows[2]["n_events"] == 1
+
+
+def test_ttl_variant_evicts_idle_state(spark, tmpdir):
+    """running_user_totals_ttl: after ttl_ms of processing-time
+    inactivity each user's state fires a timeout, emits a final
+    evicted=true row with the correct totals, and is removed — the
+    bounded-state contract for unbounded key cardinality."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateful import (
+        running_user_totals_ttl,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 2.5), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+    q = (
+        running_user_totals_ttl(stream, ttl_ms=2000)
+        .writeStream.format("memory")
+        .queryName("ttl_evict_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the query alive to fire pending
+    # timeouts even under availableNow — poll for the eviction rows,
+    # then stop explicitly
+    import time
+
+    for _ in range(60):
+        evicted = spark.sql(
+            "SELECT * FROM ttl_evict_test WHERE evicted"
+        ).count()
+        if evicted >= 2:
+            break
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(timeout=60)
+
+    rows = spark.table("ttl_evict_test").collect()
+    live = {r["user_id"]: r for r in rows if not r["evicted"]}
+    dead = {r["user_id"]: r for r in rows if r["evicted"]}
+    # the data batch emitted the running rows...
+    assert live[1]["n_events"] == 2 and live[1]["total_value"] == 12.5
+    assert live[2]["n_events"] == 1 and live[2]["total_value"] == 5.0
+    # ...and the TTL fired a final flush per idle user with the same totals
+    assert dead[1]["n_events"] == 2 and dead[1]["total_value"] == 12.5
+    assert dead[2]["n_events"] == 1 and dead[2]["total_value"] == 5.0
