@@ -1110,3 +1110,224 @@ def q33_csv_seed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_csv_seed
 
     return read_csv_seed(spark, _ensure_seed_csv())
+
+
+# ===========================================================================
+# Bucketed co-located star join (headline) — the write-once-shuffle path
+# ===========================================================================
+
+_Q16_ORACLE_SQL = f"""
+    SELECT r.r_name AS region_name,
+           STRFTIME(o.o_orderdate, '%Y') AS order_year,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, STRFTIME(o.o_orderdate, '%Y')
+"""
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize lineitem/orders as co-bucketed tables (once per
+    session+sf): the write-time shuffle that buys every subsequent
+    fact⋈fact join a ZERO-exchange plan. Table names are sf-scoped so
+    driver (sf0.01) and bench (sf0.1) runs never collide."""
+    import os
+    import re
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    li_t, od_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(od_t):
+        # a previous SESSION may have left the managed-table directory
+        # behind while this session's in-memory catalog has no entry —
+        # saveAsTable would fail with LOCATION_ALREADY_EXISTS; clear both
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+        for t in (li_t, od_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            8,
+            ["l_orderkey"],
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            od_t,
+            8,
+            ["o_orderkey"],
+        )
+    return li_t, od_t
+
+
+@register(
+    "q34_star_join_bucketed",
+    _Q16_ORACLE_SQL,
+    doc="""q16's star join over PRE-BUCKETED fact tables: lineitem and
+    orders are hash-clustered into matching buckets on orderkey at
+    write time (sources.bucketing), so the fact⋈fact join plans with
+    zero exchanges — each task reads bucket i of both sides
+    (tests/test_bucketing.py pins the plan). This is the 100 TB
+    materialization strategy: the shuffle is paid once when the table
+    lands, not on every query; dims still broadcast and the rollup is
+    the only remaining exchange. Results are identical to q16 (same
+    oracle SQL). The bucketed tables build lazily once per session —
+    the amortized cost a warehouse pays at load time.""",
+    headline=True,
+)
+def q34_star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import dec_sum
+
+    li_t, od_t = _bucketed_fact_tables(spark, sf_dir)
+    li, orders = spark.table(li_t), spark.table(od_t)
+    customer = F.broadcast(read_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(read_table(spark, sf_dir, "region"))
+    # merge hint: at toy scale the orders side fits the broadcast
+    # threshold, which would silently bypass the bucketed path this
+    # entry demonstrates; at 100 TB neither fact side broadcasts and
+    # sort-merge-on-buckets IS the plan, so pin it deterministically.
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ===========================================================================
+# Corpus compliance + quality ops (LLM-pipeline surface)
+# ===========================================================================
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset so Spark
+# and DuckDB compile identical automata (no lookarounds/backrefs).
+_PII_URL = r"https?://[^ ]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d[\d ]{5,}\d"
+
+
+@register(
+    "x25_pii_redaction",
+    rf"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' Contact user' || doc_id ||
+               '@example.com or +1 555 ' || doc_id ||
+               ' see https://example.com/doc/' || doc_id AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_URL}', '<URL>', 'g'),
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+    FROM seeded
+    """,
+    doc="""PII redaction — the compliance pass every training corpus
+    runs before the tokenizer. Deterministic synthetic PII (an email, a
+    phone, a URL derived from doc_id) is seeded into each document and
+    then redacted with URL→EMAIL→PHONE ordered regexp_replace (URLs
+    first so an address inside a URL can't double-fire). All JVM-side
+    codegen'd regex — a narrow map with zero shuffles at any scale;
+    patterns held to the Java∩RE2 subset so both engines compile the
+    same automata.""",
+)
+def x25_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 "),
+        F.col("doc_id").cast("string"),
+        F.lit(" see https://example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_URL, "<URL>"),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "x26_repetition_ratio",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS g
+        FROM toks
+        WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           FLOOR(MAX(c) * 1.0 / SUM(c) * 1000000.0 + 0.5) / 1000000.0
+               AS rep_ratio,
+           MAX(c) * 1.0 / SUM(c) > 0.2 AS is_repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+    doc="""Repetition-ratio quality gate (the Gopher/MassiveText-style
+    heuristic): fraction of a document's word bigrams taken by its most
+    frequent bigram; > 0.2 flags boilerplate/degenerate text. Shape:
+    explode bigrams → per-(doc,gram) count (map-side partial agg) →
+    per-doc max/sum — two shuffles keyed by doc, each carrying gram
+    aggregates, never raw text. Docs under 2 tokens have no bigrams and
+    are absent in both engines by construction.""",
+)
+def x26_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    counts = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.max("c") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        rhu(ratio, 6).alias("rep_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )

@@ -167,3 +167,35 @@ def s04_event_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value", 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "s06_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+    doc="""Streaming exact deduplication (dropDuplicatesWithinWatermark)
+    under a REAL at-least-once delivery simulation: the events batch is
+    delivered twice into a file-source stream (what a retrying upstream
+    does), deduped on event_id within a 2-hour watermark, and drained
+    through a memory sink with Trigger.AvailableNow. The result must
+    equal one clean copy — the batch oracle. Scale contract: state is
+    one entry per key within the watermark horizon and is evicted past
+    it (O(keys/horizon), not O(stream length)) — the property a batch
+    dropDuplicates cannot give an unbounded stream
+    (streaming/jobs.dedup_events_stream).""",
+)
+def s06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_dedup_available_now,
+    )
+
+    # batch read via read_table sets the nanosAsLong conf the raw
+    # spark.read inside the runner needs for the events table
+    read_table(spark, sf_dir, "events")
+    return run_dedup_available_now(
+        spark, os.path.join(sf_dir, "events.parquet"), n_copies=2
+    )

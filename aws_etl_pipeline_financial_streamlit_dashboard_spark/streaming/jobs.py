@@ -132,3 +132,49 @@ def run_dedup_to_parquet(
         .start()
         .awaitTermination()
     )
+
+
+def run_dedup_available_now(
+    spark: SparkSession, events_parquet: str, n_copies: int = 2
+) -> DataFrame:
+    """Execute the watermarked streaming dedup against an at-least-once
+    delivery simulation and return the deduplicated rows as a batch
+    DataFrame.
+
+    The single events file is materialized ``n_copies`` times into a
+    temp source directory (exactly what an at-least-once upstream does:
+    every retry redelivers the batch); the stream dedups on event_id
+    within the watermark and the memory sink drains under
+    ``Trigger.AvailableNow``. Result contract: identical to DISTINCT
+    over one copy — which is what the batch oracle checks.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    src_dir = tempfile.mkdtemp(prefix="dedup_src_")
+    batch = spark.read.parquet(events_parquet)
+    if "ts" in batch.columns and dict(batch.dtypes)["ts"] == "bigint":
+        # driver testdata stores TIMESTAMP(NANOS) → read as long under
+        # nanosAsLong; convert so the stream has a real event-time col
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for i in range(n_copies):
+        batch.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    deduped = dedup_events_stream(stream).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)

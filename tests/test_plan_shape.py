@@ -102,3 +102,18 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     # the pushed month equality prunes to a single partition dir
     # (attribute ids vary: "(month#N = 1995-03)")
     assert "= 1995-03)" in plan
+
+
+def test_bucketed_star_join_fact_side_shuffle_free(spark, sf_dir):
+    """q34: the lineitem⋈orders sort-merge must read co-located buckets
+    with NO exchange on either fact side; the only hash exchange left
+    is the final rollup."""
+    df = QUERIES["q34_star_join_bucketed"].spark(spark, sf_dir)
+    df.collect()  # AQE finalizes lazily; inspect the final plan
+    # the AQE plan string appends the pre-adaptive "== Initial Plan =="
+    # section — count exchanges only in the executed final section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # exactly one hash exchange in the whole query: the group-by rollup
+    assert plan.count("Exchange hashpartitioning") == 1
