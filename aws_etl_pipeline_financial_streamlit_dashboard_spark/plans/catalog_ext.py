@@ -316,3 +316,22 @@ def x11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(emb, query_id=1, dim=64, k=10)
+
+
+@register(
+    "x27_lsh_blocked_dup_pairs",
+    None,  # blocking is approximate by construction → rows-only check
+    doc="""Embedding near-dup pairs THE SCALE WAY: LSH blocking (16
+    hash tables of 4-plane sign buckets, decorrelated fract-sin
+    coefficients) generates candidate pairs via equi-joins on
+    (table, bucket), then the exact-cosine kernel verifies ≥ 0.35 —
+    the blocked form of x16, whose all-pairs join is O(n²) and exists
+    only as the verification kernel. Candidates ~Σ bucket² per table
+    (near-linear for balanced buckets); vectors join back by id so
+    shuffles carry ids, not arrays. Subset-of-x16 precision is exact
+    (the verify step IS x16's predicate); recall vs x16 asserted in
+    tests/test_approx_invariants.py.""",
+)
+def x27_lsh_blocked_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return S.lsh_blocked_dup_pairs(emb, dim=64, threshold=0.35, n_tables=16)

@@ -52,9 +52,10 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
         for r in QUERIES["x24_lsh_topk"].spark(spark, sf_dir).collect()
     }
     assert len(lsh) == len(exact)  # same k
-    # measured 0.5-0.7 at sf0.001/sf0.01 (synthetic near-isotropic
-    # embeddings are LSH's hardest case); 0.4 bound catches collapse
-    # (e.g. bucket predicate broken → random 10) without seed jitter
+    # measured 0.7 at sf0.001/sf0.01 with decorrelated planes (synthetic
+    # near-isotropic embeddings are LSH's hardest case); 0.4 bound
+    # catches collapse (bucket predicate broken → random 10, or
+    # correlated planes → 0.3-0.5) without seed jitter
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.4, f"LSH top-k recall degraded: {recall:.2f}"
 
@@ -103,3 +104,23 @@ def test_approx_percentile_near_exact(spark, sf_dir):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / max(abs(e), 1) <= 0.01, (k, a, e)
+
+
+def test_lsh_blocked_pairs_recall_and_exact_precision(spark, sf_dir):
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in QUERIES["x16_embedding_dup_pairs"].spark(spark, sf_dir).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in QUERIES["x27_lsh_blocked_dup_pairs"].spark(spark, sf_dir).collect()
+    }
+    assert exact, "exact pair set empty — x16 threshold no longer bites"
+    # the verify step applies x16's exact predicate, so every survivor
+    # must be an exact pair with the identical rounded similarity
+    assert blocked <= exact
+    # measured 0.885 (sf0.001) / 1.0 (sf0.01) at L=16; 0.7 catches
+    # collapse (e.g. correlated planes — the bug this test was born
+    # from measured flat 0.5) without seed jitter
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.7, f"blocked near-dup recall degraded: {recall:.2f}"
