@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    hot_shingle_cap: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity ≥ threshold,
     via an inverted-index self-join: explode shingles, equi-join on the
@@ -79,14 +80,63 @@ def ngram_jaccard_pairs(
 
     Scale shape: the join key is the shingle (high cardinality, well
     distributed), so candidate generation is proportional to true
-    overlap, not to n². Hot shingles can be frequency-capped upstream;
-    AQE splits residual skew.
+    overlap, not to n². The residual hazard is the HOT shingle — a
+    boilerplate n-gram appearing in k documents contributes k² rows to
+    the self-join (one viral footer in 1M docs = 10¹² join rows).
+    ``hot_shingle_cap`` removes shingles whose document frequency
+    exceeds the cap from CANDIDATE GENERATION only; verification then
+    recomputes exact Jaccard from the full shingle sets, so surviving
+    pairs carry the identical similarity as the uncapped path. The only
+    semantic delta: a pair whose entire overlap is hot shingles is
+    never proposed — at a sane cap those pairs share only boilerplate,
+    which is exactly the overlap near-dup detection should ignore.
+    AQE splits whatever skew remains under the cap.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+
+    if hot_shingle_cap is not None:
+        cold = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .filter(F.col("df_s") <= hot_shingle_cap)
+            .select("s")
+        )
+        ex_gen = ex.join(cold, "s")  # candidate generation on cold shingles
+        a, b = ex_gen.alias("a"), ex_gen.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        sets = sh.select("doc", "shingles")
+        verified = (
+            candidates.join(
+                sets.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a"
+            )
+            .join(
+                sets.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b"
+            )
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                rhu(
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                    6,
+                ),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

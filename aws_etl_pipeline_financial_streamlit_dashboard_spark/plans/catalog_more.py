@@ -1331,3 +1331,80 @@ def x26_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhu(ratio, 6).alias("rep_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+_CHUNK_DEDUP_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        -- array_to_string applied AFTER the unnest: DuckDB's binder
+        -- rejects it inside a lateral-comprehension struct literal
+        SELECT doc_id, f.pos, array_to_string(f.chunk, ' ') AS chunk
+        FROM toks,
+             UNNEST([{'pos': i, 'chunk': list_slice(t, i*8+1, i*8+8)}
+                     FOR i IN range(0, CAST(CEIL(len(t) / 8.0) AS BIGINT))]) AS u(f)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks_kept,
+           STRING_AGG(chunk, ' ' ORDER BY pos) AS clean_text
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x28_chunk_dedup",
+    _CHUNK_DEDUP_ORACLE,
+    doc="""Sub-document (span-level) deduplication — the C4/CCNet move:
+    documents split into fixed 8-token spans, spans deduped CORPUS-WIDE
+    (first occurrence by (doc_id, position) wins — deterministic, not
+    dropDuplicates' arbitrary survivor), surviving spans reassembled in
+    document order. Removes boilerplate repeated across documents while
+    keeping each document's unique remainder — what whole-doc dedup
+    (x01) cannot do. Scale shape: explode is a narrow fan-out, the
+    dedup window shuffles (span-hash → one exchange), reassembly
+    shuffles doc_id; span text rides the shuffles once each. Docs whose
+    every span was seen earlier vanish (both engines agree by the same
+    window spec).""",
+)
+def x28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)).alias("chunk"),
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return reassembled

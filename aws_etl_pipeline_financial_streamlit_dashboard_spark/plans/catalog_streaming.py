@@ -199,3 +199,62 @@ def s06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_available_now(
         spark, os.path.join(sf_dir, "events.parquet"), n_copies=2
     )
+
+
+@register(
+    "s07_stream_static_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """.format(sv=sql_dec_sum('e.value', 2)),
+    doc="""Stream-static join: the streaming events file-source enriched
+    against the static customer dimension (broadcast — the dim is
+    re-resolvable per micro-batch, the canonical streaming enrichment
+    shape), then aggregated per market segment. Runs as a REAL
+    streaming query (memory sink, complete mode, Trigger.AvailableNow);
+    the single-batch drain makes the final table equal the batch
+    join+agg, which is what the oracle checks. At scale the static side
+    broadcasts once per batch and the streamed side never shuffles for
+    the join — only the |segments|-row aggregation exchanges.""",
+)
+def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    # batch read sets the nanosAsLong conf; also the static dim source
+    read_table(spark, sf_dir, "events")
+    customer = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .format("parquet")
+        .load(glob)
+        .select("user_id", "value")
+    )
+    joined = stream.join(customer, stream.user_id == customer.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", 2).alias("sum_value"),
+    )
+
+    name = f"stream_static_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
