@@ -1408,3 +1408,33 @@ def x28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
     )
     return reassembled
+
+
+@register(
+    "x29_corpus_mix",
+    None,  # per-row Bernoulli RNG is engine-specific → rows-only check
+    doc="""Corpus mixing to a target recipe (operators.sampling
+    .mix_corpora): down-sample sources so realized token shares
+    approach 40/40/10/10 over four sources (never up-samples —
+    repeat-epoch upsampling is a training-loop decision). Two passes:
+    a |sources|-row aggregate to learn current token mass, then one
+    seeded per-row Bernoulli — no shuffle of the data itself, so the
+    recipe step is scan-bound at 100 TB. Deterministic under its seed
+    (pinned in tests/test_sampling.py); realized-share convergence is
+    the quality invariant.""",
+)
+def x29_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        mix_corpora,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    weights = {"src0": 0.4, "src1": 0.4, "src2": 0.1, "src3": 0.1}
+    return mix_corpora(docs, "source", "n_tokens", weights, seed=42).select(
+        "doc_id", "source", "n_tokens"
+    )
