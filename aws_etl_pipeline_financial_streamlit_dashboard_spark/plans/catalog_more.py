@@ -1315,13 +1315,18 @@ def x26_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # bigrams via self-zip with a 1-shift: one pass over the array.
+    # (transform + element_at(i)/element_at(i+1) was measured 6× slower
+    # at sf0.1 — per-index access inside a HOF doesn't fuse.)
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     counts = (
-        docs.filter(F.size(toks) >= 2)
+        toked.filter(n >= 2)
         .select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
