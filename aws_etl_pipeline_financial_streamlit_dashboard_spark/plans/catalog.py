@@ -682,6 +682,7 @@ def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension + streaming catalog entries register on import.
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa: E402,F401
     catalog_ext,
+    catalog_llm,
     catalog_more,
     catalog_streaming,
 )

@@ -1,0 +1,421 @@
+"""Round-2 LLM-pipeline catalog entries: benchmark decontamination,
+deterministic dataset splits, quality-percentile filtering, corpus
+shape statistics, text normalization, robust outlier stats, and
+cross-source diversity. Registered into plans.catalog.QUERIES on
+import.
+
+These extend the dedup/similarity/text ladder (catalog_ext,
+catalog_more) with the bookkeeping every large-scale training-data
+build runs between "corpus assembled" and "training starts":
+what leaked from eval (x30), which split each document belongs to
+(x31), which documents clear the quality bar (x32), what the corpus
+looks like (x33, x36), and canonical text form (x34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    dec_sum,
+    round_half_up as rhu,
+    sql_dec_sum,
+    sql_round,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import word_shingles
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+
+# ===========================================================================
+# x30 — benchmark decontamination
+# ===========================================================================
+
+_DECON_ORACLE = r"""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(w[i:i+4], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-4, 1) + 1)])
+                   AS shingles
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, source, shingles FROM sh WHERE doc_id % 97 <> 0),
+    hit AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM tr) t
+        JOIN ev ON t.s = ev.s
+    )
+    SELECT tr.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+    FROM tr LEFT JOIN hit h ON tr.doc_id = h.doc_id
+    GROUP BY tr.source
+"""
+
+
+@register(
+    "x30_decontamination",
+    _DECON_ORACLE,
+    doc="""Benchmark decontamination: flag training documents sharing
+    any 5-word shingle with a held-out eval slice (doc_id % 97 == 0
+    stands in for the benchmark set). The eval shingle set is
+    benchmark-sized, so the membership check is a BROADCAST semi-join —
+    the training corpus is never shuffled, which is what makes this
+    runnable per-refresh at 100 TB. Output: per-source doc and
+    contamination counts (operators/splits.decontaminate).""",
+)
+def x30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = SP.decontaminate(
+        train, eval_df, id_col="doc_id", text_col="text", n=5, mode="flag"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("int")).alias("n_contaminated"),
+    )
+
+
+# ===========================================================================
+# x31 — deterministic content-hash dataset split
+# ===========================================================================
+
+
+@register(
+    "x31_hash_split",
+    """
+    SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM (SELECT source,
+                 ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS b
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="""Deterministic 80/10/10 train/val/test assignment by
+    content-hash bucket (md5 of the text, not the row id): exact
+    duplicates always land in the same split, assignments survive
+    corpus refreshes, and no RNG state exists anywhere. Narrow
+    transform — zero shuffle until the audit count
+    (operators/splits.hash_split).""",
+)
+def x31_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        SP.hash_split(docs, "text")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ===========================================================================
+# x32 — quality-percentile gate
+# ===========================================================================
+
+
+@register(
+    "x32_quality_percentile_filter",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               {sql_round('len(list_distinct(w)) * 1.0 / len(w)', 6)} AS score
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents)
+    ),
+    r AS (
+        SELECT doc_id, source, score,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS pr
+        FROM s
+    )
+    SELECT doc_id, source, score FROM r WHERE pr <= 0.25
+    """,
+    doc="""Quality-percentile gate: score each document by distinct-token
+    ratio (a repetition penalty), keep the top quartile PER SOURCE via
+    percent_rank — the relative-threshold filter corpus builds use so
+    one clean source can't crowd out another. Single window shuffle
+    partitioned by source; doc_id tiebreak makes the cut deterministic
+    in both engines.""",
+)
+def x32_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        rhu(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.25)
+        .drop("pr")
+    )
+
+
+# ===========================================================================
+# x33 — corpus length histogram
+# ===========================================================================
+
+
+@register(
+    "x33_length_histogram",
+    f"""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(n_chars / 50) AS BIGINT), 9) AS bucket
+        FROM documents
+    ),
+    c AS (SELECT bucket, COUNT(*) AS n_docs FROM b GROUP BY bucket)
+    SELECT bucket, bucket * 50 AS lo_chars, n_docs,
+           {sql_round('n_docs * 1.0 / SUM(n_docs) OVER ()', 6)} AS pct
+    FROM c
+    """,
+    doc="""Corpus length histogram: fixed 50-char buckets (last bucket
+    open-ended), count and share per bucket. The partial-agg shuffle
+    carries ≤10 rows; the share is a window over the 10-row aggregate,
+    not the corpus — the histogram costs one scan at any scale.""",
+)
+def x33_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.least(F.floor(F.col("n_chars") / 50).cast("long"), F.lit(9)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "bucket",
+        (F.col("bucket") * 50).alias("lo_chars"),
+        "n_docs",
+        rhu(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("pct"),
+    )
+
+
+# ===========================================================================
+# x34 — canonical text normalization
+# ===========================================================================
+
+
+@register(
+    "x34_text_normalize",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
+           CAST(len(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INT)
+               AS n_chars_norm
+    FROM documents
+    """,
+    doc="""Canonical text form: lowercase, trim, collapse whitespace
+    runs — the normalization pass that runs before any hash-based dedup
+    so 'A  B' and 'a b' collide. Emits the md5 fingerprint of the
+    normalized text (16 bytes shuffles downstream, never the text) plus
+    the normalized length. Pure narrow codegen'd expressions.""",
+)
+def x34_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+# ===========================================================================
+# x35 — robust outlier stats (median / MAD)
+# ===========================================================================
+
+
+@register(
+    "x35_mad_outliers",
+    f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad, MIN(med) AS med
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           {sql_round('MIN(mad.med)', 6)} AS med,
+           {sql_round('MIN(mad.mad)', 6)} AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+    doc="""Robust outlier statistics per event type: exact median, MAD
+    (median absolute deviation), and the count of |x−med| > 3·MAD
+    outliers — the heavy-tail-safe screen that mean/stddev z-scores get
+    wrong on skewed value distributions. Three narrow aggregation
+    passes over a broadcast-joined 5-row stats table; exact
+    percentiles (not approx) because the oracle must agree bitwise.""",
+)
+def x35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"), F.min("med").alias("med")
+    )
+    out = (
+        d.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            )
+        )
+    )
+    return mad.join(out, "event_type").select(
+        "event_type",
+        rhu(F.col("med"), 6).alias("med"),
+        rhu(F.col("mad"), 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+# ===========================================================================
+# x36 — cross-source n-gram overlap (corpus diversity)
+# ===========================================================================
+
+_OVERLAP_ORACLE = r"""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(shingles) AS s
+        FROM (SELECT source,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)])
+                         AS shingles
+              FROM (SELECT source,
+                           regexp_split_to_array(trim(text), '\s+') AS w
+                    FROM documents))
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           FLOOR((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 1000000.0 + 0.5)
+               / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+"""
+
+
+@register(
+    "x36_source_overlap",
+    _OVERLAP_ORACLE,
+    doc="""Cross-source corpus diversity: Jaccard similarity between
+    each pair of sources' distinct 3-gram vocabularies — high overlap
+    between two 'different' crawls is the signal that a mix recipe is
+    double-counting the same underlying data. The shuffle carries the
+    distinct (source, shingle) vocabulary, not token streams, and the
+    self-join key is the shingle with ≤|sources| rows per key, so the
+    join output is bounded by vocab × sources² — flat in document
+    count.""",
+)
+def x36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"source": "source_a", "n_sh": "na"})
+    sb = sizes.withColumnsRenamed({"source": "source_b", "n_sh": "nb"})
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            rhu(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# q35 — GROUPING SETS (multi-granularity rollup in one pass)
+# ===========================================================================
+
+
+@register(
+    "q35_grouping_sets",
+    f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INT)
+               AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dec_sum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    doc="""Explicit GROUPING SETS: (status, priority), (status), and
+    grand total in ONE aggregation pass — Catalyst expands the sets via
+    a single Expand node feeding one partial-agg shuffle, vs three
+    separate scans a naive union would cost. GROUPING() ids
+    disambiguate real NULL keys from subtotal rows (the classic
+    rollup-correctness trap). Completes the q19 rollup / q28 cube
+    family (SURVEY §2.4).""",
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS INT)
+                   AS gid,
+               COUNT(*) AS n_orders,
+               {tp} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """.format(tp=_SPARK_DEC_SUM_SQL)
+    )
+
+
+# Spark-SQL twin of functions.scalars.dec_sum (same fixed-point hi/lo
+# encoding, HALF_UP to 2 decimals) for use inside spark.sql() text.
+# Literals carry the D suffix: Spark SQL parses bare `100.0` as
+# DECIMAL(4,1), which would silently switch the whole expression to
+# decimal arithmetic and diverge from the oracle's double path.
+_SPARK_DEC_SUM_SQL = (
+    "FLOOR((CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS DOUBLE)"
+    " + CAST(SUM(CAST(FLOOR((o_totalprice - FLOOR(o_totalprice)) * 1000000.0D"
+    " + 0.5D) AS BIGINT)) AS DOUBLE) / 1000000.0D) * 100.0D + 0.5D) / 100.0D"
+)
