@@ -603,10 +603,17 @@ def q15_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(rev=sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2)),
     doc="""Full star-schema join chain with revenue rollup (TPC-H Q5
     shape; generalizes J5/J6 to fact scale). Scale plan: lineitem⋈orders
-    shuffles on orderkey (the only big-big join), then customer joins on
-    the shuffled side; nation/region broadcast. Partial aggregation
-    collapses before the final group-by shuffle of ~|regions×years|
-    rows.""",
+    is the one fact-fact join and is PINNED to a shuffled hash join —
+    orders can never broadcast at real scale, and SHJ beats sort-merge
+    here because the join output feeds an aggregation on different keys
+    (r_name, year), so SMJ's sort buys nothing downstream. Locally the
+    pin also beats auto-broadcast of orders 2×: a 150k-row broadcast is
+    one single-threaded hash build + N copies, while SHJ builds 8
+    per-partition tables in parallel (measured 1.29 s → 0.67 s at
+    sf0.1). SHJ spills since Spark 3.2 and AQE still skew-splits its
+    exchanges, so the pin is safe at 100 TB. Customer/nation/region stay
+    size-policy broadcasts. Partial aggregation collapses before the
+    final group-by shuffle of ~|regions×years| rows.""",
     headline=True,
 )
 def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +623,7 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)

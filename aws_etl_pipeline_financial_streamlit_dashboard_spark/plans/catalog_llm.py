@@ -419,3 +419,200 @@ _SPARK_DEC_SUM_SQL = (
     " + CAST(SUM(CAST(FLOOR((o_totalprice - FLOOR(o_totalprice)) * 1000000.0D"
     " + 0.5D) AS BIGINT)) AS DOUBLE) / 1000000.0D) * 100.0D + 0.5D) / 100.0D"
 )
+
+
+# ===========================================================================
+# x37 — greedy sequence packing (concat-and-chunk)
+# ===========================================================================
+
+
+@register(
+    "x37_sequence_packing",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT source, toks,
+               SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR((cum - toks) * 1.0 / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS seq_tokens
+    FROM c
+    GROUP BY source, seq_id
+    """,
+    doc="""Greedy concat-and-chunk sequence packing: documents are laid
+    end-to-end in doc_id order within each source and cut into 512-token
+    training sequences — a document starts in the sequence its running
+    offset falls in (the standard pretraining packing layout, computed
+    declaratively instead of in a data-loader loop). The running offset
+    is a window cumsum PARTITIONED BY source, so packing parallelizes
+    across sources/shards at corpus scale — no global order, no global
+    cumsum bottleneck; for single-source corpora, pre-shard and pack per
+    shard the same way. One window shuffle + one rollup shuffle.""",
+)
+def x37_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
+
+    budget = 512
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.withColumn(
+            "seq_id", F.floor((F.col("cum") - F.col("toks")) / budget)
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("seq_tokens"),
+        )
+    )
+
+
+# ===========================================================================
+# x38 — end-to-end near-dup collapse (cluster → keep canonical → audit)
+# ===========================================================================
+
+_COLLAPSE_ORACLE = r"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM edges0
+              UNION ALL SELECT doc_b, doc_a FROM edges0),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+             FROM reach GROUP BY node)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.doc_id = c.component_id
+                         THEN len(regexp_split_to_array(trim(d.text), '\s+'))
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+"""
+
+
+@register(
+    "x38_neardup_collapse",
+    _COLLAPSE_ORACLE,
+    doc="""The complete fuzzy-dedup pipeline as ONE composed DAG:
+    n-gram Jaccard candidate edges (inverted-index self-join, x02) →
+    connected components (iterative min-label propagation, x18) → keep
+    each cluster's canonical (min-id) document → per-source retention
+    audit (docs in, docs kept, tokens kept). This is the
+    'deduplicate the crawl before training' job end to end; every
+    stage is the scale-shaped variant (shingle-keyed candidates ∝ true
+    overlap, O(diameter) component rounds with truncated lineage,
+    audit shuffles |sources| rows). Oracle: recursive-CTE closure +
+    rollup in DuckDB.""",
+)
+def x38_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    labeled = docs.join(comp, docs.doc_id == comp.node, "left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col("doc_id"))
+    )
+    kept = F.col("doc_id") == F.col("component_id")
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.sum(
+            F.when(kept, token_count(F.col("text"))).otherwise(F.lit(0))
+        ).cast("long").alias("tokens_kept"),
+    )
+
+
+# ===========================================================================
+# q36 — deterministic mode per group
+# ===========================================================================
+
+
+@register(
+    "q36_mode_per_group",
+    """
+    WITH c AS (
+        SELECT c_mktsegment AS segment, c_nationkey AS nation,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT segment, nation, n,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY n DESC, nation) AS rk
+        FROM c
+    )
+    SELECT segment, nation AS mode_nation, n AS n_customers
+    FROM r WHERE rk = 1
+    """,
+    doc="""Deterministic MODE per group (most common nation per market
+    segment): count-then-rank with an explicit key tiebreak, instead of
+    the engines' native mode() whose tie winner is arbitrary — the
+    difference between a reproducible data-quality report and a flaky
+    one. Two small shuffles: the (segment, nation) count and a
+    |segments×nations|-row window.""",
+)
+def q36_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    counts = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        ).agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("n"), F.asc("nation"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("nation").alias("mode_nation"),
+            F.col("n").alias("n_customers"),
+        )
+    )

@@ -258,3 +258,41 @@ def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@register(
+    "s08_foreach_batch_sink",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """.format(sv=sql_dec_sum('value', 2)),
+    doc="""Exactly-once custom sink via foreachBatch: the events stream
+    lands in batch-id-keyed parquet directories where every micro-batch
+    OVERWRITES its own path — and the run deliberately re-executes the
+    first batch's write (the retry an at-least-once driver performs
+    after a sink failure) to prove idempotence. The read-back,
+    aggregated per event type, must equal the batch aggregate over one
+    clean copy of the source — which is what the oracle checks. This is
+    the sink pattern for any store without native streaming support
+    (JDBC serving tables included — the reference's load stage,
+    TableTransform.py:26-29, is exactly this shape)
+    (streaming/jobs.run_foreach_batch_ingest).""",
+)
+def s08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_foreach_batch_ingest,
+    )
+
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong for raw reads
+    landed = run_foreach_batch_ingest(
+        spark, os.path.join(sf_dir, "events.parquet"), replay_batch=True
+    )
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", 2).alias("sum_value"),
+    )

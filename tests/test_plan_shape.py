@@ -51,13 +51,19 @@ def test_flagship_broadcasts_dim_and_bounds_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
-def test_star_join_single_shuffle(spark, sf_dir):
-    """q16's star join must broadcast every dimension at this scale:
-    the only exchange is the final aggregation's."""
+def test_star_join_shape(spark, sf_dir):
+    """q16's star join: the one fact-fact join (lineitem⋈orders) is a
+    shuffled HASH join — never sort-merge (the sort buys nothing: the
+    downstream aggregate groups on different keys) and never a
+    broadcast of orders (impossible at real scale, and 2× slower even
+    locally). Every dimension joins as a broadcast. Exchanges: the two
+    fact sides plus the final aggregation — no more."""
     df = QUERIES["q16_star_join_revenue"].spark(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3  # customer, nation, region
+    assert plan.count("Exchange hashpartitioning") == 3
 
 
 def test_pricing_summary_whole_stage_codegen(spark, sf_dir):
