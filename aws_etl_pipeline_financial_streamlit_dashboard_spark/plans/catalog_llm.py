@@ -616,3 +616,66 @@ def q36_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_customers"),
         )
     )
+
+
+# ===========================================================================
+# q37 — time-based RANGE-frame rolling window
+# ===========================================================================
+
+
+@register(
+    "q37_rolling_time_window",
+    """
+    WITH t AS (
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value) AS BIGINT) AS hi,
+               CAST(FLOOR((value - FLOOR(value)) * 1000000.0 + 0.5) AS BIGINT)
+                   AS lo
+        FROM events
+    )
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS n_1h,
+           FLOOR((CAST(SUM(hi) OVER w AS DOUBLE)
+                  + CAST(SUM(lo) OVER w AS DOUBLE) / 1000000.0) * 100.0 + 0.5)
+               / 100.0 AS sum_1h
+    FROM t
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="""Per-event rolling 1-hour aggregate via a time-based RANGE
+    frame over irregular event times — the rolling-feature shape ML
+    feature pipelines need, where tumbling buckets (s01) are the wrong
+    granularity. The frame is keyed on micros-since-epoch so peers at
+    identical timestamps are handled identically in both engines, and
+    the windowed SUM uses the engine's fixed-point hi/lo long split —
+    float accumulation inside a window frame is evaluation-order-
+    dependent and would break cross-engine parity. One shuffle
+    partitioned by event_type; the frame scan is linear per
+    partition.""",
+)
+def q37_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value")).cast("long").alias("hi"),
+        F.floor(
+            (F.col("value") - F.floor(F.col("value"))) * 1000000.0 + F.lit(0.5)
+        ).cast("long").alias("lo"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    total = (
+        F.sum("hi").over(w).cast("double")
+        + F.sum("lo").over(w).cast("double") / 1000000.0
+    )
+    return t.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_1h"),
+        rhu(total, 2).alias("sum_1h"),
+    )
