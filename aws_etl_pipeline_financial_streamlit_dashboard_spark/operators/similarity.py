@@ -221,6 +221,24 @@ def ivf_topk(
     )
 
 
+def _plane_coeffs(t: int, p: int, dim: int, n_planes: int) -> list[float]:
+    """Deterministic decorrelated hyperplane coefficients via the
+    fract-sin hash (sin at a huge amplitude, keep the fractional part):
+    each (table, plane, dim) index maps to an effectively independent
+    value in [-1, 1). A plain phase-shifted sin across tables (earlier
+    version) made every table a shifted copy of the same plane —
+    correlated sign patterns, so OR-amplification across tables bought
+    no recall (measured flat at 0.5 from L=8 to 32)."""
+    import math
+
+    out = []
+    for d in range(dim):
+        k = (t * n_planes + p) * dim + d + 1
+        v = math.sin(k * 12.9898) * 43758.5453
+        out.append(2.0 * (v - math.floor(v)) - 1.0)
+    return out
+
+
 def _hyperplane_buckets(
     col: Column, dim: int, n_planes: int, n_tables: int
 ) -> Column:
@@ -229,31 +247,18 @@ def _hyperplane_buckets(
     runs and engines).
 
     Plane coefficients are literal arrays with zip_with/aggregate dots:
-    the codegen'd expression tree stays O(tables·planes) nodes, not
+    the expression tree stays O(tables·planes) nodes, not
     O(tables·planes·dim) unrolled adds (which overflows janino's
-    method-size limit for realistic dims).
+    method-size limit for realistic dims). NOTE: the zip_with/aggregate
+    dots run on the interpreted HOF path — per-table computation should
+    use :func:`hyperplane_bucket_table` (bit-identical buckets, all
+    codegen); this column form remains for single-row/broadcast use.
     """
-    import math
-
-    def plane(t: int, p: int) -> list[float]:
-        # Deterministic decorrelated coefficients via the fract-sin hash
-        # (sin at a huge amplitude, keep the fractional part): each
-        # (table, plane, dim) index maps to an effectively independent
-        # value in [-1, 1). A plain phase-shifted sin across tables
-        # (earlier version) made every table a shifted copy of the same
-        # plane — correlated sign patterns, so OR-amplification across
-        # tables bought no recall (measured flat at 0.5 from L=8 to 32).
-        out = []
-        for d in range(dim):
-            k = (t * n_planes + p) * dim + d + 1
-            v = math.sin(k * 12.9898) * 43758.5453
-            out.append(2.0 * (v - math.floor(v)) - 1.0)
-        return out
 
     def bucket_expr(t: int) -> Column:
         out = None
         for p in range(n_planes):
-            coeffs = F.array(*[F.lit(c) for c in plane(t, p)])
+            coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(t, p, dim, n_planes)])
             s = F.aggregate(
                 F.zip_with(col, coeffs, lambda x, c: x.cast("double") * c),
                 F.lit(0.0),
@@ -264,6 +269,67 @@ def _hyperplane_buckets(
         return out
 
     return F.array(*[bucket_expr(t) for t in range(n_tables)])
+
+
+def hyperplane_bucket_table(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __buckets) for every vector: the same deterministic
+    sign-pattern buckets as :func:`_hyperplane_buckets`, computed on
+    the codegen fast path — posexplode the vector, then one
+    hash-aggregate with ``n_tables·n_planes`` conditional dot-product
+    sums (coefficient looked up from a literal array by position), then
+    pack sign bits per table. The column form runs every dot product as
+    an interpreted higher-order walk (~tables·planes·dim interpreted
+    ops per vector); this form keeps them all inside whole-stage
+    codegen. Sums accumulate in position order from 0.0, matching the
+    column form's left fold bit-for-bit.
+
+    Scale shape: map-side partial aggregation collapses each vector's
+    components inside its scan partition, so the exchange carries
+    ``n_tables·n_planes`` doubles per vector — comparable to the
+    vector itself and far cheaper than the interpreted CPU it
+    replaces."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    ex = fan_out(embeddings.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    # Coefficient arrays are embedded as parsed SQL literals, not
+    # F.array(F.lit(...)) trees: each F.lit is a py4j round trip, and
+    # tables·planes·dim of them cost ~6 s of driver-side chatter per
+    # plan build (measured; the JVM parse of the same text is ~ms).
+    # repr() round-trips doubles exactly, so the parsed coefficients
+    # are bit-identical to the column form's literals.
+    def dot_sql(t: int, p: int) -> str:
+        arr = ",".join(f"{c!r}D" for c in _plane_coeffs(t, p, dim, n_planes))
+        return f"sum(cast(v as double) * element_at(array({arr}), pos + 1))"
+
+    dots = ex.groupBy("id").agg(
+        *[
+            F.expr(dot_sql(t, p)).alias(f"__d_{t}_{p}")
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )
+    def bucket(t: int) -> Column:
+        out = None
+        for p in range(n_planes):
+            bit = F.when(F.col(f"__d_{t}_{p}") >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ) * (1 << p)
+            out = bit if out is None else out + bit
+        return out
+
+    return dots.select(
+        "id", F.array(*[bucket(t) for t in range(n_tables)]).alias("__buckets")
+    )
 
 
 def lsh_blocked_dup_pairs(
@@ -296,11 +362,11 @@ def lsh_blocked_dup_pairs(
     curve's knee — tunable via ``n_tables``. Rows-only driver check;
     recall vs the exact x16 kernel is asserted in tests.
     """
-    ids = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            _hyperplane_buckets(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("table", "bucket"),
+    ids = hyperplane_bucket_table(
+        embeddings, dim, n_planes, n_tables, id_col, vec_col
+    ).select(
+        "id",
+        F.posexplode("__buckets").alias("table", "bucket"),
     )
     a, b = ids.alias("a"), ids.alias("b")
     candidates = (
@@ -354,15 +420,22 @@ def lsh_bucketed_topk(
     a collect-class job before the real one, which at 100 TB is an
     extra scan. Callers know their embedding dim; pass it.
 
-    Scale shape: bucket computation is one narrow pass of codegen'd
-    column arithmetic; the query row broadcasts; candidate filtering is
-    a per-partition predicate (no shuffle). At corpus scale you'd
-    materialize the bucket columns once and equi-join queries on
-    (table, bucket) instead of broadcasting a predicate — exactly what
-    :func:`lsh_blocked_dup_pairs` does for the all-pairs problem.
+    Scale shape: buckets come from :func:`hyperplane_bucket_table`
+    (codegen'd explode-aggregate; the id-keyed join back costs a
+    shuffle of 16 ints per vector — far cheaper than the
+    tables·planes·dim interpreted ops per vector it replaces); the
+    query row broadcasts; candidate filtering is a per-partition
+    predicate. At corpus scale you'd materialize the bucket table once
+    and equi-join queries on (table, bucket) instead of broadcasting a
+    predicate — exactly what :func:`lsh_blocked_dup_pairs` does for
+    the all-pairs problem.
     """
-    buckets = _hyperplane_buckets(F.col(vec_col), dim, n_planes, n_tables)
-    with_bucket = embeddings.withColumn("__buckets", buckets)
+    with_bucket = embeddings.join(
+        hyperplane_bucket_table(
+            embeddings, dim, n_planes, n_tables, id_col, vec_col
+        ).withColumnRenamed("id", id_col),
+        id_col,
+    )
     q = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
     )

@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import word_shingles
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out, word_shingles
 
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
@@ -100,8 +100,9 @@ def decontaminate(
         eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("__s"))
         .distinct()
     )
-    train_sh = train.withColumn("__sh", word_shingles(F.col(text_col), n))
-    exploded = train_sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    exploded = fan_out(train.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+    )
     hit_ids = (
         exploded.join(F.broadcast(eval_shingles), "__s", "leftsemi")
         .select(id_col)

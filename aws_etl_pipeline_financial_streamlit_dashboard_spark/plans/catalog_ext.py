@@ -231,7 +231,11 @@ _LANG_ORACLE = """
     argmax, so parity covers the full decision path.""",
 )
 def x08_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    # fan_out: per-token marker matching is the cost; parallelize it
+    # when the scan is a single split (identity on a real corpus).
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return X.lang_id(docs).select(
         "doc_id", "pred_lang", "score_de", "score_en", "score_es", "score_fr"
     )

@@ -861,7 +861,14 @@ def x19_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float parity.""",
 )
 def q31_volatility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    # fan_out: the JSON parse is the expensive part of this scan, and a
+    # small input (single parquet row group) would otherwise run it on
+    # one core; identity once the scan has real splits.
+    ev = fan_out(
+        read_table(spark, sf_dir, "events").select("event_type", "value", "props")
+    )
     k = F.get_json_object("props", "$.k").cast("double")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
