@@ -15,7 +15,12 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars impo
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢbᵢ over two array columns, computed in double."""
+    """Σ aᵢbᵢ over two array columns, computed in double.
+
+    Interpreted HOF path (fold over zip_with) — use
+    :func:`cosine_fixed` / :func:`l2_dist2_fixed` in any per-table
+    kernel when the dimensionality is known; this form remains for
+    unknown-dim or ad-hoc use."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,8 +40,90 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with NULL on zero-norm inputs (nullif guard —
-    same NULL-division semantic as the rest of the engine)."""
+    same NULL-division semantic as the rest of the engine).
+    Interpreted HOF path — see :func:`cosine_fixed`."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    """SQL text for a dim-unrolled dot product, left-associated from
+    0.0 so the accumulation order (and hence the float result) is
+    bit-identical to :func:`dot`'s fold. ``get()`` is 0-based and
+    returns NULL past the end in every SQL mode (``element_at`` throws
+    under ANSI), so malformed short vectors yield NULL, not an error."""
+    terms = " + ".join(
+        f"cast(get({a}, {i}) as double) * cast(get({b}, {i}) as double)"
+        for i in range(dim)
+    )
+    return f"(0.0D + {terms})"
+
+
+def _sql_norm2(a: str, dim: int) -> str:
+    terms = " + ".join(
+        f"cast(get({a}, {i}) as double) * cast(get({a}, {i}) as double)"
+        for i in range(dim)
+    )
+    return f"(0.0D + {terms})"
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """Cosine similarity for two array columns of known dimensionality,
+    referenced BY NAME, built as one parsed SQL expression.
+
+    Same value as :func:`cosine` (identical accumulation order, same
+    nullif zero-norm guard) but fully inside whole-stage codegen: the
+    HOF form runs an interpreted fold per row, which multiplied across
+    a corpus×candidates kernel is the dominant CPU (measured ~50× on
+    the brute-force scan). One ``F.expr`` keeps plan-build cost at a
+    single py4j call + a ~16 KB JVM parse, ~ms (an unrolled
+    ``F.get``-per-term tree would be ~256 py4j round trips). dim ≤ a
+    few hundred keeps the expression well under janino's method-size
+    limit; callers know their embedding dim (same contract as
+    lsh/ivf)."""
+    return F.expr(
+        f"{_sql_dot(a, b, dim)} / nullif(sqrt({_sql_norm2(a, dim)})"
+        f" * sqrt({_sql_norm2(b, dim)}), 0.0D)"
+    )
+
+
+def with_l2_norm(
+    df: DataFrame, vec_col: str, dim: int, out_col: str = "__nrm"
+) -> DataFrame:
+    """Attach the vector's L2 norm as a column (codegen'd unrolled sum).
+
+    Precompute norms BEFORE a pair join: janino rejects generated
+    methods over 64 KB, and a full :func:`cosine_fixed` (dot + two
+    norms ≈ 3·dim terms) inlined twice — once in the join filter, once
+    in the projection, since Catalyst pushes the predicate through the
+    project by re-substituting the expression — overflows that at
+    dim 64. The failure is silent (ERROR CodeGenerator + interpreted
+    fallback), which costs the entire codegen win. With norms as plain
+    columns the join stage inlines only the dim-term dot."""
+    return df.withColumn(out_col, F.expr(f"sqrt({_sql_norm2(vec_col, dim)})"))
+
+
+def cosine_pre(
+    a_vec: str, b_vec: str, a_nrm: str, b_nrm: str, dim: int
+) -> Column:
+    """Cosine from precomputed norms (see :func:`with_l2_norm`):
+    identical value to :func:`cosine_fixed` — same dot accumulation
+    order, same norm arithmetic, same nullif zero guard — but only
+    ``dim`` terms inline at the use site."""
+    return F.expr(_sql_dot(a_vec, b_vec, dim)) / F.nullif(
+        F.col(a_nrm) * F.col(b_nrm), F.lit(0.0)
+    )
+
+
+def l2_dist2_fixed(a: str, b: str, dim: int) -> Column:
+    """Squared L2 distance for named array columns of known dim —
+    codegen'd unrolled form of the zip_with/aggregate fold, same
+    accumulation order."""
+    terms = " + ".join(
+        f"(cast(get({a}, {i}) as double) - cast(get({b}, {i}) as double))"
+        f" * (cast(get({a}, {i}) as double) - cast(get({b}, {i}) as double))"
+        for i in range(dim)
+    )
+    return F.expr(f"(0.0D + {terms})")
 
 
 def brute_force_topk(
@@ -45,6 +132,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of one stored vector.
 
@@ -57,12 +145,25 @@ def brute_force_topk(
     Determinism: similarity is rounded before ranking and ties break on
     id, so the result set is stable across engines and partitionings.
     """
-    query = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qvec")
-    )
-    sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    if dim is None:
+        query = embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qvec")
+        )
+        sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
+        corpus = embeddings
+    else:
+        query = with_l2_norm(
+            embeddings.filter(F.col(id_col) == query_id).select(
+                F.col(vec_col).alias("__qvec")
+            ),
+            "__qvec",
+            dim,
+            "__qnrm",
+        )
+        sim = rhu(cosine_pre(vec_col, "__qvec", "__nrm", "__qnrm", dim), 6)
+        corpus = with_l2_norm(embeddings, vec_col, dim)
     return (
-        embeddings.filter(F.col(id_col) != query_id)
+        corpus.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(query))
         .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -77,6 +178,7 @@ def knn_join_brute_force(
     query_id_col: str = "vec_id",
     corpus_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """k-NN join: for every query vector, its k nearest corpus vectors.
 
@@ -84,15 +186,19 @@ def knn_join_brute_force(
     O(|Q|·|C|·d) — exact, parallel over corpus splits; use the IVF path
     when |Q|·|C| is too large.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     c = corpus.select(
         F.col(corpus_id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
-    sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    if dim is None:
+        sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    else:
+        q = with_l2_norm(q, "__qvec", dim, "__qnrm")
+        c = with_l2_norm(c, "__cvec", dim, "__cnrm")
+        sim = rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
+    q = F.broadcast(q)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -113,6 +219,7 @@ def ivf_assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_mod: int = 9973,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means over the corpus (Lloyd iterations
     expressed as DataFrame aggs — no driver-side loops over rows).
@@ -143,10 +250,14 @@ def ivf_assign_centroids(
         # distance² = Σ(aᵢ−bᵢ)²; argmin via min_by over the exploded
         # point×centroid broadcast join.
         joined = points.crossJoin(F.broadcast(cents))
-        dist = F.aggregate(
-            F.zip_with("vec", "centroid", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dist = (
+            l2_dist2_fixed("vec", "centroid", dim)
+            if dim is not None
+            else F.aggregate(
+                F.zip_with("vec", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         )
         return (
             joined.select("pid", "vec", "cell", dist.alias("d2"))
@@ -188,20 +299,27 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe only the ``n_probe`` cells whose
     centroids are closest to the query, then exact cosine inside those
     cells. Scan cost drops to ~n_probe/n_cells of the corpus; recall
     is tunable via n_probe. Approximate → rows-only oracle check."""
-    assigned, cents = ivf_assign_centroids(embeddings, n_cells, 2, id_col, vec_col)
+    assigned, cents = ivf_assign_centroids(
+        embeddings, n_cells, 2, id_col, vec_col, dim=dim
+    )
     assigned = assigned.cache()
     qvec = assigned.filter(F.col("pid") == query_id).select(
         F.col("vec").alias("__qvec")
     )
-    cdist = F.aggregate(
-        F.zip_with("centroid", "__qvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    cdist = (
+        l2_dist2_fixed("centroid", "__qvec", dim)
+        if dim is not None
+        else F.aggregate(
+            F.zip_with("centroid", "__qvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
     probe_cells = (
         cents.crossJoin(F.broadcast(qvec))
@@ -210,9 +328,15 @@ def ivf_topk(
         .limit(n_probe)
         .select("cell")
     )
-    sim = rhu(cosine(F.col("vec"), F.col("__qvec")), 6)
+    if dim is None:
+        sim = rhu(cosine(F.col("vec"), F.col("__qvec")), 6)
+        probed = assigned
+    else:
+        qvec = with_l2_norm(qvec, "__qvec", dim, "__qnrm")
+        sim = rhu(cosine_pre("vec", "__qvec", "__nrm", "__qnrm", dim), 6)
+        probed = with_l2_norm(assigned, "vec", dim)
     return (
-        assigned.join(F.broadcast(probe_cells), "cell")
+        probed.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("pid") != query_id)
         .crossJoin(F.broadcast(qvec))
         .select(F.col("pid").alias("neighbor_id"), sim.alias("cosine_sim"))
@@ -379,13 +503,18 @@ def lsh_blocked_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # Norms precomputed per side: a full cosine inlined in both the
+    # join filter and projection overflows janino's 64 KB method limit
+    # at dim 64 (silent interpreted fallback) — see with_l2_norm.
+    va = with_l2_norm(
+        embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        "va", dim, "__na",
     )
-    vb = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    vb = with_l2_norm(
+        embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        "vb", dim, "__nb",
     )
-    sim = rhu(cosine(F.col("va"), F.col("vb")), 6)
+    sim = rhu(cosine_pre("va", "vb", "__na", "__nb", dim), 6)
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
@@ -436,17 +565,20 @@ def lsh_bucketed_topk(
         ).withColumnRenamed("id", id_col),
         id_col,
     )
-    q = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
+    q = with_l2_norm(
+        with_bucket.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
+        ),
+        "__qvec", dim, "__qnrm",
     )
     # candidate ⇔ buckets collide in at least one table
     collides = F.exists(
         F.zip_with("__buckets", "__qbuckets", lambda a, b: a == b),
         lambda x: x,
     )
-    sim = rhu(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    sim = rhu(cosine_pre(vec_col, "__qvec", "__nrm", "__qnrm", dim), 6)
     return (
-        with_bucket.crossJoin(F.broadcast(q))
+        with_l2_norm(with_bucket, vec_col, dim).crossJoin(F.broadcast(q))
         .filter(collides & (F.col(id_col) != query_id))
         .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))

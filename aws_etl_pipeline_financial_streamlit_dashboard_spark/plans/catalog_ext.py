@@ -276,7 +276,7 @@ _COSINE_ORACLE = """
 )
 def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(emb, query_id=1, k=10)
+    return S.brute_force_topk(emb, query_id=1, k=10, dim=64)
 
 
 @register(
@@ -289,7 +289,7 @@ def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, query_id=1, k=10, n_cells=16, n_probe=4)
+    return S.ivf_topk(emb, query_id=1, k=10, n_cells=16, n_probe=4, dim=64)
 
 
 @register(
@@ -302,7 +302,7 @@ def x10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 16)
-    return S.knn_join_brute_force(queries, emb, k=5)
+    return S.knn_join_brute_force(queries, emb, k=5, dim=64)
 
 
 @register(

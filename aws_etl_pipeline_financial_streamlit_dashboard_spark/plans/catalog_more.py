@@ -301,7 +301,8 @@ _EMB_PAIRS_ORACLE = """
 )
 def x16_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
-        cosine,
+        cosine_pre,
+        with_l2_norm,
     )
 
     emb = (
@@ -309,9 +310,18 @@ def x16_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 150)
         .select("vec_id", "embedding")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = rhu(cosine(F.col("va"), F.col("vb")), 6)
+    # Norms precomputed per side so the join stage inlines only the
+    # 64-term dot (a twice-inlined full cosine overflows janino's
+    # 64 KB method limit and silently falls back to interpreted).
+    a = with_l2_norm(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+        "va", 64, "__na",
+    )
+    b = with_l2_norm(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+        "vb", 64, "__nb",
+    )
+    sim = rhu(cosine_pre("va", "vb", "__na", "__nb", 64), 6)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
