@@ -584,3 +584,95 @@ def lsh_bucketed_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
         .limit(k)
     )
+
+
+def quantize_int8_audit(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the storage-side
+    embedding compression step (4× smaller than float32) with its
+    quality report: per vector, the quantization scale, the exact sum
+    of quantized codes (integer checksum of the codebook output), the
+    saturation count, and max/total absolute dequantization error.
+
+    Quantization: ``scale = max|v_i| / 127``; ``q_i = clamp(
+    floor(v_i/scale + 0.5), -127, 127)`` (explicit half-up — engine
+    ROUND functions disagree on ties across engines); zero vectors
+    quantize to all-zero codes with scale 0. Dequantized error
+    ``|v_i − q_i·scale|``.
+
+    All dim-unrolled codegen expressions in one narrow projection (a
+    plain project is code-split safely by Spark, unlike join-condition
+    expressions — see :func:`with_l2_norm`); no HOF, no shuffle, no
+    Python. The oracle twin (:func:`quantize_int8_oracle_sql`)
+    generates the SAME explicit expression chain for DuckDB, so float
+    accumulation order is identical by construction and parity is
+    exact."""
+    v = lambda i: f"cast(get({vec_col}, {i}) as double)"  # noqa: E731
+    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
+    qi = lambda i: (  # noqa: E731
+        f"(case when __scale = 0.0D then 0.0D else "
+        f"greatest(least(floor({v(i)} / __scale + 0.5D), 127.0D), -127.0D) end)"
+    )
+    err = lambda i: f"abs({v(i)} - {qi(i)} * __scale)"  # noqa: E731
+    q_sum = "cast(0.0D + " + " + ".join(qi(i) for i in range(dim)) + " as bigint)"
+    n_sat = (
+        "cast(0 + "
+        + " + ".join(f"(case when abs({qi(i)}) >= 127.0D then 1 else 0 end)" for i in range(dim))
+        + " as int)"
+    )
+    max_err = "greatest(" + ",".join(err(i) for i in range(dim)) + ")"
+    sum_err = "(0.0D + " + " + ".join(err(i) for i in range(dim)) + ")"
+    return (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), F.expr(absmax + " / 127.0D").alias("__scale")
+        )
+        .select(
+            id_col,
+            rhu(F.col("__scale"), 6).alias("scale8"),
+            F.expr(q_sum).alias("q_sum"),
+            F.expr(n_sat).alias("n_saturated"),
+            rhu(F.expr(max_err), 6).alias("max_abs_err"),
+            rhu(F.expr(sum_err), 6).alias("sum_abs_err"),
+        )
+    )
+
+
+def quantize_int8_oracle_sql(
+    dim: int, table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin of :func:`quantize_int8_audit`: the same explicit
+    dim-unrolled expression chain (1-based ``[]`` indexing instead of
+    0-based ``get``), so every float op happens in the same order."""
+    v = lambda i: f"cast({vec_col}[{i + 1}] as double)"  # noqa: E731
+    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
+    qi = lambda i: (  # noqa: E731
+        f"(case when __scale = 0.0 then 0.0 else "
+        f"greatest(least(floor({v(i)} / __scale + 0.5), 127.0), -127.0) end)"
+    )
+    err = lambda i: f"abs({v(i)} - {qi(i)} * __scale)"  # noqa: E731
+    q_sum = "cast(0.0 + " + " + ".join(qi(i) for i in range(dim)) + " as bigint)"
+    n_sat = (
+        "cast(0 + "
+        + " + ".join(f"(case when abs({qi(i)}) >= 127.0 then 1 else 0 end)" for i in range(dim))
+        + " as int)"
+    )
+    max_err = "greatest(" + ",".join(err(i) for i in range(dim)) + ")"
+    sum_err = "(0.0 + " + " + ".join(err(i) for i in range(dim)) + ")"
+    rq6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""
+    WITH s AS (
+        SELECT {id_col}, {vec_col}, {absmax} / 127.0 AS __scale
+        FROM {table}
+    )
+    SELECT {id_col},
+           {rq6("__scale")} AS scale8,
+           {q_sum} AS q_sum,
+           {n_sat} AS n_saturated,
+           {rq6(max_err)} AS max_abs_err,
+           {rq6(sum_err)} AS sum_abs_err
+    FROM s
+    """

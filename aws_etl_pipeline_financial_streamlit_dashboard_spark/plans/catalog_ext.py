@@ -339,3 +339,21 @@ def x24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x27_lsh_blocked_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     return S.lsh_blocked_dup_pairs(emb, dim=64, threshold=0.35, n_tables=16)
+
+
+@register(
+    "x39_embedding_quantize",
+    S.quantize_int8_oracle_sql(64),
+    doc="""Symmetric int8 embedding quantization audit: per-vector
+    scale (max|v|/127), the integer checksum of the quantized codes,
+    saturation count, and max/total dequantization error — the 4×
+    storage-compression step an embedding corpus takes before serving,
+    with its quality report. One narrow dim-unrolled codegen
+    projection, no shuffle; the oracle is generated from the SAME
+    expression chain (1-based indexing aside), so float accumulation
+    order matches by construction (operators/similarity.py:
+    quantize_int8_audit).""",
+)
+def x39_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.quantize_int8_audit(emb, dim=64)

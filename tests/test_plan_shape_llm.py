@@ -64,3 +64,18 @@ def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
     assert plan.count("Expand") >= 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_quantize_audit_is_narrow_codegen(spark, sf_dir):
+    """x39: the quantization audit must be a zero-shuffle narrow
+    projection with no interpreted fallback — a CodeGenerator failure
+    (method > 64 KB) would silently drop the stage to interpreted
+    execution, and a shuffle would mean the per-vector math was
+    restructured through an aggregate it doesn't need."""
+    df = QUERIES["x39_embedding_quantize"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    df.collect()  # AQE-finalize before reading codegen markers
+    plan = _plan(df)
+    assert "*(1)" in plan  # whole-stage codegen compiled (no janino overflow)
