@@ -679,3 +679,70 @@ def q37_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         rhu(total, 2).alias("sum_1h"),
     )
+
+
+# ===========================================================================
+# q38 — batch sessionization (gaps-and-islands)
+# ===========================================================================
+
+
+@register(
+    "q38_sessionization_batch",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="""Batch sessionization via gaps-and-islands — the batch twin
+    of s03's streaming session_window, exposing the window-function
+    construction itself (lag → new-session flag → running cumsum →
+    session aggregate) plus the session DURATION, which the streaming
+    projection can't carry portably (Spark pads session end with the
+    gap). Gap compare and duration are integer micros — exact, no
+    float interval arithmetic. Two shuffles: events by user for the
+    windows, then the (user, session) aggregate; both scale linearly
+    and the window scan is one pass per user partition.""",
+)
+def q38_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "duration_us")
+    )
