@@ -124,3 +124,52 @@ def test_lsh_blocked_pairs_recall_and_exact_precision(spark, sf_dir):
     # from measured flat 0.5) without seed jitter
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.7, f"blocked near-dup recall degraded: {recall:.2f}"
+
+
+def test_codegen_kernels_match_hof_reference(spark, sf_dir):
+    """The dim-unrolled codegen kernels (cosine_fixed/cosine_pre,
+    simhash_table, hyperplane_bucket_table) must stay bit-identical to
+    their interpreted HOF reference forms — they were introduced as
+    pure execution-path swaps, and any drift (accumulation order, null
+    handling, tie behavior) would silently change oracle-checked
+    results downstream."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import dedup as D
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import similarity as S
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    bad = pairs.select(
+        S.cosine(F.col("va"), F.col("vb")).alias("hof"),
+        S.cosine_fixed("va", "vb", 64).alias("fixed"),
+    ).filter(~F.col("hof").eqNullSafe(F.col("fixed")))
+    assert bad.count() == 0
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", D.simhash(F.col("text"), n=2).alias("s")
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_table(docs, "doc_id", "text", n=2).collect()
+    }
+    assert col_form == table_form and len(col_form) > 0
+
+    col_buckets = {
+        r["vec_id"]: list(r["b"])
+        for r in emb.select(
+            "vec_id", S._hyperplane_buckets(F.col("embedding"), 64, 4, 8).alias("b")
+        ).collect()
+    }
+    table_buckets = {
+        r["id"]: list(r["__buckets"])
+        for r in S.hyperplane_bucket_table(emb, 64, 4, 8).collect()
+    }
+    assert col_buckets == table_buckets and len(col_buckets) > 0
