@@ -405,3 +405,84 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def incremental_dedup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against the EXISTING corpus: returns
+    ``new_df`` with ``dup_exact`` (byte-identical text exists in the
+    corpus) and ``dup_near`` (n-gram Jaccard ≥ threshold partner in
+    the corpus, and not already an exact dup).
+
+    This is the continuous-ingestion form of the dedup ladder: a daily
+    crawl increment must be checked against the full history WITHOUT
+    re-clustering the corpus. Every join here is asymmetric
+    (new × corpus) — the corpus never self-joins:
+
+    - exact tier: left-semi join on md5(text); only 16-byte hashes of
+      both sides shuffle, and at steady state the corpus hash set is a
+      standing bucketed table, so the increment alone shuffles;
+    - near tier: inverted-index join of the increment's shingles
+      against the corpus's shingles keyed on the shingle — candidates
+      scale with true cross-overlap (|increment|-proportional), never
+      |corpus|²; exact Jaccard verify on the candidate pairs, same
+      rounding as :func:`ngram_jaccard_pairs` so thresholds are
+      engine-portable. Hot-shingle capping applies unchanged if the
+      corpus carries boilerplate.
+    """
+    new_hash = F.md5(F.col(text_col))
+    corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    exact_ids = (
+        new_df.select(F.col(id_col), new_hash.alias("__h"))
+        .join(corpus_hashes, "__h", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    sh_new = fan_out(new_df.select(id_col, text_col)).select(
+        F.col(id_col).alias("nid"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    sh_corp = fan_out(corpus_df.select(id_col, text_col)).select(
+        F.col(id_col).alias("cid"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex_new = sh_new.select("nid", "n_sh", F.explode("sh").alias("s"))
+    ex_corp = sh_corp.select(
+        F.col("cid"), F.col("n_sh").alias("n_sh_c"), F.explode("sh").alias("s")
+    )
+    pairs = (
+        ex_new.join(ex_corp, "s")
+        .groupBy("nid", "cid")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("n_sh").alias("na"),
+            F.first("n_sh_c").alias("nb"),
+        )
+    )
+    jac = rhu(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    near_ids = (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("nid").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return (
+        new_df.join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .withColumn("dup_exact", F.coalesce(F.col("__exact"), F.lit(False)))
+        .withColumn(
+            "dup_near",
+            F.coalesce(F.col("__near"), F.lit(False)) & ~F.col("dup_exact"),
+        )
+        .drop("__exact", "__near")
+    )

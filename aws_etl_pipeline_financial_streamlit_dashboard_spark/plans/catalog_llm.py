@@ -746,3 +746,84 @@ def q38_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "duration_us")
     )
+
+
+# ===========================================================================
+# x40 — incremental dedup: new ingest batch vs existing corpus
+# ===========================================================================
+
+_INCR_DEDUP_ORACLE = r"""
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    exact AS (
+        SELECT DISTINCT n.doc_id FROM newd n
+        JOIN corp c ON md5(n.text) = md5(c.text)
+    ),
+    wn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM newd),
+    wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corp),
+    shn AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                    FOR i IN range(1, GREATEST(len(w)-3, 1) + 1)]) AS sh FROM wn),
+    shc AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                    FOR i IN range(1, GREATEST(len(w)-3, 1) + 1)]) AS sh FROM wc),
+    exn AS (SELECT doc_id AS nid, len(sh) AS na, unnest(sh) AS s FROM shn),
+    exc AS (SELECT doc_id AS cid, len(sh) AS nb, unnest(sh) AS s FROM shc),
+    pairs AS (
+        SELECT nid, cid, COUNT(*) AS inter,
+               ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb
+        FROM exn JOIN exc USING (s)
+        GROUP BY nid, cid
+    ),
+    near AS (
+        SELECT DISTINCT nid AS doc_id FROM pairs
+        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
+    )
+    SELECT d.source,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM newd d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    GROUP BY d.source
+"""
+
+
+@register(
+    "x40_incremental_dedup",
+    _INCR_DEDUP_ORACLE,
+    doc="""Incremental dedup — a new ingest batch (doc_id % 10 = 0
+    plays the daily crawl increment) checked against the existing
+    corpus (the rest), per-source audit of exact dups, near dups
+    (Jaccard ≥ 0.2, not already exact), and survivors. The
+    continuous-ingestion form of the dedup ladder: every join is
+    asymmetric new × corpus — exact tier is a left-semi join on
+    16-byte md5 hashes, near tier is an inverted-index join of the
+    increment's shingles against the corpus's keyed on the shingle, so
+    candidates scale with the increment's true overlap and the corpus
+    NEVER self-joins or re-clusters
+    (operators/dedup.incremental_dedup_flags).""",
+)
+def x40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    flagged = incremental_dedup_flags(
+        new_batch, corpus, id_col="doc_id", text_col="text", n=3, threshold=0.2
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.col("dup_exact").cast("int")).cast("long").alias("n_exact_dup"),
+        F.sum(F.col("dup_near").cast("int")).cast("long").alias("n_near_dup"),
+        F.sum(
+            (~F.col("dup_exact") & ~F.col("dup_near")).cast("int")
+        ).cast("long").alias("n_kept"),
+    )
