@@ -95,8 +95,19 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle).""",
 )
 def x03_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.simhash_dedup(docs, "doc_id", "text", n=2).select("doc_id", "simhash")
+    # simhash_dedup's join-back exists to return FULL winner rows; this
+    # entry projects only (id, signature), so rank the signature table
+    # directly and skip that join (same winners, one SMJ less).
+    sigs = D.simhash_table(docs, "doc_id", "text", n=2)
+    w = Window.partitionBy("simhash").orderBy(F.col("doc_id"))
+    return (
+        sigs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "simhash")
+    )
 
 
 @register(
