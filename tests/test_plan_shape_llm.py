@@ -79,3 +79,22 @@ def test_quantize_audit_is_narrow_codegen(spark, sf_dir):
     df.collect()  # AQE-finalize before reading codegen markers
     plan = _plan(df)
     assert "*(1)" in plan  # whole-stage codegen compiled (no janino overflow)
+
+
+def test_no_row_python_udf_in_any_batch_entry(spark, sf_dir):
+    """Engine-wide invariant (docs/SCALE.md 'Python boundary policy'):
+    no batch catalog entry may plan a row-at-a-time Python UDF
+    (BatchEvalPython). Arrow-batched Python (ArrowEvalPython /
+    MapInPandas) is permitted only where semantics require it — the
+    multimodal decode entries. Catches any future entry that slips a
+    Python lambda into a hot path."""
+    arrow_allowed = {"x12_media_features", "x13_frame_sample"}
+    for name, q in sorted(QUERIES.items()):
+        if name.startswith("s"):  # streaming entries run real queries
+            continue
+        plan = _plan(q.spark(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} plans a row-wise Python UDF"
+        if name not in arrow_allowed:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name} plans Python execution outside the multimodal allowlist"
+            )
