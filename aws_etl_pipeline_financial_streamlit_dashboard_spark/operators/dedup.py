@@ -486,3 +486,23 @@ def incremental_dedup_flags(
         )
         .drop("__exact", "__near")
     )
+
+
+def word_ngrams_all(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (no distinct) — same shifted-slice
+    zip_with construction and short/NULL-text edges as
+    :func:`word_shingles`, for operators whose statistics weight
+    repeated n-grams (frequency/rarity scoring), where dedup's
+    set-semantics shingles would be wrong."""
+    toks = F.coalesce(tokens(text), F.array(F.lit("")))
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.when(b.isNull(), a).otherwise(
+                F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return grams

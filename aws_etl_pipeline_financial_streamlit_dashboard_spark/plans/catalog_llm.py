@@ -827,3 +827,80 @@ def x40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("dup_exact") & ~F.col("dup_near")).cast("int")
         ).cast("long").alias("n_kept"),
     )
+
+
+# ===========================================================================
+# x41 — bigram-rarity quality score (perplexity-proxy filter)
+# ===========================================================================
+
+_RARITY_ORACLE = r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                FOR i IN range(1, GREATEST(len(w)-1, 1) + 1)]) AS bg
+        FROM w
+    ),
+    stats AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+    tot AS (SELECT COUNT(*) AS n FROM bg),
+    terms AS (
+        SELECT b.doc_id,
+               CAST(FLOOR((CAST(t.n AS DOUBLE) / s.cnt) * 1000000.0 + 0.5)
+                    AS BIGINT) AS term_us
+        FROM bg b JOIN stats s USING (bg) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           FLOOR((CAST(SUM(term_us) AS DOUBLE) / (COUNT(*) * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rarity
+    FROM terms
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x41_bigram_rarity",
+    _RARITY_ORACLE,
+    doc="""Bigram-rarity quality score — the perplexity-proxy filter
+    shape without a language model: pass 1 aggregates corpus bigram
+    frequencies (WITH multiplicity — set-semantics shingles would be
+    wrong here), pass 2 scores every document by the mean inverse
+    corpus frequency of its bigrams. Junk/templated text scores high;
+    the two-pass corpus-stats→score DAG is the pattern every
+    statistical quality filter follows. Cross-engine float exactness:
+    each N/cnt term is an IEEE division of identical integers
+    (identical doubles in both engines, no transcendentals), quantized
+    to integer micros and summed EXACTLY as longs — order-independent,
+    so partial-aggregation order can't break the hash. Shuffles carry
+    the bigram vocabulary (counts) and one (doc, sum) row per doc; the
+    corpus total broadcasts as a 1-row aggregate.""",
+)
+def x41_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        fan_out,
+        word_ngrams_all,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = fan_out(docs).select(
+        "doc_id", F.explode(word_ngrams_all(F.col("text"), 2)).alias("bg")
+    )
+    stats = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    tot = bg.agg(F.count("*").alias("n"))
+    term_us = F.floor(
+        (F.col("n").cast("double") / F.col("cnt")) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        bg.join(stats, "bg")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term_us.alias("term_us"))
+    )
+    rarity = rhu(
+        F.sum("term_us").cast("double") / (F.count("*") * 1000000.0), 6
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        rarity.alias("rarity"),
+    )
