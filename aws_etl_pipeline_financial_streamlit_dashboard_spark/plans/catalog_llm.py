@@ -340,7 +340,11 @@ _OVERLAP_ORACLE = r"""
     count.""",
 )
 def x36_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("source", "text")
+    )
     sh = docs.select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
     ).distinct()
