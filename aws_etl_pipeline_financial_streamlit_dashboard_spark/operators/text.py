@@ -62,8 +62,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text)
     n_tokens = token_count(text)
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    stop_re = "^(" + "|".join(LANG_MARKERS["en"]) + ")$"
-    n_stop = F.size(F.filter(tokens(text), lambda t: t.rlike(stop_re)))
+    n_stop = _marker_hits(text, LANG_MARKERS["en"])
     nz = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
     return df.withColumns(
         {
@@ -76,15 +75,33 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _marker_hits(text: Column, markers: list[str]) -> Column:
+    """Count whitespace tokens of ``text`` exactly equal to one of
+    ``markers`` — as ONE codegen'd ``regexp_count`` over the
+    whitespace-normalized, space-padded text instead of an interpreted
+    ``F.filter(tokens, rlike)`` walk (HOF lambdas run interpreted, and
+    this was the last per-token interpreted loop in the text family).
+
+    Count-equivalence: tokens are the maximal non-space runs of the
+    \\s+-normalized text, so a token equals a marker iff the padded
+    string contains the marker between two spaces; the lookarounds are
+    zero-width, so adjacent marker tokens sharing one separator space
+    both count. NULL text → NULL, same as the HOF form."""
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(text), r"\s+", " "), F.lit(" ")
+    )
+    pat = "(?<= )(" + "|".join(markers) + ")(?= )"
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-token ratio (hits / tokens)."""
     toks = tokens(text)
     n = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        pat = "^(" + "|".join(markers) + ")$"
-        out[lang] = F.size(F.filter(toks, lambda t: t.rlike(pat))) / n
-    return out
+    return {
+        lang: _marker_hits(text, markers) / n
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

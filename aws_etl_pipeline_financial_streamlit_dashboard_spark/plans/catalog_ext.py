@@ -172,8 +172,7 @@ def x05_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    stop_re = "^(the|a|of|and)$"
-    n_stop = F.size(F.filter(toks, lambda t: t.rlike(stop_re)))
+    n_stop = X._marker_hits(F.col("text"), ["the", "a", "of", "and"])
     n_tokens = F.size(toks)
     return docs.select(
         "doc_id",
