@@ -173,3 +173,20 @@ def test_codegen_kernels_match_hof_reference(spark, sf_dir):
         for r in S.hyperplane_bucket_table(emb, 64, 4, 8).collect()
     }
     assert col_buckets == table_buckets and len(col_buckets) > 0
+
+
+def test_fan_out_guard(spark, sf_dir):
+    """fan_out must be the IDENTITY when the input already has at least
+    default-parallelism partitions (the 100 TB case — adding a
+    repartition there would shuffle the corpus), and must repartition
+    up to default parallelism when the scan is under-split (the
+    single-row-group local case)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wide = docs.repartition(par + 4)
+    assert fan_out(wide) is wide  # no exchange added at scale
+    narrow = docs.coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
