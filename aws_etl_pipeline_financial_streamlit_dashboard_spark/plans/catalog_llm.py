@@ -908,3 +908,65 @@ def x41_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         rarity.alias("rarity"),
     )
+
+
+# ===========================================================================
+# q39 — table profile (per-column quality audit)
+# ===========================================================================
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "q39_table_profile",
+    _PROFILE_ORACLE,
+    doc="""Table profiling (the ANALYZE / data-quality audit every
+    pipeline runs before training): per column, null count, exact
+    distinct count, and min/max. ONE scan computes every column's
+    metrics in a single aggregate (Catalyst plans the multi-distinct
+    via one Expand: rows replicate per distinct-column, then a single
+    two-phase aggregate — at 100 TB that is |cols|× map-side rows but
+    still one shuffle carrying partial states, vs |cols| full scans
+    for the naive per-column loop the oracle's UNION ALL spells out);
+    the wide result unpivots to one row per column. min/max surface as
+    strings — both engines print shortest-round-trip doubles and ISO
+    dates, so the cast is portable.""",
+)
+def q39_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"__nn_{c}").alias("n_nulls"),
+                    F.col(f"__nd_{c}").alias("n_distinct"),
+                    F.col(f"__mn_{c}").alias("min_value"),
+                    F.col(f"__mx_{c}").alias("max_value"),
+                )
+                for c in _PROFILE_COLS
+            ]
+        )
+    ).alias("r")
+    return wide.select(rows).select("r.*")
