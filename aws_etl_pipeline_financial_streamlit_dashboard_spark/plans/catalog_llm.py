@@ -970,3 +970,72 @@ def q39_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     return wide.select(rows).select("r.*")
+
+
+# ===========================================================================
+# q40 — referential-integrity audit (orphan foreign keys)
+# ===========================================================================
+
+
+@register(
+    "q40_orphan_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer cu
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = cu.c_nationkey))
+    """,
+    doc="""Referential-integrity audit over the relational graph:
+    orphan (dangling foreign-key) counts for lineitem→orders,
+    orders→customer, customer→nation — the constraint check a lakehouse
+    runs after every load, since parquet enforces nothing. Each edge is
+    one left join against the parent's distinct key (column pruning
+    reaches the scan; EXISTS semantics survive duplicate parent keys;
+    NULL FKs count as orphans, matching NOT EXISTS); small parents
+    broadcast under the size policy, a big parent degrades to a
+    shuffled join keyed on the FK. All three edges compose into ONE
+    declarative DAG (a union of 1-row aggregates) — no driver-side
+    count loop, one action total.""",
+)
+def q40_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(label: str, child, fk: str, parent, pk: str) -> DataFrame:
+        flagged = child.select(F.col(fk).alias("__k")).join(
+            parent.select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
+            "__k",
+            "left",
+        )
+        return flagged.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("relationship"), "n_child", "n_orphans"
+        )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(
+            edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
