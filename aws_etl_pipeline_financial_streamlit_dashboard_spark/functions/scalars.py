@@ -28,6 +28,21 @@ def month_display(month: Column) -> Column:
     return F.date_format(F.to_date(month, "yyyy-MM"), "MMM yyyy")
 
 
+def ts_micros(ts: Column | str) -> Column:
+    """Epoch microseconds from either TIMESTAMP or TIMESTAMP_NTZ.
+
+    Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ
+    under Spark's NTZ inference, and ``unix_micros`` is tz-strict
+    (rejects NTZ). The cast is a no-op for TIMESTAMP and interprets
+    NTZ wall-clock in the session timezone (UTC here) — matching
+    DuckDB's epoch_us on naive timestamps — so one expression serves
+    both storage flavors.
+    """
+    if isinstance(ts, str):
+        ts = F.col(ts)
+    return F.unix_micros(ts.cast("timestamp"))
+
+
 def safe_div(num: Column, den: Column) -> Column:
     """NULL-on-zero division — the engine's pinned divide-by-zero
     semantic (F8/F10; cleaning.py:59,87)."""

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
+
 _BUCKET = "__range_bucket"
 
 
@@ -48,18 +50,18 @@ def bucketed_range_join(
     on = list(on)
     w_us = window_seconds * 1_000_000
 
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / w_us)
+    lb = F.floor(ts_micros(left_ts) / w_us)
     ls = left.withColumn(_BUCKET, F.explode(F.array(lb, lb + 1)))
     rs = right.withColumn(
-        _BUCKET, F.floor(F.unix_micros(F.col(right_ts)) / w_us)
+        _BUCKET, F.floor(ts_micros(right_ts) / w_us)
     )
     return (
         ls.join(rs, [*on, _BUCKET])
         .filter(
             (F.col(right_ts) > F.col(left_ts))
             & (
-                F.unix_micros(F.col(right_ts))
-                <= F.unix_micros(F.col(left_ts)) + w_us
+                ts_micros(right_ts)
+                <= ts_micros(left_ts) + w_us
             )
         )
         .drop(_BUCKET)

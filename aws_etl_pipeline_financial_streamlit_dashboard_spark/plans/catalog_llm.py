@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    ts_micros,
     dec_sum,
     round_half_up as rhu,
     sql_dec_sum,
@@ -662,7 +663,7 @@ def q37_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.select(
         "event_id",
         "event_type",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         F.floor(F.col("value")).cast("long").alias("hi"),
         F.floor(
             (F.col("value") - F.floor(F.col("value"))) * 1000000.0 + F.lit(0.5)
@@ -728,7 +729,7 @@ def q37_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = ts_micros("ts") - ts_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0),
@@ -744,7 +745,7 @@ def q38_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "session_start"
             ),
             F.count("*").alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            (ts_micros(F.max("ts")) - ts_micros(F.min("ts"))).alias(
                 "duration_us"
             ),
         )
@@ -1038,4 +1039,104 @@ def q40_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
         )
+    )
+
+
+# ===========================================================================
+# q41 — SCD Type-2 dimension merge
+# ===========================================================================
+
+_SCD2_ORACLE = """
+    WITH hist_open AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               '2020-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to
+        FROM customer
+    ),
+    hist_closed AS (
+        SELECT c_custkey AS k, 'LEGACY' AS seg,
+               '2018-01' AS eff_from, '2020-01' AS eff_to
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                    ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END AS seg,
+               '2024-06' AS eff_from
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS k, 'NEWCO' AS seg, '2024-06' AS eff_from
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT k, seg, eff_from, eff_to FROM hist_closed
+    UNION ALL
+    SELECT h.k, h.seg, h.eff_from, h.eff_to
+    FROM hist_open h LEFT JOIN upd u ON h.k = u.k
+    WHERE u.k IS NULL OR h.seg = u.seg
+    UNION ALL
+    SELECT h.k, h.seg, h.eff_from, u.eff_from AS eff_to
+    FROM hist_open h JOIN upd u ON h.k = u.k
+    WHERE h.seg <> u.seg
+    UNION ALL
+    SELECT u.k, u.seg, u.eff_from, CAST(NULL AS VARCHAR) AS eff_to
+    FROM upd u LEFT JOIN hist_open h ON u.k = h.k
+    WHERE h.k IS NULL OR h.seg <> u.seg
+"""
+
+
+@register(
+    "q41_scd2_merge",
+    _SCD2_ORACLE,
+    doc="""SCD Type-2 dimension merge (operators/scd.scd2_merge): the
+    missing half of the reference's full-overwrite load
+    (TableTransform.py:26-29) — keep per-key history with
+    [effective_from, effective_to) validity instead of destroying it
+    each refresh. The scenario is synthesized deterministically from
+    customer: every 10th key carries a closed LEGACY row (passthrough
+    branch), every 7th key receives an update (every 14th a no-op with
+    identical attrs — the <=> same-attr branch), and every 97th key
+    arrives brand-new. One full-outer equi-join on the key + three
+    filtered projections + unions; the update side broadcasts when
+    daily-change-sized, and the closed-history passthrough never
+    shuffles. Oracle reproduces the merge with plain SQL joins.""",
+)
+def q41_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.scd import scd2_merge
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    hist_open = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01").alias("eff_from"),
+        F.lit(None).cast("string").alias("eff_to"),
+    )
+    hist_closed = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("LEGACY").alias("seg"),
+        F.lit("2018-01").alias("eff_from"),
+        F.lit("2020-01").alias("eff_to"),
+    )
+    history = hist_closed.unionByName(hist_open)
+
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string"))
+        )
+        .alias("seg"),
+        F.lit("2024-06").alias("eff_from"),
+    )
+    fresh = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("NEWCO").alias("seg"),
+        F.lit("2024-06").alias("eff_from"),
+    )
+    updates = changed.unionByName(fresh)
+
+    return scd2_merge(
+        history, updates, "k", ["seg"], eff_from="eff_from", eff_to="eff_to"
+    ).select(
+        "k", "seg", "eff_from", "eff_to"
     )

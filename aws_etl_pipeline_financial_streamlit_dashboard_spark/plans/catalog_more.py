@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    ts_micros,
     round_half_up as rhu,
     sql_dec_sum,
     sql_round,
@@ -447,7 +448,7 @@ def x17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         "purchase_value",
         "last_view_value",
     )

@@ -158,6 +158,11 @@ def run_dedup_available_now(
         # driver testdata stores TIMESTAMP(NANOS) → read as long under
         # nanosAsLong; convert so the stream has a real event-time col
         batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif "ts" in batch.columns and dict(batch.dtypes)["ts"] == "timestamp_ntz":
+        # naive parquet timestamps read as TIMESTAMP_NTZ, but watermarks
+        # are tz-strict (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); reinterpret
+        # wall-clock in the session tz (UTC)
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
     for i in range(n_copies):
         batch.coalesce(1).write.mode("append").parquet(src_dir)
 
