@@ -1140,3 +1140,38 @@ def q41_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k", "seg", "eff_from", "eff_to"
     )
+
+
+# ===========================================================================
+# x42 — deterministic global shuffle (training-data ordering)
+# ===========================================================================
+
+
+@register(
+    "x42_deterministic_shuffle",
+    """
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+    doc="""Deterministic global shuffle (operators/shuffle): every
+    document gets a contiguous 1-based position in a seed-derived
+    pseudo-random order — the reproducible example ordering a training
+    run consumes and resumes from. The order is md5(doc_id ':' seed),
+    a pure function of content+seed (DuckDB computes the identical
+    digests, so the full permutation is oracle-checked). Scale shape:
+    two-phase enumeration — range-partition sort on the hash key, then
+    per-partition row_number plus broadcast per-partition offsets —
+    never a single-partition global window.""",
+)
+def x42_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        deterministic_shuffle,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_shuffle(docs, "doc_id", seed=42).select(
+        "doc_id", "source", "shuffle_pos"
+    )
