@@ -946,7 +946,12 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
     dates, so the cast is portable.""",
 )
 def q39_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    # The Expand multiplies rows |distinct-cols|× beyond what the
+    # byte-based scan planning saw — fan_out parallelizes it on the
+    # single-row-group testdata and is the identity on real corpora.
+    orders = fan_out(read_table(spark, sf_dir, "orders").select(*_PROFILE_COLS))
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
