@@ -16,9 +16,9 @@ Scale design:
   round N replays rounds 1..N-1);
 - the convergence check is a count of changed labels — one action per
   round, driver sees only a scalar;
-- for adversarial diameters (long chains) the production upgrade is
-  the alternating large/small-star algorithm (same join primitives,
-  O(log n) rounds); dedup graphs don't need it.
+- for adversarial diameters (long chains) use
+  :func:`connected_components_star` below — the alternating
+  large/small-star algorithm (same join primitives, O(log n) rounds).
 """
 
 from __future__ import annotations
@@ -75,3 +75,102 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components —
+    the O(log n)-round variant for adversarial diameters.
+
+    Min-label propagation (above) needs O(diameter) rounds: a 10⁶-node
+    chain — or the long path a crawler's redirect chains can produce —
+    would take 10⁶ shuffles. The alternating algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) rewires
+    the edge set itself toward stars rooted at each component's min:
+
+    - large-star: per node u, attach every LARGER neighbor to
+      m = min(Γ(u) ∪ {u});
+    - small-star: per node u (edges oriented u > v), attach every
+      smaller neighbor and u itself to m = min(Γ<(u) ∪ {u}).
+
+    Both halve tree heights geometrically; convergence (edge set is a
+    fixed point: every edge already points at its component min) takes
+    O(log n) rounds on any topology. Same per-round economics as
+    min-propagation — one groupBy + one join per half-round over |E|
+    rows, lineage truncated per round, a scalar (count, checksum)
+    convergence probe — so the upgrade changes the ROUND COUNT, not the
+    round shape. Edges stay canonically oriented (u > v), so the state
+    carries |E| rows, not 2|E|.
+
+    Returns (node, component_id = component min), the same contract as
+    :func:`connected_components`; singletons don't appear (callers
+    coalesce). Node ids need only be orderable — the min is taken in
+    the column type's order.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # -- large-star ---------------------------------------------------
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star (ls edges are already oriented u > v) -------------
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        attach_nbrs = ls.join(mins2, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        attach_self = mins2.select("u", F.col("m").alias("v"))
+        e2 = (
+            attach_nbrs.union(attach_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            e2.agg(
+                F.count("*"),
+                # decimal sum: a long sum of 64-bit hashes overflows
+                # under ANSI semantics
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("label"))
+        .select(F.col("u").alias("node"), "label")
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return labels.union(roots).select(
+        "node", F.col("label").alias("component_id")
+    )

@@ -1180,3 +1180,51 @@ def x42_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", seed=42).select(
         "doc_id", "source", "shuffle_pos"
     )
+
+
+# ===========================================================================
+# x43 — connected components via alternating large/small-star
+# ===========================================================================
+
+
+@register(
+    "x43_components_star",
+    None,  # oracle assigned below — shares x18's recursive-CTE closure
+    doc="""The same dedup-cluster resolution as x18 (n-gram Jaccard
+    edges → transitive closure → min-id canonical labels) computed by
+    the alternating large-star/small-star algorithm
+    (operators/components.connected_components_star) instead of
+    min-label propagation: O(log n) rounds on ANY topology vs
+    O(diameter). Identical output contract and oracle as x18 — the
+    driver-green pair is the proof both implementations agree — but
+    this is the variant a crawl graph with redirect chains (10⁶-node
+    paths) needs: min-propagation would take 10⁶ shuffle rounds,
+    the star rewiring takes ~20.""",
+)
+def x43_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components_star,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components_star(edges, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    )
+
+
+# Share x18's oracle: the closure is implementation-independent.
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import catalog_more as _cm  # noqa: E402
+
+_Q["x43_components_star"].oracle = _cm._COMPONENTS_ORACLE
