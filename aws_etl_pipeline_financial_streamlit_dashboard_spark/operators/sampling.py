@@ -62,3 +62,40 @@ def mix_corpora(
         target_tokens = grand * (w / z)
         fractions[s] = min(1.0, target_tokens / max(totals[s], 1))
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (no RNG state).
+
+    Bernoulli sampling (above) hits a TARGET fraction with O(1/√n)
+    noise; some consumers need exactly k rows per stratum (eval slices,
+    per-source spot-check panels, balanced annotation batches). Rank
+    rows within each stratum by a content-derived hash —
+    ``md5(key ':' seed)``, uniform over keys, reproducible from the
+    seed, layout-independent — and keep the first k.
+
+    One hash-partitioned window shuffle on ``strata_col``; no global
+    sort, no driver coordination. A skewed stratum is one window
+    partition — for pathological single-stratum skew, pre-aggregate
+    with a salted top-k (operators/skew) instead. Output adds
+    ``sample_rank`` (1..k within each stratum).
+    """
+    from pyspark.sql import Window
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        shuffle_key,
+    )
+
+    w = Window.partitionBy(strata_col).orderBy(
+        shuffle_key(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

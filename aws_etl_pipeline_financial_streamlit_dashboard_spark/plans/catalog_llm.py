@@ -1228,3 +1228,41 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import Q
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import catalog_more as _cm  # noqa: E402
 
 _Q["x43_components_star"].oracle = _cm._COMPONENTS_ORACLE
+
+
+# ===========================================================================
+# x44 — exactly-k-per-stratum deterministic sample
+# ===========================================================================
+
+
+@register(
+    "x44_exact_stratified_sample",
+    """
+    SELECT source, doc_id, sample_rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':44'), doc_id
+               ) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= 25
+    """,
+    doc="""Exactly-25-per-source deterministic sample
+    (operators/sampling.exact_stratified_sample): rank each stratum by
+    a content-derived hash and keep the first k — the exact-count
+    complement to x20's Bernoulli sampler, for eval slices and
+    balanced annotation batches where "about k" isn't acceptable. No
+    RNG state: the hash makes the draw uniform, seeded, and
+    layout-independent, and DuckDB computes the identical md5 ranking,
+    so the full selection is oracle-checked. One window shuffle
+    partitioned by source.""",
+)
+def x44_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return exact_stratified_sample(
+        docs, strata_col="source", key_col="doc_id", k=25, seed=44
+    ).select("source", "doc_id", "sample_rank")
