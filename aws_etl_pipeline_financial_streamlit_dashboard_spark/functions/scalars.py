@@ -147,3 +147,13 @@ def sql_stable_avg(expr: str, n: int = 2) -> str:
     lo = f"SUM(CAST(FLOOR(({e} - FLOOR({e})) * 1000000.0 + 0.5) AS BIGINT))"
     total = f"(CAST({hi} AS DOUBLE) + CAST({lo} AS DOUBLE) / 1000000.0)"
     return sql_round(f"{total} / COUNT({e})", n)
+
+
+def dexpr(sql: str) -> Column:
+    """``F.expr`` wrapper forcing a DOUBLE result for the portable
+    sql_* aggregate strings: Spark parses the literal ``100.0`` as
+    DECIMAL(4,1) (DuckDB: DOUBLE), so the outermost division would
+    decimal-ize the column. The cast restores the Column-DSL type;
+    the value is bit-identical (n/100 is exact in double for
+    |n| < 2⁵³)."""
+    return F.expr(f"CAST(({sql}) AS DOUBLE)")

@@ -35,6 +35,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.core import 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
     dec_sum,
+    dexpr,
     round_half_up as rhu,
     sql_dec_sum,
     sql_stable_avg,
@@ -307,25 +308,30 @@ _FLAGSHIP_ORACLE = f"""
 def q07_flagship_industry_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    # Aggregates as single F.expr strings: the sql_* twins emit
+    # engine-portable SQL that Spark parses too, so one py4j round trip
+    # per aggregate replaces the ~6 Column-DSL calls each fixed-point
+    # aggregate would cost at plan-BUILD time (measured ~0.2 s/pass on
+    # this query), and both engines compile the same expression text.
     order_stats = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.count("*").alias("order_cnt"),
-            dec_sum("o_totalprice", 2).alias("spend"),
-            F.max("o_totalprice").alias("max_order"),
+            F.expr("COUNT(*)").alias("order_cnt"),
+            dexpr(sql_dec_sum("o_totalprice", 2)).alias("spend"),
+            F.expr("MAX(o_totalprice)").alias("max_order"),
         )
     )
     joined = customer.join(
         nation, customer.c_nationkey == nation.n_nationkey, "left"
     ).join(order_stats, customer.c_custkey == order_stats.o_custkey, "left")
     return joined.groupBy(F.col("n_name").alias("segment_nation")).agg(
-        F.count("*").alias("n_customers"),
-        stable_avg("c_acctbal", 2).alias("avg_acctbal"),
-        stable_avg("order_cnt", 6).alias("avg_order_cnt"),
-        stable_avg("spend", 2).alias("avg_spend"),
-        stable_avg("max_order", 2).alias("avg_max_order"),
-        dec_sum("spend", 2).alias("total_spend"),
+        F.expr("COUNT(*)").alias("n_customers"),
+        dexpr(sql_stable_avg("c_acctbal", 2)).alias("avg_acctbal"),
+        dexpr(sql_stable_avg("order_cnt", 6)).alias("avg_order_cnt"),
+        dexpr(sql_stable_avg("spend", 2)).alias("avg_spend"),
+        dexpr(sql_stable_avg("max_order", 2)).alias("avg_max_order"),
+        dexpr(sql_dec_sum("spend", 2)).alias("total_spend"),
     )
 
 
@@ -669,19 +675,22 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # One F.expr per aggregate (same portable SQL the oracle runs) —
+    # the Column-DSL form cost ~0.2 s of py4j round trips per
+    # plan-build on this 8-aggregate list; see q07 note.
+    dp = "l_extendedprice * (1 - l_discount)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        li.filter(F.expr("l_shipdate <= CAST('2001-06-01' AS TIMESTAMP)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", 2).alias("sum_qty"),
-            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
-            dec_sum(disc_price, 2).alias("sum_disc_price"),
-            dec_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
-            stable_avg("l_quantity", 6).alias("avg_qty"),
-            stable_avg("l_extendedprice", 2).alias("avg_price"),
-            stable_avg("l_discount", 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            dexpr(sql_dec_sum("l_quantity", 2)).alias("sum_qty"),
+            dexpr(sql_dec_sum("l_extendedprice", 2)).alias("sum_base_price"),
+            dexpr(sql_dec_sum(dp, 2)).alias("sum_disc_price"),
+            dexpr(sql_dec_sum(f"{dp} * (1 + l_tax)", 2)).alias("sum_charge"),
+            dexpr(sql_stable_avg("l_quantity", 6)).alias("avg_qty"),
+            dexpr(sql_stable_avg("l_extendedprice", 2)).alias("avg_price"),
+            dexpr(sql_stable_avg("l_discount", 6)).alias("avg_disc"),
+            F.expr("COUNT(*)").alias("count_order"),
         )
     )
 
