@@ -38,34 +38,46 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row, attach the ``value_cols`` of the latest
-    ``right`` row with the same ``on`` keys and ``right_ts <= left_ts``
-    (left-outer semantics: no prior right row → NULLs).
+    """For each ``left`` row, attach the ``value_cols`` of the nearest
+    ``right`` row with the same ``on`` keys — the latest with
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    earliest with ``right_ts >= left_ts`` (``direction="forward"``).
+    Left-outer semantics: no qualifying right row → NULLs.
 
     A right row whose timestamp *equals* the left's matches (``>=``,
     DuckDB/pandas ``merge_asof`` default); the ``side`` ordering key
-    places right rows before left rows at identical timestamps.
+    places right rows on the match-eligible side of left rows at
+    identical timestamps. Forward is the same union-merge with the
+    window frame and fill mirrored (CURRENT..UNBOUNDED FOLLOWING,
+    ``first`` instead of ``last``) — still one shuffle.
 
-    ``tolerance`` (optional duration column/literal) voids matches older
-    than ``left_ts - tolerance``, evaluated after the fill so it adds no
-    extra shuffle.
+    ``tolerance`` (optional duration column/literal) voids matches
+    farther than ``tolerance`` from ``left_ts``, evaluated after the
+    fill so it adds no extra shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     on = list(on)
     value_cols = list(value_cols)
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
 
+    # right rows must sort on the match-eligible side of equal-ts left
+    # rows: before (backward) / after (forward)
+    r_side, l_side = (0, 1) if backward else (1, 0)
     rs = right.select(
         *on,
         F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
+        F.lit(r_side).alias(_SIDE),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     ls = left.select(
         *on,
         F.col(left_ts).alias(_TS),
-        F.lit(1).alias(_SIDE),
+        F.lit(l_side).alias(_SIDE),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
             for c in value_cols
@@ -73,14 +85,18 @@ def asof_join(
         *left_cols,
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols]
-    matched_ts = F.last(
-        F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True
+    base = Window.partitionBy(*on).orderBy(_TS, _SIDE)
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = F.first
+    filled = [
+        fill(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    matched_ts = fill(
+        F.when(F.col(_SIDE) == r_side, F.col(_TS)), ignorenulls=True
     ).over(w)
 
     out = ls.unionByName(rs).select(
@@ -100,13 +116,18 @@ def asof_join(
             *left_cols,
             *[
                 F.when(
-                    F.col("__match_ts") >= F.col(_TS) - tolerance, F.col(c)
+                    (
+                        F.col("__match_ts") >= F.col(_TS) - tolerance
+                        if backward
+                        else F.col("__match_ts") <= F.col(_TS) + tolerance
+                    ),
+                    F.col(c),
                 ).alias(c)
                 for c in value_cols
             ],
         )
     return (
-        out.filter(F.col(_SIDE) == 1)
+        out.filter(F.col(_SIDE) == l_side)
         .drop(_SIDE, "__match_ts")
         .withColumnRenamed(_TS, left_ts)
     )

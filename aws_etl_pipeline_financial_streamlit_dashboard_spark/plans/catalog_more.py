@@ -1461,3 +1461,53 @@ def x29_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpora(docs, "source", "n_tokens", weights, seed=42).select(
         "doc_id", "source", "n_tokens"
     )
+
+
+@register(
+    "x45_asof_forward",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           p.value AS purchase_value,
+           v.value AS next_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    doc="""Forward as-of join: each purchase picks up the value of the
+    same user's EARLIEST following view — the "what happened next"
+    direction (lead attribution, next-quote-after-trade). Same
+    union-merge single-shuffle algorithm as x17 with the window frame
+    mirrored (CURRENT..UNBOUNDED FOLLOWING, first() fill);
+    DuckDB's native ASOF JOIN with the inequality flipped is the
+    oracle (operators.asof.asof_join direction='forward').""",
+)
+def x45_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("next_view_value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_view_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_micros("ts").alias("ts_us"),
+        "purchase_value",
+        "next_view_value",
+    )

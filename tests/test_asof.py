@@ -84,3 +84,55 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_forward_semantics(spark):
+    trades, quotes = _fixtures(spark)
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["quote"],
+        direction="forward",
+    )
+    got = {r["trade_id"]: r["quote"] for r in out.collect()}
+    assert got == {
+        1: None,  # no quote at/after 10:00:05
+        2: 99.5,  # equal timestamps match (>= semantics, mirrored)
+        3: 99.5,  # earliest following quote
+        4: None,  # B's only quote precedes the trade
+        5: None,  # key never quoted
+    }
+    assert out.count() == trades.count()
+
+
+def test_asof_forward_tolerance(spark):
+    trades, quotes = _fixtures(spark)
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["quote"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 30 SECONDS"),
+    )
+    got = {r["trade_id"]: r["quote"] for r in out.collect()}
+    # trade 3 (09:59:00): next quote 10:00:00 is 60 s away — voided
+    assert got[3] is None
+    assert got[2] == 99.5
+
+
+def test_asof_rejects_bad_direction(spark):
+    trades, quotes = _fixtures(spark)
+    try:
+        asof_join(
+            trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+            value_cols=["quote"], direction="nearest",
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
