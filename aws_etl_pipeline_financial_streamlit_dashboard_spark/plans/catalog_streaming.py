@@ -296,3 +296,84 @@ def s08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_sum("value", 2).alias("sum_value"),
     )
+
+
+@register(
+    "s09_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id,
+           epoch_us(p.ts) AS p_ts_us,
+           epoch_us(v.ts) AS v_ts_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    doc="""Watermarked stream-stream inner join: purchases joined to the
+    same user's views from the preceding hour, both sides REAL streams
+    (file source → memory sink, Trigger.AvailableNow). The join
+    condition bounds each side's event time relative to the other, so
+    Spark's state store evicts buffered rows once the 2-hour watermark
+    passes them — bounded state on unbounded streams, the property a
+    batch join can't give. The single-file source drains in one
+    micro-batch (watermark starts at -inf), so the streamed result
+    equals the batch join — which is what the oracle checks. ts arrives
+    TIMESTAMP_NTZ from naive parquet and is cast for the tz-strict
+    watermark.""",
+)
+def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def side(tag: str, etype: str):
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(glob)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_event_id"),
+                F.col("user_id").alias(f"{tag}_user_id"),
+                F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", "2 hours")
+        )
+
+    p, v = side("p", "purchase"), side("v", "view")
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user_id = v_user_id "
+            "AND v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("v_event_id").alias("view_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("v_ts").alias("v_ts_us"),
+    )
+
+    name = f"stream_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
