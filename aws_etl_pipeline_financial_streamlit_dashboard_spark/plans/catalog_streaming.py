@@ -377,3 +377,97 @@ def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@register(
+    "s10_stream_stream_left_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM p),
+                             (SELECT MAX(ts) FROM v))
+                       - INTERVAL 2 HOUR AS w)
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id,
+           epoch_us(p.ts) AS p_ts_us,
+           epoch_us(v.ts) AS v_ts_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, NULL, p.user_id, epoch_us(p.ts), NULL
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM v
+                      WHERE v.user_id = p.user_id
+                        AND v.ts > p.ts - INTERVAL 1 HOUR
+                        AND v.ts <= p.ts)
+    """,
+    doc="""LEFT-OUTER stream-stream join — s09 plus the hard part:
+    null-extended results for unmatched purchases can only emit once
+    the state store PROVES no matching view will arrive, i.e. when the
+    global watermark (Spark's multi-watermark policy: min over both
+    sides' max event time, minus the 2-hour delay) passes the purchase.
+    Purchases inside the final watermark horizon stay unmatched-pending
+    forever in a drained stream — a batch LEFT JOIN is provably NOT the
+    streaming answer. The oracle encodes exactly that semantics:
+    inner matches plus NOT-EXISTS rows older than
+    LEAST(max_p_ts, max_v_ts) - 2h (verified boundary-exact against
+    the real run). State stays bounded by the same eviction.""",
+)
+def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    read_table(spark, sf_dir, "events")
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def side(tag: str, etype: str):
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(glob)
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_event_id"),
+                F.col("user_id").alias(f"{tag}_user_id"),
+                F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", "2 hours")
+        )
+
+    p, v = side("p", "purchase"), side("v", "view")
+    joined = p.join(
+        v,
+        F.expr(
+            "p_user_id = v_user_id "
+            "AND v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+        "left_outer",
+    ).select(
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("v_event_id").alias("view_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("v_ts").alias("v_ts_us"),
+    )
+
+    name = f"stream_left_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
