@@ -302,12 +302,40 @@ def x10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_id=1, k=10, n_cells=16, n_probe=4, dim=64)
 
 
+_KNN_ORACLE = """
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 16),
+    sims AS (
+        SELECT qs.query_id, e.vec_id AS neighbor_id,
+               FLOOR((list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE)
+                           FOR i IN range(1, len(e.embedding) + 1)])
+                 / NULLIF(
+                     SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                    FOR i IN range(1, len(e.embedding) + 1)]))
+                     * SQRT(list_sum([CAST(qs.qv[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE)
+                                      FOR i IN range(1, len(qs.qv) + 1)])),
+                     0)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM embeddings e, qs
+        WHERE e.vec_id <> qs.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM sims)
+    SELECT query_id, neighbor_id, cosine_sim FROM r WHERE rn <= 5
+"""
+
+
 @register(
     "x11_knn_join",
-    None,  # exact but heavy oracle; covered rows-only + tests vs x09
+    _KNN_ORACLE,
     doc="""Brute-force k-NN join: top-5 neighbors for every vector of a
     16-vector query set (broadcast the small side, window-rank per
-    query). The batched form of x09.""",
+    query). The batched form of x09, with the full oracle: the same
+    sequential-accumulation cosine as x09 per (query, corpus) pair,
+    window-ranked per query with the identical id tiebreak — every
+    neighbor list and similarity is hash-checked, upgrading this entry
+    from rows-only.""",
 )
 def x11_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
