@@ -1,0 +1,119 @@
+"""Deterministic PageRank — iterative link-graph scoring with exact
+cross-engine parity.
+
+Link-graph centrality is a standard corpus-quality signal (crawl
+pipelines rank hosts/pages by it to prioritize and filter; the same
+power-iteration shape scores any entity graph). The catalog needs the
+ITERATIVE operator family beyond connected components, and it needs it
+oracle-checkable — which float PageRank is not: distributed float sums
+are order-dependent, so Spark and a serial engine drift at the last
+ulp and rounding can't reliably mask that at hash-compare strictness.
+
+The fix is the same move as functions.scalars.dec_sum: do the
+arithmetic in INTEGER micro-units. Ranks are bigint micros
+(1_000_000 = 1.0); each iteration is
+
+    contrib(u)   = rank_us(u) DIV degree(u)          (integer division)
+    rank_us'(v)  = 150_000 + (850_000 * Σ incoming contrib) DIV 1_000_000
+
+Integer sums are order-independent, so a FIXED number of iterations
+yields bit-identical bigints on any engine and any partitioning — the
+oracle simply unrolls the same recurrence. (The DIV truncation leaks
+rank mass, which plain PageRank would renormalize; for a quality
+SIGNAL the ordering is what matters and the leak is deterministic.
+Overflow bound: DAMP_US · Σ contribs stays under 2⁶³ while total graph
+mass n·10⁶ < ~10¹³, i.e. up to ~10⁷ nodes per connected component
+accumulating into one hub; past that, promote the product to
+decimal(38,0) on both sides.)
+
+Scale shape: per iteration one join (ranks ⋈ out-edges, shuffled on
+the source key) + one aggregate (shuffled on the destination key) over
+|E| rows — identical economics to connected components' rounds;
+``localCheckpoint`` truncates lineage so the plan stays O(1) across
+iterations. Iteration count is fixed (not convergence-probed): no
+driver round trips at all beyond the checkpoint actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_US = 850_000  # 0.85 damping in micro-units
+BASE_US = 150_000  # (1 - 0.85)
+MICRO = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Deterministic integer PageRank over an UNDIRECTED graph given as
+    an edge list (each edge contributes both directions). Returns
+    (node, rank_us) with rank in bigint micro-units; isolated nodes
+    don't appear (callers union them at BASE_US + DAMP_US·0 if needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    out = sym.join(degrees, "u").localCheckpoint(eager=True)
+
+    ranks = degrees.select(
+        "u", F.lit(MICRO).cast("long").alias("rank_us")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        # `div` = exact integer division on longs in BOTH engines
+        # (DuckDB `//`); double `/` + cast could truncate k-1 when the
+        # float quotient lands one ulp under an exact integer.
+        contribs = out.join(ranks, "u").select(
+            F.col("v").alias("u"),
+            F.expr("rank_us div deg").alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                F.expr(
+                    f"CAST({BASE_US} + ({DAMP_US} * s) div {MICRO} AS BIGINT)"
+                ).alias("rank_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("node"), "rank_us")
+
+
+def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:
+    """Generate the DuckDB oracle for :func:`pagerank_int`: the same
+    integer recurrence with the fixed iteration count UNROLLED as
+    chained CTEs (recursive CTEs forbid aggregation in the recursive
+    term; unrolling a fixed count is plain SQL).
+
+    ``edges_cte`` must be a SELECT yielding columns (src, dst).
+    """
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "sym AS (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM e0 "
+        "UNION ALL SELECT dst AS u, src AS v FROM e0)),",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),",
+        "r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank_us FROM deg),",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT s.v AS u, "
+            f"CAST(150000 + CAST(850000 * SUM(CAST(r.rank_us // d.deg AS BIGINT)) "
+            f"AS BIGINT) // 1000000 AS BIGINT) AS rank_us "
+            f"FROM sym s JOIN deg d ON s.u = d.u "
+            f"JOIN r{i} r ON s.u = r.u "
+            f"GROUP BY s.v),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT u AS node, rank_us FROM r{iterations}"

@@ -1266,3 +1266,49 @@ def x44_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_stratified_sample(
         docs, strata_col="source", key_col="doc_id", k=25, seed=44
     ).select("source", "doc_id", "sample_rank")
+
+
+# ===========================================================================
+# x46 — deterministic link-graph rank (integer PageRank)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.graphrank import (  # noqa: E402
+    pagerank_oracle_sql,
+)
+
+_RANK_EDGES_CTE = (
+    "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+
+
+@register(
+    "x46_graph_pagerank",
+    pagerank_oracle_sql(_RANK_EDGES_CTE, iterations=5),
+    doc="""Deterministic integer PageRank (operators/graphrank) over the
+    bipartite customer–supplier purchase graph (distinct
+    (o_custkey, l_suppkey) pairs; node ids disambiguated by parity).
+    Link-graph centrality is the classic crawl-corpus quality signal;
+    the catalog's iterative family beyond connected components. All
+    arithmetic in bigint micro-units with integer division, so 5 fixed
+    power iterations produce bit-identical bigints in both engines —
+    the oracle unrolls the identical recurrence as 5 chained CTEs.
+    Per iteration: one join + one aggregate over |E| rows, lineage
+    truncated — the same round economics as components.""",
+)
+def x46_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.graphrank import (
+        pagerank_int,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_int(edges, iterations=5)
