@@ -1312,3 +1312,44 @@ def x46_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_int(edges, iterations=5)
+
+
+# ===========================================================================
+# q42 — salted skew-proof join
+# ===========================================================================
+
+
+@register(
+    "q42_salted_join",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="""Salted skew-proof join (operators/skew.salted_join): the
+    fact side carries a random salt, the other side replicates across
+    the salt domain, and the join key becomes (key, salt) — splitting
+    a hot key across n_salts reducers when AQE's skew split can't
+    apply (e.g. the join must stay co-partitioned for a downstream
+    op). Salting must be RESULT-INVARIANT: the oracle is the plain
+    unsalted join, aggregated per order status so the comparison is
+    salt-placement-independent. q25 covers the aggregation flavor;
+    this is the join flavor.""",
+)
+def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li,
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on=["l_orderkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
