@@ -78,3 +78,57 @@ def scd2_merge(
     return closed.unionByName(kept_open).unionByName(newly_closed).unionByName(
         new_open
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture diff between two snapshots of a keyed table:
+    one row per changed key with ``action`` ∈ insert / update / delete.
+
+    The CDC primitive every incremental pipeline needs when the source
+    can only hand over full snapshots (the reference's daily full
+    refresh, retrieval.py:142-146, is exactly that shape): diff today's
+    snapshot against yesterday's and ship only the delta downstream.
+
+    One full-outer equi-join on the key; attribute comparison is
+    null-safe (``<=>``). Unchanged keys are dropped — the common case —
+    so the output is delta-sized, not table-sized. At scale both
+    snapshots shuffle on the key once; with both stored bucketed by the
+    key the join is exchange-free (sources/bucketing).
+    """
+    attrs = list(attrs)
+    o = old.select(
+        F.col(key).alias("__o_key"),
+        *[F.col(a).alias(f"__o_{a}") for a in attrs],
+    )
+    n = new.select(
+        F.col(key).alias("__n_key"),
+        *[F.col(a).alias(f"__n_{a}") for a in attrs],
+    )
+    j = o.join(n, o["__o_key"] == n["__n_key"], "full_outer")
+
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"__o_{a}").eqNullSafe(F.col(f"__n_{a}"))
+
+    has_old = F.col("__o_key").isNotNull()
+    has_new = F.col("__n_key").isNotNull()
+    action = (
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            F.coalesce("__n_key", "__o_key").alias(key),
+            F.col("action"),
+            *[F.col(f"__o_{a}").alias(f"old_{a}") for a in attrs],
+            *[F.col(f"__n_{a}").alias(f"new_{a}") for a in attrs],
+        )
+    )

@@ -1353,3 +1353,71 @@ def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lineitems"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
     )
+
+
+# ===========================================================================
+# q43 — snapshot diff (change data capture)
+# ===========================================================================
+
+_CDC_ORACLE = """
+    WITH old AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 50 <> 0
+    ),
+    new AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+                    ELSE c_mktsegment END AS seg,
+               c_acctbal AS bal
+        FROM customer WHERE c_custkey % 41 <> 0
+    )
+    SELECT COALESCE(n.k, o.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS action,
+           o.seg AS old_seg, o.bal AS old_bal,
+           n.seg AS new_seg, n.bal AS new_bal
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL
+       OR o.seg IS DISTINCT FROM n.seg OR o.bal IS DISTINCT FROM n.bal
+"""
+
+
+@register(
+    "q43_snapshot_diff",
+    _CDC_ORACLE,
+    doc="""Change-data-capture diff (operators/scd.snapshot_diff):
+    yesterday's vs today's snapshot of a keyed table → one row per
+    changed key tagged insert/update/delete, unchanged keys dropped.
+    The reference's pipeline ships FULL snapshots daily
+    (retrieval.py:142-146); this is the op that turns them into
+    delta-sized downstream loads. Scenario synthesized from customer:
+    every 50th key absent from 'old' (inserts), every 41st absent from
+    'new' (deletes), every 7th re-segmented (updates). One full-outer
+    join on the key; delta-sized output.""",
+)
+def q43_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.scd import snapshot_diff
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    old = cust.filter(F.col("c_custkey") % 50 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    new = cust.filter(F.col("c_custkey") % 41 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return snapshot_diff(old, new, "k", ["seg", "bal"]).select(
+        "k", "action", "old_seg", "old_bal", "new_seg", "new_bal"
+    )
