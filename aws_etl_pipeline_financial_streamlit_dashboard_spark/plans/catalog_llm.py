@@ -1421,3 +1421,134 @@ def q43_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "k", ["seg", "bal"]).select(
         "k", "action", "old_seg", "old_bal", "new_seg", "new_bal"
     )
+
+
+# ===========================================================================
+# q44 — funnel conversion
+# ===========================================================================
+
+
+@register(
+    "q44_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    flags AS (
+        SELECT v.user_id,
+               EXISTS (SELECT 1 FROM events p
+                       WHERE p.event_type = 'purchase'
+                         AND p.user_id = v.user_id
+                         AND p.ts > v.first_view
+                         AND p.ts <= v.first_view + INTERVAL 24 HOUR)
+                   AS converted
+        FROM v
+    )
+    SELECT COUNT(*) AS n_viewers,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           FLOOR((CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+               AS conversion_rate
+    FROM flags
+    """,
+    doc="""Funnel conversion: of users whose first view happened, how
+    many purchased within 24 hours of it — the view→purchase step of
+    the classic event funnel. One aggregate for first-view per user,
+    one EXISTS-shaped left-semi join with the time bound (rewritten as
+    a join+flag so it stays one equi-shuffle on user_id; the time
+    predicate is a residual), one 1-row rollup. At scale: both inputs
+    shuffle once on user_id — no window over the full event stream.""",
+)
+def q44_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), ts.alias("p_ts")
+    )
+    converted_users = (
+        first_view.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("converted", F.lit(True))
+    )
+    flags = first_view.join(converted_users, "user_id", "left").select(
+        "user_id", F.coalesce("converted", F.lit(False)).alias("converted")
+    )
+    return flags.agg(
+        F.count("*").alias("n_viewers"),
+        F.sum(F.col("converted").cast("int")).cast("long").alias("n_converted"),
+        rhu(
+            F.sum(F.col("converted").cast("int")).cast("double") / F.count("*"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+# ===========================================================================
+# q45 — cohort retention
+# ===========================================================================
+
+
+@register(
+    "q45_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="""Cohort retention: users grouped by first-activity day, with
+    the count still active at each day offset 0..7 — the dashboard
+    table behind every retention curve. One aggregate for the cohort
+    assignment, one equi-join back to activity (shuffled on user_id),
+    distinct per (user, offset), then a small groupBy. The distinct is
+    the only extra exchange and carries (user, cohort, offset) ids
+    only.""",
+)
+def q45_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
