@@ -136,3 +136,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for lid, rv in expected.items():
         g = got[lid]
         assert (g is None and (rv is None or pd.isna(rv))) or g == rv
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point aggregate parity: dec_sum/stable_avg (Spark) must be
+# BITWISE equal to their sql_* twins (DuckDB) on arbitrary doubles —
+# the core cross-engine determinism trick the whole catalog leans on.
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dec_sum_stable_avg_match_duckdb(spark, values):
+    import duckdb
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+        dec_sum,
+        sql_dec_sum,
+        sql_stable_avg,
+        stable_avg,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(
+        dec_sum("v", 2).alias("s"), stable_avg("v", 6).alias("a")
+    ).first()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES {}) AS t(v)".format(
+        ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in values)
+    ))
+    want = con.sql(
+        f"SELECT {sql_dec_sum('v', 2)} AS s, {sql_stable_avg('v', 6)} AS a FROM t"
+    ).fetchone()
+
+    assert got["s"] == want[0], (values, got["s"], want[0])
+    assert got["a"] == want[1], (values, got["a"], want[1])
