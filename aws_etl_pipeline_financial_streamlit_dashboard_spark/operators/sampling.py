@@ -99,3 +99,71 @@ def exact_stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mix_corpora_deterministic(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    key_col: str,
+    target_weights: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus mixing with NO RNG state and NO driver-side action — the
+    fully-deterministic, oracle-checkable variant of :func:`mix_corpora`.
+
+    Differences from the Bernoulli form:
+
+    - acceptance is a hash threshold — keep row ⇔
+      ``md5(key ':' seed)``'s first 32 bits, as a fraction of 2³²,
+      fall below the source's keep-fraction. Reproducible from (keys,
+      seed) alone, layout-independent, and computable by any engine;
+    - per-source token totals and keep-fractions are computed INSIDE
+      the DAG (a |sources|-row aggregate with its grand total windowed
+      over it, broadcast-joined back) instead of ``collect()``-ed to
+      the driver — no extra job before the real one at 100 TB.
+
+    Never up-samples (fraction capped at 1.0). Normalized weights are
+    embedded as literals so both engines run identical double
+    arithmetic.
+    """
+    from pyspark.sql import Window
+
+    z = sum(target_weights.values())
+    shares = [(s, w / z) for s, w in target_weights.items()]
+    share_df = F.broadcast(
+        df.sparkSession.createDataFrame(shares, f"{source_col} string, __share double")
+    )
+
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("__toks"))
+    grand_w = Window.partitionBy()  # |sources| rows — bounded window
+    fractions = (
+        totals.join(share_df, source_col)
+        .withColumn("__grand", F.sum("__toks").over(grand_w))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("__grand") * F.col("__share"))
+                / F.greatest(F.col("__toks"), F.lit(1)).cast("double"),
+            ).alias("__frac"),
+        )
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(fractions), source_col)
+        .filter(bucket < F.col("__frac"))
+        .drop("__frac")
+    )

@@ -1511,3 +1511,80 @@ def x45_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         "next_view_value",
     )
+
+
+# ===========================================================================
+# x47 — deterministic corpus mixing (oracle-checked recipe step)
+# ===========================================================================
+
+_MIX_SHARES = [("src0", 0.4), ("src1", 0.4), ("src2", 0.1), ("src3", 0.1)]
+
+_MIX_DET_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM documents
+    ),
+    shares(source, share) AS (VALUES
+        ('src0', 0.4), ('src1', 0.4), ('src2', 0.1), ('src3', 0.1)),
+    totals AS (
+        SELECT t.source, CAST(s.share AS DOUBLE) AS share,
+               SUM(t.n_tokens) AS toks
+        FROM toks t JOIN shares s ON t.source = s.source
+        GROUP BY t.source, s.share
+    ),
+    fr AS (
+        SELECT source,
+               LEAST(1.0, (SUM(toks) OVER () * share)
+                          / CAST(GREATEST(toks, 1) AS DOUBLE)) AS frac
+        FROM totals
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
+    FROM toks t JOIN fr ON t.source = fr.source
+    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':47'), 1, 8))::UBIGINT
+          / 4294967296.0 < fr.frac
+    GROUP BY t.source
+"""
+
+
+@register(
+    "x47_corpus_mix_deterministic",
+    _MIX_DET_ORACLE,
+    doc="""Deterministic corpus mixing
+    (operators/sampling.mix_corpora_deterministic): down-sample sources
+    toward 40/40/10/10 token shares with a HASH threshold instead of
+    RNG — keep a doc iff md5(doc_id:seed)'s first 32 bits fall below
+    the source's keep-fraction — and the fractions computed INSIDE the
+    DAG (a |sources|-row aggregate + bounded window, broadcast back),
+    no driver collect. Fully reproducible from (keys, seed) and
+    engine-independent, so unlike x29's Bernoulli form the ENTIRE
+    recipe — fractions, selection, realized token mass — is
+    oracle-checked. Output: per-source kept docs and tokens.""",
+)
+def x47_corpus_mix_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        mix_corpora_deterministic,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    mixed = mix_corpora_deterministic(
+        docs,
+        source_col="source",
+        token_col="n_tokens",
+        key_col="doc_id",
+        target_weights=dict(_MIX_SHARES),
+        seed=47,
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
