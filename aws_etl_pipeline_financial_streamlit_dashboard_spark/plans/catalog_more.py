@@ -1588,3 +1588,45 @@ def x47_corpus_mix_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("tokens_kept"),
     )
+
+
+# ===========================================================================
+# x48 — entity resolution: blocked edit-distance matching
+# ===========================================================================
+
+
+@register(
+    "x48_entity_match",
+    """
+    WITH p AS (SELECT p_partkey, p_name,
+                      split_part(p_name, ' ', 1) AS blk
+               FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="""Entity resolution (operators/dedup.blocked_levenshtein_pairs):
+    near-identical part names matched by edit distance <= 3 inside
+    first-word blocks — the record-linkage shape for dirty
+    vendor/product/customer names, where unblocked edit distance is
+    O(n^2) string DP. Blocking makes candidates sum-of-block-squared
+    (standard ER economics, hot blocks = hot shingles); the block join
+    is one equi-shuffle and levenshtein runs codegen'd JVM-side. Both
+    engines implement the identical metric, so every pair and distance
+    hash-checks.""",
+)
+def x48_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        fan_out,
+    )
+
+    part = fan_out(read_table(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    return blocked_levenshtein_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_col=F.split(F.col("p_name"), " ").getItem(0),
+        max_dist=3,
+    ).select("id_a", "id_b", "edit_dist")
