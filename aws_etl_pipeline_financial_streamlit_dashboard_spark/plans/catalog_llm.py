@@ -1552,3 +1552,35 @@ def q45_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ===========================================================================
+# q46 — SCD2 point-in-time lookup
+# ===========================================================================
+
+
+@register(
+    "q46_scd2_point_in_time",
+    _SCD2_ORACLE.replace(
+        "SELECT k, seg, eff_from, eff_to FROM hist_closed",
+        "SELECT * FROM (SELECT k, seg, eff_from, eff_to FROM hist_closed",
+    )
+    + """) merged
+    WHERE eff_from <= '2024-01' AND (eff_to IS NULL OR eff_to > '2024-01')
+    """,
+    doc="""Point-in-time lookup over the SCD2 dimension built by q41:
+    "what did we believe about every key as of 2024-01" — the query an
+    effective-dated dimension exists to answer, and the reference's
+    full-overwrite load (TableTransform.py:26-29) structurally cannot.
+    Validity-window predicate over the merged history:
+    eff_from <= D < eff_to (NULL = open). One narrow filter over the
+    q41 DAG; at rest the history would be partitioned by eff_from so
+    the predicate prunes partitions.""",
+)
+def q46_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = q41_scd2_merge(spark, sf_dir)
+    as_of = "2024-01"
+    return merged.filter(
+        (F.col("eff_from") <= as_of)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > as_of))
+    )
