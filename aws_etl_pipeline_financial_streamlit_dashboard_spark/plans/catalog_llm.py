@@ -1584,3 +1584,104 @@ def q46_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("eff_from") <= as_of)
         & (F.col("eff_to").isNull() | (F.col("eff_to") > as_of))
     )
+
+
+# ===========================================================================
+# q47 — windowed percentile bands
+# ===========================================================================
+
+
+@register(
+    "q47_windowed_percentiles",
+    """
+    SELECT STRFTIME(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type,
+           COUNT(*) AS n_events,
+           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS p50,
+           FLOOR(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0
+               AS p90
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="""Percentile bands per time bucket — the monitoring query
+    behind every latency/value dashboard: exact p50/p90 of event value
+    per (6-hour window, event type). Exact percentiles group-shuffle
+    the values (rank-based, same linear-interpolation definition in
+    both engines); at 100 TB swap percentile_approx (t-digest partial
+    states, constant memory — x21's path) under the same query shape.
+    One shuffle keyed (window, type); window start via the same
+    epoch-bucket arithmetic as s01's batch twin.""",
+)
+def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    bucket = F.timestamp_micros(
+        (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+    )
+    return (
+        ev.groupBy(
+            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            rhu(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            rhu(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+    )
+
+
+# ===========================================================================
+# q48 — top-k per group (value-ordered)
+# ===========================================================================
+
+
+@register(
+    "q48_topk_per_group",
+    """
+    SELECT segment, o_orderkey, total_price, rk
+    FROM (
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderkey,
+               FLOOR(o.o_totalprice * 100.0 + 0.5) / 100.0 AS total_price,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey)
+                   AS rk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rk <= 3
+    """,
+    doc="""Top-k per group by VALUE (top-3 priciest orders per market
+    segment) — the grouped complement of q13's global top-k. One
+    broadcast-joined dim for the group key, one window shuffle
+    partitioned by segment with a full (value, id) tiebreak for
+    determinism. At scale the window never sees a global order; a
+    skew-heavy group is one partition — pre-aggregate with a salted
+    partial top-k when a single group dominates.""",
+)
+def q48_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "segment",
+            "o_orderkey",
+            rhu("o_totalprice", 2).alias("total_price"),
+            "rk",
+        )
+    )
