@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,12 +34,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    probe_convergence: bool = True,
 ) -> DataFrame:
     """Return (node, component_id) for every node appearing in
     ``edges``, where component_id = min node id in the component.
 
     Nodes with no edges simply don't appear — callers left-join and
     coalesce to the node's own id (a singleton is its own canonical).
+
+    ``probe_convergence=False`` runs exactly ``max_iter`` rounds with
+    ZERO driver actions beyond the lineage checkpoints — the x46
+    (pagerank_int) pattern for fully scheduled pipelines where a
+    per-round ``count()`` round trip is unwanted. Labels are identical
+    to the probed mode whenever ``max_iter`` ≥ the graph diameter
+    (min-label propagation is monotone: once converged, further rounds
+    are no-ops).
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -70,10 +81,11 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+        if probe_convergence:
+            changed = new_labels.filter(F.col("label") != F.col("old")).count()
+            if changed == 0:
+                break
     return labels.select("node", F.col("label").alias("component_id"))
 
 
@@ -121,6 +133,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # -- large-star ---------------------------------------------------
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -148,18 +161,33 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Fixed-point probe: (count, two INDEPENDENT order-free hash
+        # sums) of the edge set. One xxhash64 sum alone has a ~2⁻⁶⁴
+        # chance of matching on a CHANGED edge set (early exit with
+        # wrong components); a second sum with a different seed column
+        # makes a joint collision negligible (~2⁻¹²⁸). Decimal sums: a
+        # long sum of 64-bit hashes overflows under ANSI semantics.
         sig = tuple(
             e2.agg(
                 F.count("*"),
-                # decimal sum: a long sum of 64-bit hashes overflows
-                # under ANSI semantics
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.sum(F.xxhash64(F.lit(0x5EED), "u", "v").cast("decimal(38,0)")),
             ).first()
         )
         e = e2
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: edge set did not reach a fixed "
+            f"point within max_iter={max_iter} rounds; labels may split "
+            f"components. Raise max_iter (O(log n) rounds suffice on any "
+            f"topology).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     labels = (
         e.groupBy("u")
         .agg(F.min("v").alias("label"))

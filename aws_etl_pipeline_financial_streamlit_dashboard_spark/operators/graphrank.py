@@ -21,10 +21,11 @@ yields bit-identical bigints on any engine and any partitioning — the
 oracle simply unrolls the same recurrence. (The DIV truncation leaks
 rank mass, which plain PageRank would renormalize; for a quality
 SIGNAL the ordering is what matters and the leak is deterministic.
-Overflow bound: DAMP_US · Σ contribs stays under 2⁶³ while total graph
-mass n·10⁶ < ~10¹³, i.e. up to ~10⁷ nodes per connected component
-accumulating into one hub; past that, promote the product to
-decimal(38,0) on both sides.)
+Overflow: the damping product runs in decimal(38,0) on the Spark side,
+matching the oracle's HUGEINT sums — a hub can absorb the entire mass
+of a ~10²⁵-node graph before either side overflows, so the practical
+bound is the long SUM of contribs (≈9·10¹² nodes of mass into one
+aggregation key), far past any real component.)
 
 Scale shape: per iteration one join (ranks ⋈ out-edges, shuffled on
 the source key) + one aggregate (shuffled on the destination key) over
@@ -81,8 +82,17 @@ def pagerank_int(
             .agg(F.sum("c").alias("s"))
             .select(
                 "u",
+                # The damping product is promoted to decimal(38,0) so
+                # Spark matches the oracle's HUGEINT headroom: a plain
+                # bigint product 850000*s ANSI-errors past ~1.08e13 of
+                # in-mass while DuckDB keeps going — same values, but
+                # divergent FAILURE MODES. decimal div truncates toward
+                # zero exactly like integer `//` for the non-negative
+                # masses here.
                 F.expr(
-                    f"CAST({BASE_US} + ({DAMP_US} * s) div {MICRO} AS BIGINT)"
+                    f"CAST({BASE_US} + "
+                    f"(CAST({DAMP_US} AS DECIMAL(38,0)) * s) div {MICRO} "
+                    f"AS BIGINT)"
                 ).alias("rank_us"),
             )
             .localCheckpoint(eager=True)

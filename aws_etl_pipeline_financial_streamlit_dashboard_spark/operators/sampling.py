@@ -42,26 +42,47 @@ def mix_corpora(
     up-samples; repeat-epoch upsampling is a training-loop decision,
     not a data-prep one).
 
-    Two passes: one aggregate to learn current token counts per source
-    (tiny: |sources| rows), then one Bernoulli sample. The aggregate is
-    collected to the driver — |sources| is assumed human-scale.
+    Per-source keep-fractions are computed INSIDE the DAG — the same
+    |sources|-row aggregate + bounded window + broadcast-join-back
+    shape as :func:`mix_corpora_deterministic` — so the recipe is one
+    lazy plan with no driver ``collect()`` and no extra job ahead of
+    the real one at 100 TB. Acceptance stays per-row Bernoulli
+    (``rand(seed)``, the same per-partition-seeded generator
+    ``sampleBy`` uses): deterministic under (seed, partition layout),
+    which is the contract the seeded API always had. Sources absent
+    from ``target_weights`` are dropped; an all-zero weight overlap
+    yields the empty frame (every fraction is NULL-joined away).
     """
-    totals = {
-        r[0]: r[1]
-        for r in df.groupBy(source_col)
-        .agg(F.sum(token_col).alias("toks"))
-        .collect()
-    }
-    weights = {s: w for s, w in target_weights.items() if s in totals}
-    z = sum(weights.values())
+    from pyspark.sql import Window
+
+    z = sum(target_weights.values())
     if not z:
         return df.limit(0)
-    grand = sum(totals[s] for s in weights)
-    fractions = {}
-    for s, w in weights.items():
-        target_tokens = grand * (w / z)
-        fractions[s] = min(1.0, target_tokens / max(totals[s], 1))
-    return df.sampleBy(source_col, fractions, seed=seed)
+    shares = [(s, w / z) for s, w in target_weights.items()]
+    share_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            shares, f"{source_col} string, __share double"
+        )
+    )
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("__toks"))
+    grand_w = Window.partitionBy()  # |sources| rows — bounded window
+    fractions = (
+        totals.join(share_df, source_col)
+        .withColumn("__grand", F.sum("__toks").over(grand_w))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("__grand") * F.col("__share"))
+                / F.greatest(F.col("__toks"), F.lit(1)).cast("double"),
+            ).alias("__frac"),
+        )
+    )
+    return (
+        df.join(F.broadcast(fractions), source_col)
+        .filter(F.rand(seed) < F.col("__frac"))
+        .drop("__frac")
+    )
 
 
 def exact_stratified_sample(

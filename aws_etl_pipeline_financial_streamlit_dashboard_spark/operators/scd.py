@@ -94,29 +94,40 @@ def snapshot_diff(
     refresh, retrieval.py:142-146, is exactly that shape): diff today's
     snapshot against yesterday's and ship only the delta downstream.
 
-    One full-outer equi-join on the key; attribute comparison is
-    null-safe (``<=>``). Unchanged keys are dropped — the common case —
-    so the output is delta-sized, not table-sized. At scale both
-    snapshots shuffle on the key once; with both stored bucketed by the
-    key the join is exchange-free (sources/bucketing).
+    One full-outer NULL-SAFE equi-join (``<=>``) on the key; attribute
+    comparison is also null-safe. Unchanged keys are dropped — the
+    common case — so the output is delta-sized, not table-sized. At
+    scale both snapshots shuffle on the key once; with both stored
+    bucketed by the key the join is exchange-free (sources/bucketing).
+
+    A NULL key is treated as a VALUE: a NULL-keyed row present in both
+    snapshots diffs normally (unchanged → dropped, changed → update)
+    instead of being mis-reported as a simultaneous insert + delete,
+    which a plain ``=`` join would produce. Presence is tracked with
+    explicit flags, not key-null-ness, so this holds. (Each snapshot
+    should carry at most one NULL-keyed row — with several, the
+    null-safe join pairs them all, as any keyed diff would for a
+    duplicated key.)
     """
     attrs = list(attrs)
     o = old.select(
         F.col(key).alias("__o_key"),
+        F.lit(True).alias("__o_present"),
         *[F.col(a).alias(f"__o_{a}") for a in attrs],
     )
     n = new.select(
         F.col(key).alias("__n_key"),
+        F.lit(True).alias("__n_present"),
         *[F.col(a).alias(f"__n_{a}") for a in attrs],
     )
-    j = o.join(n, o["__o_key"] == n["__n_key"], "full_outer")
+    j = o.join(n, o["__o_key"].eqNullSafe(n["__n_key"]), "full_outer")
 
     same = F.lit(True)
     for a in attrs:
         same = same & F.col(f"__o_{a}").eqNullSafe(F.col(f"__n_{a}"))
 
-    has_old = F.col("__o_key").isNotNull()
-    has_new = F.col("__n_key").isNotNull()
+    has_old = F.col("__o_present").isNotNull()
+    has_new = F.col("__n_present").isNotNull()
     action = (
         F.when(~has_old, F.lit("insert"))
         .when(~has_new, F.lit("delete"))

@@ -69,7 +69,15 @@ def deterministic_shuffle(
     marked = ranged.withColumn(_PART, F.spark_partition_id())
 
     local_w = Window.partitionBy(_PART).orderBy(*parts)
-    local = marked.withColumn(_LOCAL, F.row_number().over(local_w))
+    # Checkpoint BEFORE forking the lineage into the offsets side table
+    # and the main branch: both must observe the SAME range-partitioner
+    # sampling and partition-id assignment. Without it the two branches
+    # re-evaluate the exchange independently — correct only as long as
+    # every upstream source is deterministic, which a caller can't
+    # always promise (same discipline as components.py / graphrank.py).
+    local = marked.withColumn(_LOCAL, F.row_number().over(local_w)).localCheckpoint(
+        eager=True
+    )
 
     # |partitions|-row side table: each range partition's start offset.
     counts = local.groupBy(_PART).agg(F.count("*").alias("__n"))

@@ -1439,12 +1439,14 @@ def x28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Corpus mixing to a target recipe (operators.sampling
     .mix_corpora): down-sample sources so realized token shares
     approach 40/40/10/10 over four sources (never up-samples —
-    repeat-epoch upsampling is a training-loop decision). Two passes:
-    a |sources|-row aggregate to learn current token mass, then one
-    seeded per-row Bernoulli — no shuffle of the data itself, so the
-    recipe step is scan-bound at 100 TB. Deterministic under its seed
-    (pinned in tests/test_sampling.py); realized-share convergence is
-    the quality invariant.""",
+    repeat-epoch upsampling is a training-loop decision). One lazy
+    DAG: a |sources|-row aggregate learns current token mass, a
+    bounded window derives keep-fractions, and a broadcast join feeds
+    the seeded per-row Bernoulli filter — NO driver collect, no data
+    shuffle, so the recipe step is scan-bound at 100 TB (the fully
+    deterministic hash-threshold variant is x47). Deterministic under
+    its seed (pinned in tests/test_sampling.py); realized-share
+    convergence is the quality invariant.""",
 )
 def x29_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (

@@ -31,3 +31,23 @@ def test_long_chain_converges(spark):
         r["node"]: r["component_id"] for r in connected_components(edges).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_fixed_rounds_mode_matches_probed(spark):
+    """probe_convergence=False runs a scheduled round count with zero
+    per-round driver actions and must produce identical labels once
+    max_iter covers the diameter."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)] + [(i, i + 1) for i in range(20, 31)],
+        "src long, dst long",
+    )
+    probed = {
+        r["node"]: r["component_id"] for r in connected_components(edges).collect()
+    }
+    fixed = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            edges, max_iter=12, probe_convergence=False
+        ).collect()
+    }
+    assert fixed == probed

@@ -66,6 +66,23 @@ def test_long_chain(spark):
     assert len(got) == 201
 
 
+def test_warns_when_rounds_exhausted_before_fixed_point(spark):
+    """Exhausting max_iter without observing the fixed point must warn —
+    silent truncation would hand back split components as if final."""
+    import warnings
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components_star(df, src="src", dst="dst", max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "fixed point" in str(w.message)
+        for w in caught
+    )
+
+
 def test_agrees_with_min_propagation(spark):
     rng = random.Random(99)
     edges = list(
