@@ -2,11 +2,13 @@
 SURVEY.md §2.13): image/audio/video as opaque ``binary`` columns with a
 typed metadata struct, processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The decode kernels themselves are STUBBED (image/audio libs are not in
-this container): ``decode_image_batch`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder runs
-so the Spark-side plumbing — schema, batching, partitioning, UDF
-signature — is fully real and tested.
+The real image decode runs IF Pillow is importable in the worker
+(optional dependency — decode to grayscale, resize, column-mean
+feature); otherwise ``fake=False`` raises ``NotImplementedError`` from
+the workers and ``fake=True`` runs a deterministic fake decoder, so
+the Spark-side plumbing — schema, batching, partitioning, UDF
+signature — is fully real and tested in any container. Audio/video
+decode (ffmpeg) remains a stub either way.
 """
 
 from __future__ import annotations
@@ -78,6 +80,26 @@ def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
     return (arr.reshape(-1, feat_dim).sum(axis=0) / n).tolist()
 
 
+def _pil_decode(payload: bytes, feat_dim: int) -> list[float] | None:
+    """Real image decode via Pillow (optional dependency): grayscale →
+    ``feat_dim × feat_dim`` resize → per-column mean in [0,1]. Returns
+    None on undecodable bytes (the caller's continue-on-failure
+    contract, reference retrieval.py:140-151 semantics: one corrupt
+    asset must not kill the partition)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            g = img.convert("L").resize((feat_dim, feat_dim))
+            arr = np.asarray(g, dtype=np.float64) / 255.0
+        return arr.mean(axis=0).tolist()
+    except Exception:
+        return None
+
+
 def extract_media_features(
     df: DataFrame,
     id_col: str = "asset_id",
@@ -92,8 +114,11 @@ def extract_media_features(
     decode parallelism == partition count, so repartition upstream to
     the cluster's core count for full utilization).
 
-    ``fake=False`` raises NotImplementedError from the workers: the real
-    decoder (PIL/ffmpeg) is not in this container. ``fake=True`` runs
+    ``fake=False`` decodes REAL image bytes when Pillow is importable
+    in the worker (grayscale → feat_dim² resize → column means;
+    undecodable rows yield a NULL feature and keep going — the
+    continue-on-failure contract). Without Pillow it raises
+    NotImplementedError from the workers. ``fake=True`` always runs
     the deterministic stand-in. The schema, batch iteration, and
     per-row error isolation are the real production shape either way.
     """
@@ -103,10 +128,16 @@ def extract_media_features(
 
         import numpy as np
 
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                PIL = None
         for pdf in batches:
-            if not fake and len(pdf):
+            if not fake and PIL is None and len(pdf):
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; run with fake=True"
+                    "real media decode requires Pillow (images) / ffmpeg "
+                    "(audio+video); install Pillow or run with fake=True"
                 )
             n_rows = len(pdf)
             ids = pdf[id_col].to_numpy()
@@ -132,7 +163,11 @@ def extract_media_features(
                 # formula as functions.scalars.round_half_up (Python's
                 # round() is HALF_EVEN and would drift from the oracle)
                 ents[j] = math.floor(ent * 1e6 + 0.5) / 1e6
-                feats.append(_fake_decode(payload, feat_dim))
+                feats.append(
+                    _fake_decode(payload, feat_dim)
+                    if fake
+                    else _pil_decode(payload, feat_dim)
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -58,6 +58,56 @@ def salted_aggregate(
     )
     return phase1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in final_aggs.items()]
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Skew-safe top-k rows per group: a salted partial top-k feeds the
+    final per-group window, so no single reducer ever ranks a dominant
+    group's full row set.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    sends EVERY row of a group to one window partition — when one group
+    dominates (one market segment with half the fact table), that is
+    the aggregation-skew pathology AQE cannot split. Two phases, both
+    exact:
+
+    1. partial: rank within (group, salt) — salt = the row's scan
+       partition id, a free deterministic spreader — and keep k rows
+       per (group, salt). The exchange this window pays is hashed on
+       (group, salt), so the hot group spreads over as many reducers
+       as it had scan splits.
+    2. final: rank within (group) over the pre-reduced survivors —
+       ≤ k·|splits| rows per group instead of |group|.
+
+    The global top-k of a group is always a subset of the union of its
+    per-salt top-ks (any row beaten k times within its own salt bucket
+    is beaten k times globally), so phase 2 sees every true winner:
+    results are exactly the unsalted window's, independent of layout —
+    PROVIDED ``order_by`` is a total order (add a unique-id tiebreak,
+    as q13/q48 do; ties across salt buckets would otherwise make
+    "which equal row survives" layout-dependent).
+
+    Output = input columns + ``rank_col`` (1..k per group).
+    """
+    group_cols = list(group_cols)
+    order_by = list(order_by)
+    salted = df.withColumn(_SALT, F.spark_partition_id())
+    pre_w = Window.partitionBy(*group_cols, _SALT).orderBy(*order_by)
+    pre = (
+        salted.withColumn("__prn", F.row_number().over(pre_w))
+        .filter(F.col("__prn") <= k)
+        .drop("__prn", _SALT)
+    )
+    final_w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return pre.withColumn(rank_col, F.row_number().over(final_w)).filter(
+        F.col(rank_col) <= k
     )
 
 

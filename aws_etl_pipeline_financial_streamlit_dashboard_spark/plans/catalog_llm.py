@@ -1591,26 +1591,76 @@ def q46_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _pct_interp(arr: str, n: str, q: float, spark_side: bool) -> str:
+    """Rank-based linear interpolation for the q-quantile of a sorted
+    array, as ONE expression string whose arithmetic — operand order,
+    literal casts, the ``a + (b-a)*f`` form — is byte-identical across
+    engines (only element access differs: ``element_at`` vs brackets).
+
+    This pins what relying on Spark ``percentile`` vs DuckDB
+    ``quantile_cont`` would leave to chance: both document linear
+    interpolation, but ``a + (b-a)*f`` vs ``(1-f)*a + f*b`` differ in
+    the last ulp, and a last-ulp difference at a HALF_UP rounding
+    boundary hash-mismatches — the exact failure mode dec_sum exists
+    for. Generating both sides from this one template makes the
+    float-op sequence identical, so results are bitwise equal on any
+    data, boundary or not.
+
+    r = (n-1)·q; lo = ⌊r⌋+1 (1-based); hi = min(lo+1, n) (clamped so
+    a 1-element array never indexes past the end — Spark's ANSI
+    ``element_at`` would throw); result = v_lo + (v_hi − v_lo)·(r−⌊r⌋).
+    Empty array (all-NULL group) → NULL in both engines.
+    """
+    qd = f"CAST({q} AS DOUBLE)"
+    r = f"(({n} - 1) * {qd})"
+    lo = f"(CAST(FLOOR({r}) AS INT) + 1)"
+    hi = f"LEAST({lo} + 1, {n})"
+    elem = (
+        (lambda i: f"element_at({arr}, {i})")
+        if spark_side
+        else (lambda i: f"{arr}[{i}]")
+    )
+    vlo, vhi = elem(lo), elem(hi)
+    return (
+        f"CASE WHEN {n} = 0 THEN NULL ELSE "
+        f"({vlo} + ({vhi} - {vlo}) * ({r} - FLOOR({r}))) END"
+    )
+
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import sql_round as _sqr
+
+_Q47_ORACLE = f"""
+    WITH g AS (
+        SELECT STRFTIME(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+               event_type,
+               COUNT(*) AS n_events,
+               list_sort(list(value) FILTER (WHERE value IS NOT NULL)) AS arr
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n_events,
+           {_sqr(_pct_interp("arr", "len(arr)", 0.5, False), 6)} AS p50,
+           {_sqr(_pct_interp("arr", "len(arr)", 0.9, False), 6)} AS p90
+    FROM g
+"""
+
+
 @register(
     "q47_windowed_percentiles",
-    """
-    SELECT STRFTIME(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-           event_type,
-           COUNT(*) AS n_events,
-           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
-               AS p50,
-           FLOOR(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0
-               AS p90
-    FROM events
-    GROUP BY 1, 2
-    """,
+    _Q47_ORACLE,
     doc="""Percentile bands per time bucket — the monitoring query
     behind every latency/value dashboard: exact p50/p90 of event value
-    per (6-hour window, event type). Exact percentiles group-shuffle
-    the values (rank-based, same linear-interpolation definition in
-    both engines); at 100 TB swap percentile_approx (t-digest partial
-    states, constant memory — x21's path) under the same query shape.
-    One shuffle keyed (window, type); window start via the same
+    per (6-hour window, event type). The interpolation is PINNED: both
+    engines evaluate the same generated ``v_lo + (v_hi - v_lo)·f``
+    expression over the group's sorted value array (_pct_interp), so
+    parity is bitwise by construction instead of hoping Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree to the last ulp
+    at a HALF_UP boundary. Exact percentiles buffer a group's values
+    (collect_list here ≡ percentile()'s internal buffer — same memory
+    shape); at 100 TB swap percentile_approx (t-digest partial states,
+    constant memory) under the same query shape — registered
+    executable as q49_windowed_percentiles_approx with an error-bound
+    test. One shuffle keyed (window, type); window start via the same
     epoch-bucket arithmetic as s01's batch twin.""",
 )
 def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,16 +1670,49 @@ def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_micros(
         (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
     )
-    return (
-        ev.groupBy(
-            F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            rhu(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            rhu(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        )
+    grouped = ev.groupBy(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list("value")).alias("__arr"),
+    )
+    return grouped.select(
+        "w_start",
+        "event_type",
+        "n_events",
+        rhu(F.expr(_pct_interp("__arr", "size(__arr)", 0.5, True)), 6).alias("p50"),
+        rhu(F.expr(_pct_interp("__arr", "size(__arr)", 0.9, True)), 6).alias("p90"),
+    )
+
+
+@register(
+    "q49_windowed_percentiles_approx",
+    None,  # t-digest sketch is engine-specific → rows-only check
+    doc="""The 100 TB execution path for q47's query shape:
+    percentile_approx (t-digest) instead of exact rank interpolation.
+    The sketch aggregates in CONSTANT memory per group with mergeable
+    partial states — map-side partials collapse before the exchange,
+    so a group's values never assemble in one place (exact percentiles
+    must buffer the full group). Engine-specific sketch → rows-only
+    driver check; the quality bound vs q47's exact bands (approx value
+    must sit within rank tolerance of the target quantile) is pinned
+    in tests/test_approx_invariants.py.""",
+)
+def q49_windowed_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    bucket = F.timestamp_micros(
+        (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+    )
+    return ev.groupBy(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50"),
+        F.expr("percentile_approx(value, 0.9, 10000)").alias("p90"),
     )
 
 
@@ -1654,13 +1737,18 @@ def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Top-k per group by VALUE (top-3 priciest orders per market
     segment) — the grouped complement of q13's global top-k. One
-    broadcast-joined dim for the group key, one window shuffle
-    partitioned by segment with a full (value, id) tiebreak for
-    determinism. At scale the window never sees a global order; a
-    skew-heavy group is one partition — pre-aggregate with a salted
-    partial top-k when a single group dominates.""",
+    broadcast-joined dim for the group key, then operators/skew
+    .grouped_topk: a salted partial top-k (rank within (segment, scan
+    partition), keep 3) pre-reduces the final segment window's input
+    to ≤ 3·|splits| rows per segment, so a dominating group never
+    lands whole on one reducer. Results are exactly the plain window's
+    — the (value, id) tiebreak makes the order total, and a group's
+    global top-k is a subset of the union of its per-salt top-ks —
+    which is what the unchanged ROW_NUMBER oracle checks.""",
 )
 def q48_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -1672,16 +1760,14 @@ def q48_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    w = Window.partitionBy("segment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select(
-            "segment",
-            "o_orderkey",
-            rhu("o_totalprice", 2).alias("total_price"),
-            "rk",
-        )
+    return grouped_topk(
+        joined,
+        group_cols=["segment"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select(
+        "segment",
+        "o_orderkey",
+        rhu("o_totalprice", 2).alias("total_price"),
+        "rk",
     )

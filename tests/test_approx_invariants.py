@@ -106,6 +106,56 @@ def test_approx_percentile_near_exact(spark, sf_dir):
             assert abs(a - e) / max(abs(e), 1) <= 0.01, (k, a, e)
 
 
+def test_windowed_percentiles_approx_within_rank_bound(spark, sf_dir):
+    """q49 (percentile_approx, the 100 TB path) vs q47 (exact pinned
+    interpolation): the error bound that actually defines the sketch
+    is RANK-space, not value-space — a t-digest at accuracy=10000 on
+    groups « 10000 rows must return an actual group value within ±1
+    row of the target rank (value-space distance can be arbitrarily
+    large in a 2-row group where exact interpolation sits mid-gap).
+    Checked per group: #(v < approx) ≤ q·n + 1 and #(v ≤ approx) ≥
+    q·n − 1, plus the exact bands bracket the approx ones."""
+    exact = {
+        (r["w_start"], r["event_type"]): (r["p50"], r["p90"])
+        for r in QUERIES["q47_windowed_percentiles"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["w_start"], r["event_type"]): (r["p50"], r["p90"])
+        for r in QUERIES["q49_windowed_percentiles_approx"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and exact
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    bucket = F.timestamp_micros(
+        (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+    )
+    groups: dict = {}
+    for r in ev.select(
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "value",
+    ).collect():
+        if r["value"] is not None:
+            groups.setdefault((r["w_start"], r["event_type"]), []).append(r["value"])
+
+    for k, (a50, a90) in approx.items():
+        vals = sorted(groups[k])
+        n = len(vals)
+        for q, a in ((0.5, a50), (0.9, a90)):
+            lt = sum(1 for v in vals if v < a)
+            le = sum(1 for v in vals if v <= a)
+            assert lt <= q * n + 1, (k, q, a, lt, n)
+            assert le >= q * n - 1, (k, q, a, le, n)
+        e50, e90 = exact[k]
+        assert a50 <= e90 and a90 >= e50, (k, (a50, a90), (e50, e90))
+
+
 def test_lsh_blocked_pairs_recall_and_exact_precision(spark, sf_dir):
     exact = {
         (r["id_a"], r["id_b"], r["cosine_sim"])

@@ -50,12 +50,55 @@ def test_feature_extraction_fake_decoder(assets):
     assert rows[1]["feature"] == again[1]["feature"]
 
 
-def test_real_decoder_is_stubbed(assets):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="Pillow present: real decode path active instead"
+)
+def test_real_decoder_is_stubbed_without_pillow(assets):
     with pytest.raises(Exception) as exc_info:
         extract_media_features(assets, fake=False).collect()
     assert "NotImplementedError" in repr(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="Pillow not installed in this container"
+)
+def test_real_decoder_with_pillow(spark):
+    """With Pillow importable, fake=False must decode real image bytes:
+    a synthetic PNG yields a feat_dim column-mean feature; corrupt
+    bytes yield a NULL feature (continue-on-failure), not a crash."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))  # gradient
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not an image")], ["asset_id", "payload"]
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in extract_media_features(df, fake=False, feat_dim=8).collect()
+    }
+    feat = rows[1]["feature"]
+    assert feat is not None and len(feat) == 8
+    # gradient image: column means increase left to right
+    assert feat[0] < feat[-1]
+    assert all(0.0 <= v <= 1.0 for v in feat)
+    assert rows[2]["feature"] is None  # undecodable row survives as NULL
 
 
 def test_frame_sampling(assets):
