@@ -33,9 +33,25 @@ def fan_out(df: DataFrame) -> DataFrame:
     has at least default-parallelism splits (any real corpus), this is
     the identity — no exchange is added, so the 100 TB plan is
     untouched. The repartition shuffles the input once, which is
-    negligible against the generate stage it parallelizes."""
+    negligible against the generate stage it parallelizes.
+
+    The fast path of the guard reads ``df.inputFiles()`` — a
+    logical-plan file listing, no physical planning — so the 100 TB
+    case (a corpus with ≥ default-parallelism files, which
+    parallelizes its generate stage without help) decides without
+    forcing a full physical plan per call. Only the ambiguous local
+    shapes (few files, or not file-backed: maybe an explicit upstream
+    repartition already widened the frame) fall back to the
+    ``df.rdd.getNumPartitions()`` probe, where frames are small and
+    the plan-build cost is nil."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -287,6 +303,34 @@ def simhash_dedup(
     return df.join(keep, id_col)
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2³¹−1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (aᵢ, bᵢ) over the Mersenne
+    prime 2³¹−1 for the minhash permutation family: fixed constants
+    (reproducible across runs AND engines — the DuckDB oracle embeds
+    the same values), with h, a, b < P keeping h·a + b < 2⁶² so the
+    arithmetic never overflows a long under ANSI mode."""
+    return [
+        ((2 * i + 1) * 0x9E3779B9 % MINHASH_P or 1, (i * 0xC2B2AE3D) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_shingle_hash(gram: Column) -> Column:
+    """Shingle → integer in [0, P): the first 8 hex chars of md5,
+    reduced mod the Mersenne prime. md5 (not xxhash64) so the hash —
+    and therefore every signature, band bucket, and candidate pair —
+    is reproducible by any engine: DuckDB computes the identical value
+    as ``('0x' || substr(md5(s),1,8))::UBIGINT % P``, which is what
+    makes x04 fully oracle-checkable instead of rows-only."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(MINHASH_P),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -295,9 +339,9 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """MinHash signatures via k independent affine permutations of
-    xxhash64 shingle hashes: sig_i = min over shingles of
-    (a_i * h + b_i mod p). Deterministic seeds → reproducible across
-    runs.
+    md5-derived shingle hashes: sig_i = min over shingles of
+    (a_i * h + b_i mod p). Deterministic constants → reproducible
+    across runs and engines (:func:`minhash_shingle_hash`).
 
     Computed as explode → one hash-aggregate with k codegen'd ``min``
     columns, not k ``array_min(transform(...))`` walks: higher-order
@@ -309,28 +353,21 @@ def minhash_signatures(
     longs per document — the signature, never the shingle stream.
     ``word_shingles`` always yields ≥1 gram (empty/NULL text → [""]),
     so the inner explode drops no documents."""
-    # Deterministic affine coefficients over the Mersenne prime 2³¹−1:
-    # keeps h·a + b < 2⁶² so the arithmetic never overflows a long under
-    # ANSI mode. Constants are fixed (reproducible), not per-run random.
-    P = (1 << 31) - 1
-    coeffs = [
-        ((2 * i + 1) * 0x9E3779B9 % P or 1, (i * 0xC2B2AE3D) % P)
-        for i in range(num_hashes)
-    ]
+    coeffs = minhash_coeffs(num_hashes)
     ex = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.transform(
                 word_shingles(F.col(text_col), n),
-                lambda g: F.pmod(F.xxhash64(g), F.lit(P)),
+                lambda g: minhash_shingle_hash(g),
             )
         ).alias("__h"),
     )
     mins = ex.groupBy("doc").agg(
         *[
-            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(P))).alias(
-                f"__m{i}"
-            )
+            F.min(
+                F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+            ).alias(f"__m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
@@ -357,6 +394,10 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # Band bucket = the comma-joined band slice itself (portable string
+    # equality — the same value any engine derives from the signature).
+    # At corpus scale wrap it in a hash to shrink the shuffle payload;
+    # the candidate set is identical either way (equality is equality).
     banded = sigs.select(
         "doc",
         F.explode(
@@ -364,10 +405,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("minhash", b * rows + r + 1).cast("string") for r in range(rows)]
-                            )
+                        F.concat_ws(
+                            ",", *[F.element_at("minhash", b * rows + r + 1).cast("string") for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -395,7 +434,9 @@ def minhash_lsh_pairs(
         .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            # rhu, not F.round: Spark ROUND is HALF_UP, DuckDB's is
+            # HALF_EVEN — a boundary value would break oracle parity
+            rhu(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -514,6 +555,7 @@ def blocked_levenshtein_pairs(
     text_col: str,
     block_col,
     max_dist: int = 3,
+    hot_block_cap: int | None = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs by blocked edit distance:
     rows sharing a block key, with ``levenshtein(text_a, text_b) <=
@@ -524,20 +566,46 @@ def blocked_levenshtein_pairs(
     at any scale — so candidates are generated only inside blocks
     (same first token, same soundex, same length band …: caller
     chooses via ``block_col``). Cost is Σ|block|², the standard ER
-    economics; a hot block (a too-common first word) is the same
-    pathology as a hot shingle — cap or refine the blocking key, the
-    verify metric is unchanged. The join itself is an ordinary
-    equi-shuffle on the block key; levenshtein runs codegen'd JVM-side.
+    economics; the join itself is an ordinary equi-shuffle on the
+    block key; levenshtein runs codegen'd JVM-side.
+
+    ``hot_block_cap`` is the Σ|block|² escape hatch — the mirror of
+    ``ngram_jaccard_pairs``' ``hot_shingle_cap``: blocks whose row
+    count exceeds the cap are dropped from candidate generation
+    entirely (one tiny groupBy on the block key, then an equi-join
+    filter). A too-common blocking value ("the", "inc", an empty
+    first word over 1M records) otherwise contributes |block|² join
+    rows — 10¹² candidates from one viral token. The recall trade is
+    explicit: pairs whose ONLY shared block is hot are never proposed;
+    everything else is verified with the identical metric, so
+    surviving pairs carry the same ``edit_dist`` as the uncapped path.
+    At a sane cap, a hot block is exactly the blocking key that had
+    stopped discriminating — refine the key (first-two-words, token +
+    length band) to recover those pairs rather than brute-forcing the
+    square.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
         block_col.alias("__blk"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
-        block_col.alias("__blk"),
+    if hot_block_cap is not None:
+        cold = (
+            keyed.groupBy("__blk")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= hot_block_cap)
+            .select("__blk")
+        )
+        keyed = keyed.join(cold, "__blk")
+    a = keyed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__text").alias("text_a"),
+        "__blk",
+    )
+    b = keyed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__text").alias("text_b"),
+        "__blk",
     )
     return (
         a.join(b, "__blk")

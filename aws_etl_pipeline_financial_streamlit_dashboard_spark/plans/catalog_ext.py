@@ -110,13 +110,89 @@ def x03_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x04_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Full DuckDB twin of the MinHash+LSH pipeline: md5-derived
+    shingle hashes (minhash_shingle_hash — engine-portable by
+    construction), the same fixed affine coefficients embedded as
+    literals, band buckets as comma-joined signature slices, candidate
+    distinct pairs, exact-Jaccard verify. Every stage is the identical
+    integer/string computation, so the PAIR SET and similarities
+    hash-match, not just approximately agree."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {concat} AS bucket FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    jac = "FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % {MINHASH_P} AS BIGINT) AS h
+        FROM ex
+    ),
+    sig AS (SELECT doc_id,
+               {mins}
+            FROM hs GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM cand c
+        JOIN sh sa ON c.doc_a = sa.doc_id
+        JOIN sh sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, {jac} AS jaccard
+    FROM v
+    WHERE {jac} >= {threshold}
+    """
+
+
 @register(
     "x04_minhash_lsh_pairs",
-    None,  # xxhash64-based signatures → rows-only check
+    _x04_oracle(),
     doc="""MinHash+LSH candidate pairs with exact Jaccard verify
     (tier 3): 32-hash signature, 8 bands — the banding S-curve keeps the
-    candidate join linear-ish at corpus scale. Verified superset-free
-    against x02 in tests.""",
+    candidate join linear-ish at corpus scale. Fully oracle-checked
+    (upgraded from rows-only in round 3): shingle hashes are md5-derived
+    (operators/dedup.minhash_shingle_hash) and the affine permutation
+    constants are fixed, so DuckDB reproduces the exact signatures,
+    band buckets, candidate pairs, and verified similarities — the
+    approximation is deterministic, not random, so 'approximate' ≠
+    'unverifiable'. Recall vs the exact x02 pair set is additionally
+    pinned in tests/test_approx_invariants.py.""",
 )
 def x04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

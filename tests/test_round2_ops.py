@@ -56,6 +56,48 @@ def test_blocked_levenshtein_pairs(spark):
     assert [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out] == [(1, 2, 1)]
 
 
+def test_snapshot_diff_null_key_is_a_value(spark):
+    """A NULL-keyed row must diff as a normal key (null-safe key join),
+    not explode into a phantom insert + delete."""
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "k string, seg string")
+    same = spark.createDataFrame([(None, "a"), (1, "x")], "k string, seg string")
+    changed = spark.createDataFrame([(None, "b"), (1, "x")], "k string, seg string")
+    assert snapshot_diff(old, same, "k", ["seg"]).count() == 0
+    rows = snapshot_diff(old, changed, "k", ["seg"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None and rows[0]["action"] == "update"
+    assert rows[0]["old_seg"] == "a" and rows[0]["new_seg"] == "b"
+
+
+def test_blocked_levenshtein_hot_block_cap(spark):
+    """An adversarial hot block ('the ...' × many rows) is dropped from
+    candidate generation under the cap; cold-block pairs survive with
+    identical distances."""
+    hot = [(i, f"the company {i}") for i in range(30)]  # 435 in-block pairs
+    cold = [(100, "acme corp"), (101, "acme corp."), (102, "acme industries")]
+    df = spark.createDataFrame(hot + cold, "id long, name string")
+    kw = dict(
+        id_col="id",
+        text_col="name",
+        block_col=F.split(F.col("name"), " ").getItem(0),
+        max_dist=2,
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in blocked_levenshtein_pairs(df, **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in blocked_levenshtein_pairs(df, hot_block_cap=10, **kw).collect()
+    }
+    # hot-block pairs (both ids < 100) exist uncapped, vanish capped
+    assert any(a < 100 for a, _ in uncapped)
+    assert all(a >= 100 for a, _ in capped)
+    # the surviving cold pair is identical in membership AND distance
+    assert capped == {(100, 101): 1}
+    assert uncapped[(100, 101)] == 1
+
+
 def test_mix_deterministic_layout_and_seed(spark):
     rows = [(i, f"src{i % 2}", 10) for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
