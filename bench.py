@@ -29,6 +29,8 @@ import time
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (  # noqa: E402
     QUERIES,
     headline_queries,
@@ -92,6 +94,34 @@ def main() -> None:
     if extra:  # run an explicit list instead (debugging aid)
         names = [n.strip() for n in extra.split(",") if n.strip() in QUERIES]
 
+    # Measured harness floor: the cost of a query that does (almost)
+    # nothing, through the same fresh-plan + collect protocol. Two
+    # points so the decomposition in docs/PERF.md is measured, not
+    # claimed: floor_noop = 1-row plan, no scan/exchange (plan build +
+    # one job of scheduling + collect); floor_2ex = the same through
+    # TWO exchanges (per-exchange stage cost). (headline_query −
+    # floor) is the data-dependent work actually comparable across
+    # engines at this toy scale.
+    floors: dict[str, float] = {}
+    for fname, fplan in (
+        ("floor_noop", lambda: spark.range(1).selectExpr("CAST(1 AS INT) AS one")),
+        (
+            "floor_2ex",
+            lambda: spark.range(8)
+            .repartition(8, "id")
+            .groupBy((F.col("id") % 2).alias("k"))
+            .count(),
+        ),
+    ):
+        for _ in range(2):
+            fplan().collect()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fplan().collect()
+            best = min(best, time.perf_counter() - t0)
+        floors[fname] = round(best, 4)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -119,6 +149,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_value,
+        "floors": floors,
     }
     if errors:
         out["errors"] = errors
