@@ -1,0 +1,181 @@
+"""Deterministic k-means — iterative vector clustering with exact
+cross-engine parity.
+
+The IVF coarse quantizer (similarity.ivf_assign_centroids) already
+runs Lloyd iterations, but its float centroid means are summation-
+order-dependent, so it can only ever be rows-only checked. This module
+is the clustering twin of graphrank.pagerank_int: do ALL the
+arithmetic in integer micro-units —
+
+- every coordinate is quantized once: ``x_mic = FLOOR(x·1e6 + 0.5)``
+  (the repo-wide HALF_UP formula, identical in DuckDB);
+- assignment distance is the INTEGER ``Σ (x_mic − c_mic)²`` — exact,
+  order-independent, argmin tie-broken by cell id;
+- centroid update is ``SUM(x_mic) DIV count`` per dimension — integer
+  division, order-independent;
+
+so a FIXED number of iterations yields bit-identical assignments on
+any engine and any partitioning, and the whole clustering — seeds,
+every intermediate centroid, every final assignment — is value-hash
+oracle-checkable (x51), not "approximately similar".
+
+Overflow bounds: |x| < ~4000 keeps x_mic < 2³², diff² < 2⁶⁴/dim for
+dim ≤ 256 — embedding coordinates live in [−1, 1], five orders of
+magnitude of headroom. Quantization moves each coordinate ≤ 5e-7 —
+far below any embedding's noise floor; for a SIGNAL (which cluster)
+the determinism is worth infinitely more than the seventh decimal.
+
+Scale shape per iteration: one broadcast of k centroid rows, one
+narrow argmin projection over n·k generated integer terms (whole-stage
+codegen — no interpreted HOF fold), one (cell, dim)-keyed aggregate of
+n·dim exploded micros with map-side partial sums. No driver actions
+besides the per-round localCheckpoint of the k-row centroid frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _quantize_sql(vec_col: str, dim: int) -> str:
+    """SQL text building the bigint-micros array from a float vector —
+    one parsed expression (single py4j round trip), codegen'd."""
+    elems = ", ".join(
+        f"CAST(FLOOR(CAST(get({vec_col}, {i}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"array({elems})"
+
+
+def _int_dist2_sql(a: str, b: str, dim: int) -> str:
+    """Integer squared L2 distance between two bigint-micros arrays,
+    dim-unrolled (codegen; summation order irrelevant — exact)."""
+    terms = " + ".join(
+        f"(get({a}, {i}) - get({b}, {i})) * (get({a}, {i}) - get({b}, {i}))"
+        for i in range(dim)
+    )
+    return f"({terms})"
+
+
+def kmeans_deterministic(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> DataFrame:
+    """Fixed-iteration integer-micro k-means. Returns one row per input
+    vector: (id, cell, d2_mic) — the assigned cluster (1..k) after
+    ``n_iters`` Lloyd rounds and the integer squared distance (micro²)
+    to its final centroid.
+
+    Seeding is RNG-free and layout-independent: the ``k`` vectors with
+    the smallest ``(id mod seed_mod, id)`` are the initial centroids,
+    numbered 1..k in id order (the IVF seeding rule, reproducible in
+    one SQL ORDER BY ... LIMIT in any engine).
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("pid"),
+        F.expr(_quantize_sql(vec_col, dim)).alias("xm"),
+    )
+    cents = (
+        embeddings.orderBy(F.pmod(F.col(id_col), F.lit(seed_mod)), F.col(id_col))
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col))).alias("cell"),
+            F.expr(_quantize_sql(vec_col, dim)).alias("cm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    d2 = F.expr(_int_dist2_sql("xm", "cm", dim))
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            pts.crossJoin(F.broadcast(c))
+            .select("pid", "xm", "cell", d2.alias("d2"))
+            .groupBy("pid")
+            .agg(
+                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                F.min(F.struct("d2", "cell")).getField("d2").alias("d2"),
+                F.first("xm").alias("xm"),
+            )
+        )
+
+    assigned = assign(cents)
+    for _ in range(n_iters - 1):
+        cents = (
+            assigned.select("cell", F.posexplode("xm").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.expr("SUM(x) div COUNT(*)").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("cm"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = assign(cents)
+    return assigned.select(
+        F.col("pid").alias(id_col), "cell", "d2"
+    )
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> str:
+    """DuckDB twin: the same quantization, seeding, integer distances,
+    and DIV centroid updates, with the fixed iteration count unrolled
+    as chained CTEs (the pagerank_oracle_sql pattern). Integer sums
+    are order-free, so DuckDB may use list comprehensions where Spark
+    unrolls — identical values either way."""
+    q = (
+        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+    d2 = (
+        f"list_sum([(p.xm[i] - c.cm[i]) * (p.xm[i] - c.cm[i])"
+        f" FOR i IN range(1, len(p.xm) + 1)])"
+    )
+    parts = [
+        f"WITH pts AS (SELECT {id_col} AS pid, {q} AS xm FROM {table}),",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) AS cell, {q} AS cm",
+        f"       FROM (SELECT * FROM {table}",
+        f"             ORDER BY {id_col} % {seed_mod}, {id_col} LIMIT {k})),",
+    ]
+    for it in range(n_iters):
+        parts.append(
+            f"d{it} AS (SELECT p.pid, p.xm, c.cell, {d2} AS d2"
+            f" FROM pts p CROSS JOIN c{it} c),"
+        )
+        parts.append(
+            f"a{it} AS (SELECT pid, xm, cell, d2 FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, cell)"
+            f" AS rn FROM d{it}) WHERE rn = 1),"
+        )
+        if it < n_iters - 1:
+            parts.append(
+                f"s{it} AS (SELECT cell, t.range AS i,"
+                f" SUM(xm[CAST(t.range AS INT)]) AS s, COUNT(*) AS c"
+                f" FROM a{it}, range(1, {dim} + 1) t GROUP BY 1, 2),"
+            )
+            parts.append(
+                f"c{it + 1} AS (SELECT cell,"
+                f" list(s // c ORDER BY i) AS cm FROM s{it} GROUP BY cell),"
+            )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT pid AS {id_col}, cell, CAST(d2 AS BIGINT) AS d2"
+        f" FROM a{n_iters - 1}"
+    )

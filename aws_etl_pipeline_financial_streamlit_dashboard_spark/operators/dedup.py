@@ -549,6 +549,72 @@ def word_ngrams_all(text: Column, n: int = 2) -> Column:
     return grams
 
 
+WINNOW_POS_LIMIT = 1 << 21  # max grams per document in the packed code
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03) — the rolling-hash fingerprint family the plain md5
+    fingerprint (x07) can't provide: x07 changes completely on a 1-byte
+    edit, while winnowing selects the minimum k-gram hash in every
+    window of ``w`` consecutive grams, guaranteeing any shared
+    substring of ≥ w+k-1 tokens contributes at least one COMMON
+    fingerprint — local, position-aware overlap detection (plagiarism /
+    boilerplate / quote tracing) with ~2/(w+1) of the grams kept.
+
+    Engine-portable by construction: gram hashes are md5-derived ints
+    (:func:`minhash_shingle_hash`), and (hash, position) are packed
+    into ONE bigint — ``hash · 2²¹ + pos`` — so the per-window argmin
+    with its deterministic tie-break (smaller hash, then earlier
+    position) is a plain integer MIN any engine computes identically;
+    positions must stay under 2²¹ grams/document (guard yourself for
+    book-length inputs — chunk first, x28's op).
+
+    Plan shape: posexplode of the gram array (with multiplicity —
+    winnowing is positional, set-dedup would break window adjacency),
+    one window shuffle keyed by document (frames are w rows), a
+    distinct on (doc, packed) — fingerprint-sized, grams never shuffle
+    twice. Documents shorter than w grams yield their single
+    whole-document window (≥ 1 fingerprint per doc, empty text
+    included — same [''] token edge as every shingle op here).
+
+    Returns (id, fp_hash, fp_pos): the selected gram hash and the
+    1-based gram position it was taken from.
+    """
+    grams = word_ngrams_all(F.col(text_col), k)
+    ex = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(grams).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("__pos"),
+        (
+            minhash_shingle_hash(F.col("__g")) * F.lit(WINNOW_POS_LIMIT)
+            + (F.col("__p0") + 1)
+        ).alias("__pack"),
+    )
+    frame = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    sel = (
+        ex.withColumn("__sel", F.min("__pack").over(frame))
+        .withColumn("__m", F.count("*").over(whole))
+        .filter(F.col("__pos") <= F.greatest(F.col("__m") - w + 1, F.lit(1)))
+        .select(id_col, "__sel")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.expr(f"__sel div {WINNOW_POS_LIMIT}").alias("fp_hash"),
+        (F.col("__sel") % WINNOW_POS_LIMIT).alias("fp_pos"),
+    )
+
+
 def blocked_levenshtein_pairs(
     df: DataFrame,
     id_col: str,

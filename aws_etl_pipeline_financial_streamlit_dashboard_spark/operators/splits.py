@@ -20,7 +20,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out, word_shingles
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+    fan_out,
+    word_ngrams_all,
+    word_shingles,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
 
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
@@ -113,3 +118,85 @@ def decontaminate(
     return train.join(
         hit_ids.withColumn("__hit", F.lit(True)), id_col, "left"
     ).withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False))).drop("__hit")
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """SPAN-level decontamination: instead of dropping every document
+    that shares an n-gram with the eval set (:func:`decontaminate` —
+    which throws away a book because one quote leaked), remove only the
+    TOKENS covered by a contaminated n-gram and keep the rest. This is
+    the standard production trade: doc-level dropping over-deletes by
+    orders of magnitude on long documents, span removal keeps the
+    uncontaminated mass.
+
+    Returns one row per training document:
+    ``(id, clean_text, n_tokens_kept, n_tokens_removed)`` — clean_text
+    is the surviving tokens joined by single spaces (whitespace is
+    normalized by reconstruction, the same contract as x28's chunk
+    reassembly).
+
+    Plan shape: the eval n-gram set broadcasts (benchmark-sized, as in
+    :func:`decontaminate`); training-side work is two posexplodes
+    (tokens with index, n-grams with start), a broadcast semi-join to
+    find contaminated starts, a sequence-explode of each start into its
+    n covered indices, one left join on (doc, index), and one grouped
+    reassembly — every shuffle is keyed by the document id and carries
+    token-sized rows. No Python UDFs anywhere.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(word_ngrams_all(F.col(text_col), n)).alias("__g")
+        ).distinct()
+    )
+    base = fan_out(train.select(id_col, text_col))
+    tok = base.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__i0", "__tok"),
+    ).select(id_col, (F.col("__i0") + 1).alias("__idx"), "__tok")
+    starts = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams_all(F.col(text_col), n)).alias("__s0", "__g"),
+        )
+        .join(F.broadcast(ev), "__g", "leftsemi")
+        .select(id_col, (F.col("__s0") + 1).alias("__s"))
+    )
+    covered = (
+        starts.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.lit(n - 1))
+            ).alias("__idx"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(True))
+    )
+    joined = tok.join(covered, [id_col, "__idx"], "left")
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cov").isNull(),
+                            F.struct("__idx", "__tok"),
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__cov").isNull(), 1).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+        F.sum(F.when(F.col("__cov").isNotNull(), 1).otherwise(0)).alias(
+            "n_tokens_removed"
+        ),
+    )

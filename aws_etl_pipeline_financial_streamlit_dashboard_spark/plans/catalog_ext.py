@@ -438,7 +438,7 @@ def x24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x27_lsh_blocked_dup_pairs",
-    None,  # blocking is approximate by construction → rows-only check
+    None,  # see doc: sin() is not bit-portable across engines
     doc="""Embedding near-dup pairs THE SCALE WAY: LSH blocking (16
     hash tables of 4-plane sign buckets, decorrelated fract-sin
     coefficients) generates candidate pairs via equi-joins on
@@ -448,7 +448,19 @@ def x24_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-linear for balanced buckets); vectors join back by id so
     shuffles carry ids, not arrays. Subset-of-x16 precision is exact
     (the verify step IS x16's predicate); recall vs x16 asserted in
-    tests/test_approx_invariants.py.""",
+    tests/test_approx_invariants.py.
+
+    Why rows-only while x04 (MinHash) is fully oracle-checked: the
+    hyperplane coefficients are fract-sin hashes — ``frac(sin(i)·C)``
+    — and ``sin`` is a transcendental whose last-ulp value is NOT
+    pinned by IEEE 754; JVM StrictMath and DuckDB's libm may disagree,
+    and a one-ulp flip near a hyperplane changes a sign bucket and
+    thus the candidate set. x04's integer md5 pipeline has no such
+    boundary, which is exactly why it could be upgraded. The portable
+    alternative (integer-hash-derived fixed-point coefficients) would
+    change this operator's established signatures for no quality gain;
+    precision/recall vs the exact kernel is the meaningful check and
+    is pinned in tests.""",
 )
 def x27_lsh_blocked_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -471,3 +483,245 @@ def x27_lsh_blocked_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x39_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return S.quantize_int8_audit(emb, dim=64)
+
+
+# ===========================================================================
+# x50 — BM25 lexical retrieval top-k (round 3)
+# ===========================================================================
+
+_BM25_TERMS = ("vector", "join", "data")
+
+
+def _x50_oracle(k: int = 10) -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.ranking import (
+        bm25_term_score_sql,
+    )
+
+    mic = bm25_term_score_sql("tf", "df", "dl", "n_docs", "avgdl")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH lens AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    ftok AS (SELECT * FROM tok WHERE t IN ({terms})),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM ftok GROUP BY 1, 2),
+    dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM ftok GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM({mic}) AS DOUBLE) / 1000000.0 AS score
+        FROM tf
+        JOIN dfq USING (t)
+        JOIN lens ON tf.doc_id = lens.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "x50_bm25_topk",
+    _x50_oracle(),
+    doc="""BM25 lexical retrieval: top-10 documents for a 3-term probe
+    query (operators/ranking.bm25_topk) — the standard Okapi ranker a
+    training-data pipeline uses for eval-set curation, targeted
+    decontamination sweeps, and corpus audits. The per-(doc, term)
+    contribution is ONE shared SQL expression (identical text parsed
+    by both engines), HALF_UP-quantized to integer micros BEFORE the
+    per-document sum so parity never depends on float summation order;
+    the only residual risk is x23's documented LN-ulp class. Plan:
+    token explode → IN-filter → two grouped aggregates + a broadcast
+    1-row corpus-stats aggregate (no driver count) →
+    TakeOrderedAndProject top-k. Shuffles carry (doc, term) rows,
+    never the token stream.""",
+)
+def x50_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.ranking import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, terms=_BM25_TERMS, k=10)
+
+
+# ===========================================================================
+# x52 — winnowing fingerprints (round 3)
+# ===========================================================================
+
+
+def _x52_oracle(k: int = 3, w: int = 4) -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        MINHASH_P,
+        WINNOW_POS_LIMIT,
+    )
+
+    # Same pack = md5-hash · 2²¹ + pos integers as the Spark side; the
+    # window min is a list_min over the same w-slices.
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+{k - 1}], ' ')
+                FOR i IN range(1, GREATEST(len(toks) - {k - 1}, 1) + 1)] AS gl
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(gl[i]), 1, 8))::UBIGINT % {MINHASH_P}
+                     AS BIGINT) * {WINNOW_POS_LIMIT} + i
+                FOR i IN range(1, len(gl) + 1)] AS packs
+        FROM g
+    ),
+    sels AS (
+        SELECT doc_id,
+               [list_min(packs[j:j+{w - 1}])
+                FOR j IN range(1, GREATEST(len(packs) - {w - 1}, 1) + 1)] AS sels
+        FROM p
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(sels) AS pack FROM sels)
+    SELECT doc_id,
+           pack // {WINNOW_POS_LIMIT} AS fp_hash,
+           pack % {WINNOW_POS_LIMIT} AS fp_pos
+    FROM fp
+    """
+
+
+@register(
+    "x52_winnowing_fingerprints",
+    _x52_oracle(),
+    doc="""Winnowing rolling-hash fingerprints (operators/dedup
+    .winnowing_fingerprints; Schleimer et al. SIGMOD'03): min k-gram
+    hash per w-gram window with a deterministic (hash, position) pack
+    tiebreak — the LOCAL fingerprint family x07's whole-document md5
+    cannot give: any shared run of >= w+k-1 tokens between two
+    documents is guaranteed a common fingerprint, which is what
+    plagiarism/boilerplate/quote tracing needs. md5-derived integer
+    hashes + integer packing make every selected (hash, pos) pair
+    engine-reproducible — fully oracle-checked like x04. One window
+    shuffle keyed by doc + a fingerprint-sized distinct; grams never
+    shuffle twice.""",
+)
+def x52_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+# ===========================================================================
+# x51 — deterministic k-means (round 3)
+# ===========================================================================
+
+
+def _x51_oracle() -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        kmeans_oracle_sql,
+    )
+
+    return kmeans_oracle_sql("embeddings", k=4, n_iters=2, dim=64)
+
+
+@register(
+    "x51_kmeans_deterministic",
+    _x51_oracle(),
+    doc="""Fixed-iteration integer-micro k-means over the embedding
+    corpus (operators/clustering.kmeans_deterministic): coordinates
+    quantized once to bigint micros, INTEGER squared-L2 assignment
+    with (distance, cell) tie-break, centroid update = per-dim
+    SUM div COUNT — so 2 Lloyd rounds produce bit-identical
+    assignments on any engine/partitioning, and the whole clustering
+    is value-hash oracle-checked (the pagerank_int discipline applied
+    to vectors; the float k-means inside IVF can only ever be
+    rows-only). Seeding is RNG-free (smallest id mod 9973). Per round:
+    one k-row broadcast, one codegen'd n*k integer-distance argmin,
+    one (cell,dim)-keyed aggregate with map-side partials — no driver
+    actions beyond the k-row centroid checkpoint.""",
+)
+def x51_kmeans_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        kmeans_deterministic,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_deterministic(emb, k=4, n_iters=2, dim=64)
+
+
+# ===========================================================================
+# x53 — span-level decontamination (round 3)
+# ===========================================================================
+
+_X53_ORACLE = r"""
+    WITH ev AS (
+        SELECT DISTINCT unnest([array_to_string(w[i:i+4], ' ')
+                                FOR i IN range(1, GREATEST(len(w)-4, 1) + 1)]) AS g
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 97 = 0)
+    ),
+    tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id % 97 <> 0),
+    tok AS (SELECT doc_id,
+                   CAST(unnest(range(1, len(w) + 1)) AS INT) AS idx,
+                   unnest(w) AS tok
+            FROM tr),
+    starts AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id,
+                   CAST(unnest(range(1, GREATEST(len(w)-4, 1) + 1)) AS INT) AS s,
+                   unnest([array_to_string(w[i:i+4], ' ')
+                           FOR i IN range(1, GREATEST(len(w)-4, 1) + 1)]) AS gram
+            FROM tr)
+        WHERE gram IN (SELECT g FROM ev)
+    ),
+    cov AS (SELECT DISTINCT doc_id, s + CAST(d.range AS INT) AS idx
+            FROM starts, range(0, 5) d),
+    j AS (SELECT tok.doc_id, tok.idx, tok.tok,
+                 cov.idx IS NOT NULL AS covered
+          FROM tok LEFT JOIN cov
+            ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx)
+    SELECT doc_id,
+           COALESCE(array_to_string(list(tok ORDER BY idx)
+                                    FILTER (WHERE NOT covered), ' '), '')
+               AS clean_text,
+           CAST(SUM(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_tokens_kept,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tokens_removed
+    FROM j GROUP BY doc_id
+"""
+
+
+@register(
+    "x53_span_decontamination",
+    _X53_ORACLE,
+    doc="""SPAN-level decontamination (operators/splits
+    .decontaminate_spans): remove only the tokens covered by a
+    contaminated 5-gram instead of dropping the whole document — the
+    production trade x30's doc-level drop can't make (one leaked quote
+    should not delete a book). Same eval slice as x30 (doc_id % 97).
+    Eval n-grams broadcast; training work is two posexplodes, a
+    broadcast semi-join for contaminated starts, a sequence-explode
+    into covered indices, one (doc, idx) left join, and a grouped
+    ordered reassembly — all shuffles keyed by doc id. Per-doc output
+    (clean text, kept/removed counts) is fully value-hash checked,
+    including the whitespace-normalization reconstruction contract.""",
+)
+def x53_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.splits import (
+        decontaminate_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_spans(train, eval_df, n=5)

@@ -1632,3 +1632,126 @@ def x48_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col=F.split(F.col("p_name"), " ").getItem(0),
         max_dist=3,
     ).select("id_a", "id_b", "edit_dist")
+
+
+# ===========================================================================
+# q50 — NOT IN vs NOT EXISTS under NULLs (round 3)
+# ===========================================================================
+
+_Q50_SQL = """
+    WITH sub AS (
+        SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders
+    )
+    SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM sub s
+                           WHERE s.k = c.c_custkey)) AS n_not_exists
+"""
+
+
+@register(
+    "q50_not_in_null_semantics",
+    _Q50_SQL,
+    doc="""The NOT IN null trap, pinned as a correctness artifact: a
+    single NULL in the subquery makes ``x NOT IN (...)`` UNKNOWN for
+    every row (three-valued logic), so n_not_in = 0 while the
+    NOT EXISTS twin counts the real anti-join. Both counts in one row,
+    both engines running the identical ANSI text (the S5 raw-SQL entry
+    path, like q30) — the entry exists because every analyst hits this
+    exact silent-empty-result bug, and an engine must reproduce the
+    standard's semantics, not 'fix' them. Plan: Spark rewrites NOT IN
+    as null-aware anti join (broadcast here), NOT EXISTS as a plain
+    left-anti — one exchange each at scale.""",
+)
+def q50_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q50_SQL)
+
+
+# ===========================================================================
+# x54 — context-window packing of chat-style turns (round 3)
+# ===========================================================================
+
+_X54_BUDGET = 120  # character budget per assembled context
+
+
+@register(
+    "x54_context_window_pack",
+    f"""
+    WITH turns AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               event_type || ':' ||
+                   CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+                   AS turn
+        FROM events
+    ),
+    costed AS (
+        SELECT user_id, event_id, ts_us, turn,
+               SUM(LENGTH(turn)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cost
+        FROM turns
+    ),
+    kept AS (SELECT * FROM costed WHERE cum_cost <= {_X54_BUDGET})
+    SELECT user_id,
+           COUNT(*) AS n_turns,
+           CAST(SUM(LENGTH(turn)) AS BIGINT) AS n_chars,
+           array_to_string(list(turn ORDER BY ts_us, event_id), ' | ')
+               AS context
+    FROM kept
+    GROUP BY user_id
+    """,
+    doc="""Context-window packing — the SFT/chat data-prep step that
+    fits each user's most recent turns into a fixed budget: order a
+    user's events newest-first, running-sum the per-turn cost, keep
+    turns while the cumulative cost fits, then reassemble the
+    SURVIVORS oldest-first into one transcript. Turn text renders the
+    value through the integer-micros path (double→string formatting
+    differs across engines; bigint formatting doesn't), so the
+    transcript is fully value-hash checked. One window shuffle keyed
+    by user (the cumsum), one grouped ordered reassembly — at scale
+    each user's turn list is bounded by the budget, so state never
+    exceeds context-window size per key.""",
+)
+def x54_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_micros("ts").alias("ts_us"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").cast("string"),
+        ).alias("turn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = ev.withColumn(
+        "cum_cost", F.sum(F.length("turn")).over(w)
+    ).filter(F.col("cum_cost") <= _X54_BUDGET)
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("turn")).cast("bigint").alias("n_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "turn"))
+                ),
+                lambda s: s["turn"],
+            ),
+            " | ",
+        ).alias("context"),
+    )
