@@ -1,4 +1,7 @@
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.asof import asof_join
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+    kmeans_deterministic,
+)
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
     connected_components,
 )
@@ -9,6 +12,9 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.core import 
     union_align,
     unpivot_metrics,
 )
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+    winnowing_fingerprints,
+)
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.monitor import (
     quality_report,
     with_quality_metrics,
@@ -16,22 +22,35 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.monitor impo
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
     bucketed_range_join,
 )
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.ranking import bm25_topk
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
     mix_corpora,
     stratified_sample,
 )
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.scd import scd2_merge
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+    grouped_topk,
     salted_aggregate,
     salted_join,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.splits import (
+    decontaminate,
+    decontaminate_spans,
+    hash_split,
 )
 
 __all__ = [
     "argmax_latest",
     "asof_join",
+    "bm25_topk",
     "bucketed_range_join",
     "cast_columns",
     "connected_components",
+    "decontaminate",
+    "decontaminate_spans",
+    "grouped_topk",
+    "hash_split",
+    "kmeans_deterministic",
     "mix_corpora",
     "quality_report",
     "salted_aggregate",
@@ -41,5 +60,6 @@ __all__ = [
     "stratified_sample",
     "union_align",
     "unpivot_metrics",
+    "winnowing_fingerprints",
     "with_quality_metrics",
 ]

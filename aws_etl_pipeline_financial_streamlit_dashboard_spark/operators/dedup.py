@@ -215,10 +215,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, n: int = 2, bits: int = 64) -> Column:
+SIMHASH_BITS = 60  # md5-derived hash width (15 hex chars < 2⁶³)
+
+
+def simhash_gram_hash(gram: Column) -> Column:
+    """Shingle → non-negative 60-bit integer from the first 15 hex
+    chars of md5. md5 (not xxhash64) so signatures are reproducible by
+    any engine — DuckDB computes the identical value as
+    ``('0x' || substr(md5(s),1,15))::UBIGINT`` — which is what makes
+    x03 fully oracle-checkable (the same upgrade x04's minhash got).
+    60 bits keeps the value inside a signed BIGINT in both engines."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, n: int = 2, bits: int = SIMHASH_BITS) -> Column:
     """SimHash signature (Charikar'02) as a pure column expression:
-    per-shingle xxhash64, sum ±1 per bit position over all shingles,
-    sign → bit (ties → 0). Near-identical docs differ in few bits.
+    per-shingle md5-derived 60-bit hash, sum ±1 per bit position over
+    all shingles, sign → bit (ties → 0). Near-identical docs differ in
+    few bits.
 
     NOTE: higher-order functions run on Spark's interpreted expression
     path, and this builds ``bits`` separate array walks per row —
@@ -227,7 +241,7 @@ def simhash(text: Column, n: int = 2, bits: int = 64) -> Column:
     which produces bit-identical signatures from whole-stage-codegen'd
     conditional sums (measured 170× faster on the documents table)."""
     grams = word_shingles(text, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(grams, lambda g: simhash_gram_hash(g))
     def vote(i: int):
         mask = F.shiftleft(F.lit(1).cast("long"), i)
         return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
@@ -246,7 +260,7 @@ def simhash_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
-    bits: int = 64,
+    bits: int = SIMHASH_BITS,
     out_col: str = "simhash",
 ) -> DataFrame:
     """(id, simhash) for every row of ``df``, bit-identical to
@@ -264,7 +278,10 @@ def simhash_table(
     ex = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(
-            F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g))
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda g: simhash_gram_hash(g),
+            )
         ).alias("__h"),
     )
     counts = ex.groupBy(id_col).agg(

@@ -86,13 +86,57 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+def _x03_oracle() -> str:
+    """DuckDB twin of the full simhash pipeline: the same md5-derived
+    60-bit shingle hashes (operators/dedup.simhash_gram_hash), the
+    same majority bit votes, the same min-id winner per signature —
+    integer arithmetic end to end, so every signature hash-matches."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n               ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{i} * 2 > n THEN {1 << i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+1], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-1, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h
+        FROM ex
+    ),
+    votes AS (SELECT doc_id, COUNT(*) AS n,
+               {votes}
+              FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_terms} AS simhash FROM votes)
+    SELECT MIN(doc_id) AS doc_id, simhash FROM sig GROUP BY simhash
+    """
+
+
 @register(
     "x03_simhash_dedup",
-    None,  # engine-specific xxhash64 → rows-only check
-    doc="""SimHash near-dup collapse (tier 2): 64-bit sign-of-bit-votes
-    signature per doc, group identical signatures, keep min id. Pure
-    column expressions over xxhash64 (engine-specific → rows-only
-    oracle).""",
+    _x03_oracle(),
+    doc="""SimHash near-dup collapse (tier 2): sign-of-bit-votes
+    signature per doc over 2-gram shingles, group identical
+    signatures, keep min id. Fully oracle-checked since round 3 (was
+    rows-only): shingle hashes are md5-derived 60-bit integers
+    (operators/dedup.simhash_gram_hash — the same upgrade x04's
+    minhash got), so DuckDB reproduces every signature, winner, and
+    group bit-for-bit. The signature computation runs as explode + 60
+    codegen'd conditional sums (simhash_table), never the interpreted
+    HOF fold.""",
 )
 def x03_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -1771,3 +1771,64 @@ def q48_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhu("o_totalprice", 2).alias("total_price"),
         "rk",
     )
+
+
+# ===========================================================================
+# q51 — multi-step ordered funnel (round 3)
+# ===========================================================================
+
+
+@register(
+    "q51_multistep_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+    doc="""Three-step ORDERED funnel (view → click after the first
+    view → purchase after the first qualifying click) — the multi-step
+    generalization of q44's two-step conversion, with the strict
+    ordering constraint that a click before the first view doesn't
+    count. Each step is one grouped MIN + one user_id equi-join with
+    the time bound as a residual — the step chain shuffles on user_id
+    three times and never windows over the full event stream; step
+    outputs shrink monotonically, so later joins are cheaper. One
+    3-count summary row.""",
+)
+def q51_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("__vu"), "t1"),
+              (F.col("user_id") == F.col("__vu")) & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("__cu"), "t2"),
+              (F.col("user_id") == F.col("__cu")) & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.count("*").alias("n_viewed")),
+        c.agg(F.count("*").alias("n_clicked")),
+        p.agg(F.count("*").alias("n_purchased")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])

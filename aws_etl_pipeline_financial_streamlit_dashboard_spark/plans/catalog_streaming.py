@@ -471,3 +471,67 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@register(
+    "s11_stream_incremental_dedup",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 5 = 0)
+    """,
+    doc="""Streaming incremental dedup — the continuous-ingestion form
+    of x40's batch operator: a stream of newly crawled documents is
+    checked against the STANDING corpus (every 5th doc stands in for
+    the history) by exact content hash, and only never-seen documents
+    pass through. Runs as a REAL streaming query: documents file
+    source → md5 projection → stream-static LEFT OUTER join against
+    the static corpus-hash frame (broadcast; re-resolved per
+    micro-batch) → null-filter → append-mode memory sink,
+    Trigger.AvailableNow. Append mode needs no state at all — the
+    static side carries the membership — so at scale the stream never
+    shuffles; the corpus hash set is the only distributed artifact
+    (bucketed standing table in production, x40's design note). The
+    oracle is the equivalent batch anti-membership (md5 is non-null
+    here, so NOT IN is safe — contrast q50).""",
+)
+def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    docs = read_table(spark, sf_dir, "documents")  # sets read-time confs
+    corpus_hashes = F.broadcast(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .format("parquet")
+        .load(glob)
+        .select("doc_id", "source", F.md5("text").alias("__h"))
+    )
+    fresh = (
+        stream.join(corpus_hashes, "__h", "left")
+        .filter(F.col("__seen").isNull())
+        .select("doc_id", "source")
+    )
+
+    name = f"stream_incr_dedup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        fresh.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
