@@ -619,18 +619,30 @@ def q15_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.r_name, STRFTIME(o.o_orderdate, '%Y')
     """.format(rev=sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2)),
     doc="""Full star-schema join chain with revenue rollup (TPC-H Q5
-    shape; generalizes J5/J6 to fact scale). Scale plan: lineitem⋈orders
-    is the one fact-fact join and is PINNED to a shuffled hash join —
-    orders can never broadcast at real scale, and SHJ beats sort-merge
-    here because the join output feeds an aggregation on different keys
-    (r_name, year), so SMJ's sort buys nothing downstream. Locally the
-    pin also beats auto-broadcast of orders 2×: a 150k-row broadcast is
-    one single-threaded hash build + N copies, while SHJ builds 8
-    per-partition tables in parallel (measured 1.29 s → 0.67 s at
-    sf0.1). SHJ spills since Spark 3.2 and AQE still skew-splits its
-    exchanges, so the pin is safe at 100 TB. Customer/nation/region stay
-    size-policy broadcasts. Partial aggregation collapses before the
-    final group-by shuffle of ~|regions×years| rows.""",
+    shape; generalizes J5/J6 to fact scale). Scale plan, two pins:
+
+    1. EAGER AGGREGATION below the fact-fact join (Yan & Larson's
+       group-by pushdown): lineitem partial-rolls revenue by
+       l_orderkey BEFORE joining orders, so the one big shuffle
+       carries ~|orders| compact (hi, lo, count) rows instead of
+       ~4× as many raw lineitems — exact, because the fixed-point
+       hi/lo long sums are associative (regrouping long sums is
+       bitwise identical; rounding happens once, at the end).
+       Catalyst does not do this rewrite itself; at 100 TB it cuts
+       the dominant shuffle 4× and the join build sides with it.
+    2. lineitem⋈orders is PINNED to a shuffled hash join — orders can
+       never broadcast at real scale, and SHJ beats sort-merge here
+       because the join output feeds an aggregation on different keys
+       (r_name, year), so SMJ's sort buys nothing downstream. Locally
+       the pin also beats auto-broadcast of orders 2× (measured
+       1.29 s → 0.67 s at sf0.1): a 150k-row broadcast is one
+       single-threaded hash build + N copies, while SHJ builds
+       per-partition tables in parallel. SHJ spills since Spark 3.2
+       and AQE still skew-splits its exchanges, so the pin is safe at
+       100 TB. The rollup's hash partitioning on l_orderkey is reused
+       by the join (no extra exchange). Customer/nation/region stay
+       size-policy broadcasts; the final group-by shuffles only
+       ~|regions×years| pre-aggregated rows.""",
     headline=True,
 )
 def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,19 +651,30 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
-    return (
-        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    # Per-orderkey partial rollup: per-row fixed-point quantization
+    # (same as dec_sum), but the hi/lo long sums stay SPLIT so the
+    # final aggregate can re-sum them exactly across orderkeys.
+    e = "(l_extendedprice * (1 - l_discount))"
+    ord_rev = li.groupBy("l_orderkey").agg(
+        F.expr(f"SUM(CAST(FLOOR({e}) AS BIGINT))").alias("rev_hi"),
+        F.expr(
+            f"SUM(CAST(FLOOR(({e} - FLOOR({e})) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("rev_lo"),
+        F.expr("COUNT(*)").alias("n_li"),
+    )
+    joined = (
+        ord_rev.join(orders.hint("shuffle_hash"), ord_rev.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region_name"),
-            F.date_format("o_orderdate", "yyyy").alias("order_year"),
-        )
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
-            F.count("*").alias("n_lineitems"),
-        )
+    )
+    total = "(CAST(SUM(rev_hi) AS DOUBLE) + CAST(SUM(rev_lo) AS DOUBLE) / 1000000.0)"
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"),
+        F.date_format("o_orderdate", "yyyy").alias("order_year"),
+    ).agg(
+        F.expr(f"CAST(FLOOR({total} * 100.0 + 0.5) / 100.0 AS DOUBLE)").alias("revenue"),
+        F.expr("SUM(n_li)").alias("n_lineitems"),
     )
 
 
@@ -709,6 +732,7 @@ def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension + streaming catalog entries register on import.
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa: E402,F401
     catalog_ext,
+    catalog_fin,
     catalog_llm,
     catalog_more,
     catalog_streaming,

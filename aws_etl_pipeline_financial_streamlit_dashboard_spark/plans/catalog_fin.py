@@ -1,0 +1,420 @@
+"""Financial time-series analytics over the events tick stream — the
+query family the reference's dashboard domain implies but its six
+Frontend queries stop short of (Frontend.py:28-97 renders statement
+averages and monthly price series; a finance user's next asks are
+candlesticks, VWAP, drawdown, smoothing, and cross-asset correlation).
+Registered into plans.catalog.QUERIES on import.
+
+The events table is the tick-stream analog: event_type is the symbol,
+value the trade price, props carries the trade size as JSON (F12-style
+semi-structured extraction), (ts, event_id) the exchange-sequence total
+order. Every entry is oracle-backed; cross-engine parity strategies are
+the repo's pinned set:
+
+- raw values / comparisons (min/max/arg-extremes): bit-identical by
+  construction, no arithmetic;
+- sums: fixed-point integer quantization (functions.scalars rationale);
+- per-row scalar chains (drawdown ratio, EWMA weighted sum): a FIXED
+  left-associated expression evaluated on identical inputs is IEEE-
+  deterministic in any engine — unlike distributed aggregate order,
+  scalar op order is pinned by the expression text itself, so both
+  engines round identically at every step;
+- sqrt: IEEE-754 correctly rounded in every engine → deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    ts_micros,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+
+# ===========================================================================
+# q50 — OHLC candlesticks (daily bars per symbol)
+# ===========================================================================
+
+_OHLC_ORACLE = r"""
+    WITH e AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+               epoch_us(ts) AS us, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY us DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           SUM(vol) AS volume,
+           COUNT(*) AS n_trades
+    FROM r
+    GROUP BY event_type, day
+"""
+
+
+@register(
+    "q50_ohlc_candles",
+    _OHLC_ORACLE,
+    doc="""Daily OHLC candlestick bars per symbol: open/close are the
+    values at the (ts, event_id)-first/last tick of the day, high/low
+    the extremes, volume the day's summed JSON-extracted trade size
+    (get_json_object — the semi-structured F12 path at fact scale).
+
+    Spark plan: ONE hash-aggregate shuffle keyed (symbol, day).
+    Open/close use min/max over a (ts_us, event_id, value) struct —
+    lexicographic struct comparison IS the arg-min/arg-max with a
+    pinned total-order tie-break, partial-aggregates map-side, and
+    never buffers a group (contrast a window row_number plan, which
+    would sort whole partitions — that shape is the ORACLE's, chosen
+    for portability, not the engine's). All outputs are raw input
+    values, integer sums, or counts → bit-exact parity with no
+    quantization needed. At 100 TB: |symbols|×|days| result rows,
+    shuffle carries only partial (struct, struct, min, max, sum,
+    count) states.""",
+)
+def q50_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    first_tick = F.min(F.struct("us", "event_id", "value"))
+    last_tick = F.max(F.struct("us", "event_id", "value"))
+    return ev.groupBy("event_type", "day").agg(
+        first_tick.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last_tick.getField("value").alias("close"),
+        F.sum("vol").alias("volume"),
+        F.count("*").alias("n_trades"),
+    )
+
+
+# ===========================================================================
+# q51 — VWAP (volume-weighted average price) per symbol-month
+# ===========================================================================
+
+# price×size quantized to micro-units per row, summed as exact longs
+# (scalars.py rationale); volume is already integral. The final ratio
+# and HALF_UP rounding are the same double expression in both engines.
+_VWAP_NUM_HI = (
+    "SUM(CAST(FLOOR(value * vol) AS BIGINT))"
+)
+_VWAP_NUM_LO = (
+    "SUM(CAST(FLOOR((value * vol - FLOOR(value * vol)) * 1000000.0 + 0.5)"
+    " AS BIGINT))"
+)
+
+_VWAP_ORACLE = rf"""
+    WITH e AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m') AS month, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    )
+    SELECT event_type, month,
+           FLOOR((CAST({_VWAP_NUM_HI} AS DOUBLE)
+                  + CAST({_VWAP_NUM_LO} AS DOUBLE) / 1000000.0)
+                 / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS vwap,
+           SUM(vol) AS volume,
+           COUNT(*) AS n_trades
+    FROM e
+    GROUP BY event_type, month
+"""
+
+
+@register(
+    "q51_vwap",
+    _VWAP_ORACLE,
+    doc="""Monthly VWAP per symbol: Σ(price·size)/Σ(size) with the
+    trade size parsed from the props JSON. The price·size product is
+    per-row IEEE-deterministic; its fixed-point hi/lo quantization
+    makes the SUM order-independent (scalars.py bounds: product ≤ 1e4
+    here → lo overflows past 9.2e12 rows/group, hi far beyond), so
+    distributed parity is bitwise. One partial-aggregating shuffle of
+    (hi, lo, vol, count) longs keyed (symbol, month) — constant state
+    per group, any scale.""",
+)
+def q51_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    vwap = (
+        f"FLOOR((CAST({_VWAP_NUM_HI} AS DOUBLE)"
+        f" + CAST({_VWAP_NUM_LO} AS DOUBLE) / 1000000.0)"
+        " / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return ev.groupBy("event_type", "month").agg(
+        F.expr(f"CAST(({vwap}) AS DOUBLE)").alias("vwap"),
+        F.expr("SUM(vol)").alias("volume"),
+        F.expr("COUNT(*)").alias("n_trades"),
+    )
+
+
+# ===========================================================================
+# q52 — maximum drawdown per account
+# ===========================================================================
+
+_DRAWDOWN_ORACLE = r"""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    dd AS (
+        SELECT user_id,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS peak,
+               value
+        FROM p
+    )
+    SELECT user_id,
+           COUNT(*) AS n_ticks,
+           MAX(peak) AS peak_value,
+           FLOOR(MAX((peak - value) / peak) * 1000000.0 + 0.5) / 1000000.0
+               AS max_drawdown
+    FROM dd
+    GROUP BY user_id
+"""
+
+
+@register(
+    "q52_max_drawdown",
+    _DRAWDOWN_ORACLE,
+    doc="""Maximum drawdown per account over its purchase-price path:
+    running peak (cumulative window MAX in (ts, event_id) order), then
+    the worst peak-relative drop. The risk metric every portfolio
+    dashboard shows next to the price series (Frontend.py:74-97 stops
+    at the raw monthly series).
+
+    Parity: the running MAX is comparisons only (no rounding), and
+    (peak−value)/peak is a per-row scalar chain — deterministic in any
+    IEEE engine; MAX over those doubles is again comparison-only, so
+    the only rounding is the final pinned HALF_UP display quantization.
+    Spark plan: one shuffle keyed user_id; the cumulative-MAX window
+    needs only a running scalar (no frame buffering), then the group
+    aggregate folds in the same stage — state per account is O(1). At
+    100 TB the sort is per-account within hash partitions; no global
+    sort, no driver action.""",
+)
+def q52_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_micros("ts").alias("us"), "event_id", "value")
+    )
+    dd = p.select(
+        "user_id",
+        F.expr(
+            "MAX(value) OVER (PARTITION BY user_id ORDER BY us, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("peak"),
+        "value",
+    )
+    return dd.groupBy("user_id").agg(
+        F.expr("COUNT(*)").alias("n_ticks"),
+        F.expr("MAX(peak)").alias("peak_value"),
+        F.expr(
+            "CAST(FLOOR(MAX((peak - value) / peak) * 1000000.0 + 0.5)"
+            " / 1000000.0 AS DOUBLE)"
+        ).alias("max_drawdown"),
+    )
+
+
+# ===========================================================================
+# q53 — EWMA price smoothing (α = 1/2, depth 10)
+# ===========================================================================
+
+def _ewma_terms(n: int) -> tuple[str, str]:
+    """Numerator/denominator of a depth-``n`` α=1/2 EWMA as explicit
+    lag chains. Weights are exact binary (0.5^i), every product is an
+    exact power-of-two scaling of its input double, and the sum is a
+    FIXED left-associated chain — both engines execute the identical
+    op sequence on identical inputs, so the result is bit-exact even
+    where individual additions round."""
+    num = " + ".join(
+        f"COALESCE(lag(value, {i}) OVER w * {0.5 ** i!r}, 0.0)" for i in range(n)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {i}) OVER w IS NULL THEN 0.0 ELSE {0.5 ** i!r} END)"
+        for i in range(n)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(10)
+
+_EWMA_ORACLE = rf"""
+    SELECT event_type, event_id, epoch_us(ts) AS us, value,
+           FLOOR(({_EWMA_NUM}) / ({_EWMA_DEN}) * 1000000.0 + 0.5) / 1000000.0
+               AS ewma10
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register(
+    "q53_ewma_smoothing",
+    _EWMA_ORACLE,
+    doc="""Exponentially weighted moving average of the price per
+    symbol (α = 1/2, truncated at depth 10): the smoothing curve under
+    every dashboard price chart. The recursive EWMA definition is
+    inherently sequential; the truncated form re-expresses it as ten
+    explicit lags with closed-form weights — embarrassingly parallel
+    per row, one window shuffle keyed by symbol.
+
+    Parity design: α = 1/2 makes every weight 0.5^i EXACT in binary
+    floating point, each product an exponent shift of its input, and
+    the numerator/denominator fixed left-associated chains the two
+    engines evaluate identically (generated from one Python template —
+    the same text runs in both). Truncation bias: the dropped tail
+    weight is 2^-10 ≈ 0.1% of the mass, and the partial-window
+    renormalization (NULL-aware denominator) makes early-series values
+    exact means of what exists. At 100 TB: per-symbol ROWS window,
+    state = 10 lag slots, no group buffering.""",
+)
+def q53_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", ts_micros("ts").alias("us"), "value"
+    )
+    # Spark has no named-WINDOW clause in DataFrame expr strings; the
+    # generated chain inlines the window spec per lag instead (same
+    # lag/weight text otherwise).
+    spec = "(PARTITION BY event_type ORDER BY us, event_id)"
+    num = _EWMA_NUM.replace("OVER w", f"OVER {spec}")
+    den = _EWMA_DEN.replace("OVER w", f"OVER {spec}")
+    return ev.select(
+        "event_type",
+        "event_id",
+        "us",
+        "value",
+        F.expr(
+            f"CAST(FLOOR(({num}) / ({den}) * 1000000.0 + 0.5) / 1000000.0"
+            " AS DOUBLE)"
+        ).alias("ewma10"),
+    )
+
+
+# ===========================================================================
+# q54 — cross-symbol correlation matrix
+# ===========================================================================
+
+_CORR_ORACLE = r"""
+    WITH daily AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS flow
+        FROM events
+        GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+    ),
+    pairs AS (
+        SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+               COUNT(*) AS n_days,
+               SUM(a.flow) AS sx, SUM(b.flow) AS sy,
+               SUM(a.flow * b.flow) AS sxy,
+               SUM(a.flow * a.flow) AS sxx,
+               SUM(b.flow * b.flow) AS syy
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT sym_a, sym_b, n_days,
+           FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr
+    FROM pairs
+"""
+
+
+@register(
+    "q54_symbol_correlation",
+    _CORR_ORACLE,
+    doc="""Pairwise Pearson correlation of daily flow between symbols —
+    the correlation-matrix tile of a portfolio dashboard. Daily flow is
+    quantized to exact integer centi-units at the first aggregate, so
+    every downstream moment (Σx, Σxy, Σx²) is EXACT int64 arithmetic
+    (bounds at this shape: flow ≤ 2e5 centis, sxy ≤ 4e12 — int64
+    headroom ~1e6×; the final double casts are < 2^53 so conversion is
+    exact, SQRT is correctly rounded, and the whole corr expression is
+    a pinned scalar chain → bitwise parity).
+
+    Spark plan: fact-scale work is ONE partial-aggregating shuffle to
+    |symbols|×|days| rows; the day-keyed self-join runs on that tiny
+    aggregated series (broadcast), and the pair rollup shuffles
+    |symbols|² rows. The n²-in-symbols term is the OUTPUT size —
+    irreducible for a correlation matrix — never n² in ticks.""",
+)
+def q54_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.expr("SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))").alias(
+                "flow"
+            )
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("sym_a"),
+        F.col("day").alias("day"),
+        F.col("flow").alias("fa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("sym_b"),
+        F.col("day").alias("day_b"),
+        F.col("flow").alias("fb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("day") == F.col("day_b")) & (F.col("sym_a") < F.col("sym_b")),
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.expr("COUNT(*)").alias("n_days"),
+            F.expr("SUM(fa)").alias("sx"),
+            F.expr("SUM(fb)").alias("sy"),
+            F.expr("SUM(fa * fb)").alias("sxy"),
+            F.expr("SUM(fa * fa)").alias("sxx"),
+            F.expr("SUM(fb * fb)").alias("syy"),
+        )
+    )
+    corr = (
+        "FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return pairs.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        F.expr(f"CAST(({corr}) AS DOUBLE)").alias("corr"),
+    )
