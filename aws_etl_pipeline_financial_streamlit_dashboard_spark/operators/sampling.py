@@ -122,6 +122,46 @@ def exact_stratified_sample(
     )
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum FRACTIONAL sample with no RNG state — the fully
+    deterministic, cross-engine-reproducible form of
+    :func:`stratified_sample` (which draws from Spark's per-task RNG
+    and so can only ever be rows-only-checked).
+
+    Each row's 32-bit md5 bucket of ``key ':' seed`` is compared to
+    ``fraction · 2³²``: uniform over keys, so the realized fraction
+    converges on the target with the same O(1/√n) error as Bernoulli
+    sampling, but membership is a pure function of content — identical
+    across engines, reruns, cluster sizes, and partitionings (the
+    property that makes a data recipe auditable). Strata absent from
+    ``fractions`` are dropped, matching ``stratified_sample``.
+
+    Narrow transform: per-row hash + comparison against a broadcast
+    CASE, zero shuffle at any scale.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    threshold = F.lit(None).cast("long")
+    for name, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == name, F.lit(int(frac * 4294967296))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def mix_corpora_deterministic(
     df: DataFrame,
     source_col: str,

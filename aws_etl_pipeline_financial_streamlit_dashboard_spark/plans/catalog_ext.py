@@ -11,7 +11,7 @@ comprehension, brute-force cosine) gets a full value-hash oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import dedup as D
@@ -769,3 +769,84 @@ def x53_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate_spans(train, eval_df, n=5)
+
+
+# ===========================================================================
+# x57 — kNN label propagation (auto-labeling)
+# ===========================================================================
+
+_X57_ORACLE = """
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 7 = 0),
+    sims AS (
+        SELECT qs.query_id, e.vec_id AS neighbor_id, e.label,
+               FLOOR((list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE)
+                           FOR i IN range(1, len(e.embedding) + 1)])
+                 / NULLIF(
+                     SQRT(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                    FOR i IN range(1, len(e.embedding) + 1)]))
+                     * SQRT(list_sum([CAST(qs.qv[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE)
+                                      FOR i IN range(1, len(qs.qv) + 1)])),
+                     0)) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+        FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 0) e, qs
+    ),
+    r AS (SELECT query_id, neighbor_id, label, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM sims),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM r WHERE rn <= 5
+        GROUP BY query_id, label
+    ),
+    ranked AS (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+    )
+    SELECT query_id, label AS label_pred, n_votes
+    FROM ranked WHERE vr = 1
+"""
+
+
+@register(
+    "x57_knn_label_propagation",
+    _X57_ORACLE,
+    doc="""kNN label propagation — the auto-labeling step of a
+    training-data pipeline: every 7th vector plays "unlabeled", takes
+    its 5 nearest LABELED neighbors by exact cosine (x11's broadcast
+    knn join), and adopts the majority label (ties → most votes, then
+    smallest label — a pinned total order, so the prediction is
+    engine-deterministic end to end and the whole pipeline carries a
+    value-hash oracle).
+
+    Plan: queries broadcast (the small side by construction —
+    unlabeled batches are ingest-sized), one narrow cosine pass over
+    the labeled corpus, per-query window top-k, then a |Q|·k-row vote
+    aggregate — the corpus is scanned once and never shuffled. At
+    real scale swap the exact join for the IVF/LSH candidate
+    generators (x10/x24) under the identical vote.""",
+)
+def x57_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    nn = S.knn_join_brute_force(queries, corpus, k=5, dim=64)
+    labeled = nn.join(
+        F.broadcast(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "label")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("__vr", F.row_number().over(w))
+        .filter(F.col("__vr") == 1)
+        .select("query_id", F.col("label").alias("label_pred"), "n_votes")
+    )

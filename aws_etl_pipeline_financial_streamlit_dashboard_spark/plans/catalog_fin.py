@@ -66,7 +66,7 @@ _OHLC_ORACLE = r"""
 
 
 @register(
-    "q50_ohlc_candles",
+    "q55_ohlc_candles",
     _OHLC_ORACLE,
     doc="""Daily OHLC candlestick bars per symbol: open/close are the
     values at the (ts, event_id)-first/last tick of the day, high/low
@@ -85,7 +85,7 @@ _OHLC_ORACLE = r"""
     shuffle carries only partial (struct, struct, min, max, sum,
     count) states.""",
 )
-def q50_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -140,7 +140,7 @@ _VWAP_ORACLE = rf"""
 
 
 @register(
-    "q51_vwap",
+    "q56_vwap",
     _VWAP_ORACLE,
     doc="""Monthly VWAP per symbol: Σ(price·size)/Σ(size) with the
     trade size parsed from the props JSON. The price·size product is
@@ -151,7 +151,7 @@ _VWAP_ORACLE = rf"""
     (hi, lo, vol, count) longs keyed (symbol, month) — constant state
     per group, any scale.""",
 )
-def q51_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q56_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_format("ts", "yyyy-MM").alias("month"),

@@ -1832,3 +1832,73 @@ def q51_multistep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.agg(F.count("*").alias("n_purchased")),
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# ===========================================================================
+# x56 — winsorization at exact per-group percentiles
+# ===========================================================================
+
+_X56_ORACLE = f"""
+    WITH b AS (
+        SELECT source,
+               list_sort(list(CAST(n_chars AS DOUBLE))) AS arr
+        FROM documents
+        GROUP BY source
+    ),
+    bounds AS (
+        SELECT source,
+               {_pct_interp("arr", "len(arr)", 0.05, False)} AS lo,
+               {_pct_interp("arr", "len(arr)", 0.95, False)} AS hi
+        FROM b
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           FLOOR(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+                 * 1000000.0 + 0.5) / 1000000.0 AS n_chars_w,
+           (CAST(d.n_chars AS DOUBLE) < b.lo
+            OR CAST(d.n_chars AS DOUBLE) > b.hi) AS clipped
+    FROM documents d JOIN bounds b ON d.source = b.source
+"""
+
+
+@register(
+    "x56_winsorize",
+    _X56_ORACLE,
+    doc="""Winsorization: clip each document's length to its source's
+    exact [p05, p95] band — the outlier-taming transform applied to
+    heavy-tailed quality features before they feed scoring models
+    (x35's MAD flags outliers; this one REPAIRS them in place). The
+    percentile bounds use the same pinned a+(b−a)·f interpolation
+    template as q47 (bitwise identical in both engines); the clip
+    itself is comparison-only (LEAST/GREATEST), so the only rounding
+    is the final display quantization.
+
+    Plan: one shuffle to the per-source bounds (|sources| rows),
+    broadcast back onto the corpus, narrow clip — the corpus itself
+    never shuffles. Exact percentiles buffer one source's values
+    (q47's caveat); at 100 TB swap percentile_approx under the same
+    join shape (q49's documented trade).""",
+)
+def x56_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.col("n_chars").cast("double"))
+        ).alias("__arr")
+    )
+    bounds = grouped.select(
+        "source",
+        F.expr(_pct_interp("__arr", "size(__arr)", 0.05, True)).alias("lo"),
+        F.expr(_pct_interp("__arr", "size(__arr)", 0.95, True)).alias("hi"),
+    )
+    return docs.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "CAST(FLOOR(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)"
+            " * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)"
+        ).alias("n_chars_w"),
+        F.expr(
+            "CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi"
+        ).alias("clipped"),
+    )

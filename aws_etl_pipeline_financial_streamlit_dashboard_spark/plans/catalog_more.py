@@ -945,6 +945,44 @@ def x20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X55_FRACTIONS = {f"src{i}": (0.5 if i < 5 else 1.0) for i in range(10)}
+
+_X55_CASE = "CASE source " + " ".join(
+    f"WHEN '{name}' THEN {int(frac * 4294967296)}"
+    for name, frac in _X55_FRACTIONS.items()
+) + " END"
+
+_X55_ORACLE = f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id || ':42'), 1, 8))::UBIGINT < {_X55_CASE}
+"""
+
+
+@register(
+    "x55_hash_stratified_sample",
+    _X55_ORACLE,
+    doc="""x20's sampling recipe with ZERO RNG: per-stratum fractional
+    keep decided by each row's 32-bit md5 bucket vs fraction·2³²
+    (operators/sampling.hash_stratified_sample). Same O(1/√n)
+    convergence to the target fractions as Bernoulli sampling, but
+    membership is a pure function of (key, seed) — byte-identical
+    across engines and cluster layouts, which is why THIS variant
+    carries a full value-hash oracle while x20 (Spark's per-task RNG)
+    can only be rows-only checked. Narrow transform, zero shuffle at
+    any scale.""",
+)
+def x55_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_stratified_sample(
+        docs, "source", "doc_id", _X55_FRACTIONS, seed=42
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 @register(
     "x21_approx_percentiles",
     None,  # t-digest estimates are engine-specific → rows-only check
