@@ -418,3 +418,103 @@ def q54_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.expr(f"CAST(({corr}) AS DOUBLE)").alias("corr"),
     )
+
+
+# ===========================================================================
+# q57 — per-symbol returns and realized volatility
+# ===========================================================================
+
+# Tick-over-tick return, clamped to ±1000% (data-error guard, and the
+# clamp bounds the integer moments below), quantized to basis points.
+# The CASE guard keeps undefined returns (first tick, prior price 0)
+# NULL: both engines' GREATEST/LEAST *ignore* NULL operands, so a bare
+# clamp would silently turn "undefined" into −1000%.
+_RET_BP = (
+    "CAST(FLOOR(CASE WHEN lag(value) OVER {w} IS NULL"
+    " OR lag(value) OVER {w} = 0.0 THEN NULL"
+    " ELSE LEAST(GREATEST(value / lag(value) OVER {w} - 1.0, -10.0), 10.0)"
+    " END * 10000.0 + 0.5) AS BIGINT)"
+)
+
+_VOL_EXPR = (
+    "FLOOR(SQRT((CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n_ret AS DOUBLE) * CAST(NULLIF(n_ret - 1, 0) AS DOUBLE)))"
+    " * 100.0 + 0.5) / 100.0"
+)
+
+_RETURNS_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m') AS month,
+               epoch_us(ts) AS us, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, month,
+               {_RET_BP.format(w="w")} AS r_bp
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ),
+    g AS (
+        SELECT event_type, month,
+               COUNT(r_bp) AS n_ret,
+               SUM(r_bp) AS s1,
+               SUM(r_bp * r_bp) AS s2
+        FROM r
+        GROUP BY event_type, month
+    )
+    SELECT event_type, month, n_ret,
+           FLOOR(CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE) * 100.0 + 0.5)
+               / 100.0 AS mean_ret_bp,
+           {_VOL_EXPR} AS vol_bp
+    FROM g
+"""
+
+
+@register(
+    "q57_returns_volatility",
+    _RETURNS_ORACLE,
+    doc="""Tick-over-tick returns and realized volatility per
+    symbol-month — the risk summary beside q52's drawdown. Each return
+    (value/prev − 1, NULL on first tick or zero price, clamped ±1000%
+    as a bad-tick guard) is quantized to integer BASIS POINTS at the
+    row, so the month's moments Σr and Σr² accumulate as exact int64
+    (clamp bounds: r_bp ≤ 1e5, r_bp² ≤ 1e10 → overflow needs ~9e8
+    returns per symbol-month) — order-independent, then the
+    mean/stddev finish is a pinned scalar chain (int→double conversion
+    is IEEE round-to-nearest in both engines, SQRT correctly rounded)
+    → bitwise parity.
+
+    Plan: one per-symbol window (lag needs only 1 row of state), then
+    one partial-aggregating shuffle of 3 longs per (symbol, month). At
+    100 TB both stages stream; nothing buffers a group.""",
+)
+def q57_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    spec = "(PARTITION BY event_type ORDER BY us, event_id)"
+    r = t.select(
+        "event_type",
+        "month",
+        F.expr(_RET_BP.format(w=spec)).alias("r_bp"),
+    )
+    g = r.groupBy("event_type", "month").agg(
+        F.expr("COUNT(r_bp)").alias("n_ret"),
+        F.expr("SUM(r_bp)").alias("s1"),
+        F.expr("SUM(r_bp * r_bp)").alias("s2"),
+    )
+    return g.select(
+        "event_type",
+        "month",
+        "n_ret",
+        F.expr(
+            "CAST(FLOOR(CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE)"
+            " * 100.0 + 0.5) / 100.0 AS DOUBLE)"
+        ).alias("mean_ret_bp"),
+        F.expr(f"CAST(({_VOL_EXPR}) AS DOUBLE)").alias("vol_bp"),
+    )
