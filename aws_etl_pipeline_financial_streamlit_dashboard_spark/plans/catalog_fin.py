@@ -73,13 +73,16 @@ _OHLC_ORACLE = r"""
     the extremes, volume the day's summed JSON-extracted trade size
     (get_json_object — the semi-structured F12 path at fact scale).
 
-    Spark plan: ONE hash-aggregate shuffle keyed (symbol, day).
+    Spark plan: ONE partial-aggregating shuffle keyed (symbol, day).
     Open/close use min/max over a (ts_us, event_id, value) struct —
     lexicographic struct comparison IS the arg-min/arg-max with a
     pinned total-order tie-break, partial-aggregates map-side, and
     never buffers a group (contrast a window row_number plan, which
     would sort whole partitions — that shape is the ORACLE's, chosen
-    for portability, not the engine's). All outputs are raw input
+    for portability, not the engine's). Struct buffers aren't
+    hash-aggregable, so the physical operator is SortAggregate: a
+    per-partition map-side sort, with the exchange still carrying only
+    (struct, struct, min, max, sum, count) states. All outputs are raw input
     values, integer sums, or counts → bit-exact parity with no
     quantization needed. At 100 TB: |symbols|×|days| result rows,
     shuffle carries only partial (struct, struct, min, max, sum,

@@ -123,3 +123,52 @@ def test_bucketed_star_join_fact_side_shuffle_free(spark, sf_dir):
     assert "SelectedBucketsCount: 8 out of 8" in plan
     # exactly one hash exchange in the whole query: the group-by rollup
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_single_mergeable_shuffle(spark, sf_dir):
+    """q55's candlestick bars: ONE partial-aggregating shuffle, no
+    window — struct extremes are mergeable aggregate state, so the
+    plan must NOT contain the oracle's row_number shape (which buffers
+    whole partitions). Struct buffers aren't hash-aggregable, so Spark
+    picks SortAggregate — the sort is per-partition map-side and the
+    exchange still carries only group states (partial_min/max visible
+    below it)."""
+    df = QUERIES["q55_ohlc_candles"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    below_exchange = plan[plan.index("Exchange hashpartitioning"):]
+    assert "partial_min(struct" in below_exchange
+
+
+def test_drawdown_single_window_shuffle(spark, sf_dir):
+    """q52: ONE exchange keyed user_id serves both the running-peak
+    window and the per-account aggregate (same key → partitioning
+    reused, no second shuffle)."""
+    df = QUERIES["q52_max_drawdown"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_returns_window_partitioning_reuse(spark, sf_dir):
+    """q57: the per-symbol lag window and the (symbol, month) aggregate
+    need at most two exchanges; the window must use a ROWS running
+    frame, not a re-sorted buffer per group."""
+    df = QUERIES["q57_returns_volatility"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q16_eager_agg_below_fact_join(spark, sf_dir):
+    """q16's revenue rollup happens BELOW the lineitem⋈orders join
+    (eager aggregation): a HashAggregate must appear on the lineitem
+    side before the ShuffledHashJoin, and the join's probe side is the
+    pre-aggregated (orderkey, hi, lo, count) stream — visible as the
+    aggregate's partial/final pair both upstream of the join."""
+    df = QUERIES["q16_star_join_revenue"].spark(spark, sf_dir)
+    plan = _plan(df)
+    shj = plan.index("ShuffledHashJoin")
+    # the per-orderkey rollup (keyed on l_orderkey) appears below the join
+    below = plan[shj:]
+    assert "HashAggregate(keys=[l_orderkey" in below
