@@ -80,6 +80,24 @@ def kmeans_deterministic(
     numbered 1..k in id order (the IVF seeding rule, reproducible in
     one SQL ORDER BY ... LIMIT in any engine).
     """
+    assigned, _ = _kmeans_core(
+        embeddings, k, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    return assigned.select(F.col("pid").alias(id_col), "cell", "d2")
+
+
+def _kmeans_core(
+    embeddings: DataFrame,
+    k: int,
+    n_iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    seed_mod: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (assignments(pid, cell, d2, xm),
+    centroids(cell, cm)) where the centroids are the ones the FINAL
+    assignment used — what an IVF probe must rank against."""
     pts = embeddings.select(
         F.col(id_col).alias("pid"),
         F.expr(_quantize_sql(vec_col, dim)).alias("xm"),
@@ -120,8 +138,87 @@ def kmeans_deterministic(
             .localCheckpoint(eager=True)
         )
         assigned = assign(cents)
-    return assigned.select(
-        F.col("pid").alias(id_col), "cell", "d2"
+    return assigned, cents
+
+
+def ivf_deterministic_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> DataFrame:
+    """IVF approximate top-k with EXACT cross-engine parity — the
+    oracle-checkable twin of similarity.ivf_topk (whose float k-means
+    means are summation-order-dependent and so rows-only forever).
+
+    Coarse quantizer: the integer-micro k-means above (bit-identical
+    cells on any engine). Probe: the ``n_probe`` cells whose FINAL
+    centroids are integer-L2 nearest to the query's quantized vector
+    (ties → smaller cell id). Re-rank: exact cosine over the probed
+    cells' members with the repo's pinned kernel (rounded before
+    ranking, id tie-break). Every stage is deterministic, so the
+    entire ANN result — not just its size — hash-checks against the
+    unrolled SQL oracle (clustering.ivf_oracle_sql).
+
+    Scale shape: clustering amortizes across queries (build once);
+    per query: one k-row broadcast ranking (no shuffle), a semi-join
+    on cell pruning the corpus to ~n_probe/n_cells, and x09's
+    TakeOrderedAndProject re-rank over the survivors.
+    """
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        cosine_pre,
+        rhu,
+        with_l2_norm,
+    )
+
+    assigned, cents = _kmeans_core(
+        embeddings, n_cells, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    qx = embeddings.filter(F.col(id_col) == query_id).select(
+        F.expr(_quantize_sql(vec_col, dim)).alias("qxm")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qx))
+        .select("cell", F.expr(_int_dist2_sql("qxm", "cm", dim)).alias("qd2"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.orderBy(F.col("qd2"), F.col("cell"))),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("cell")
+    )
+    cand_ids = (
+        assigned.join(F.broadcast(probe), "cell", "leftsemi")
+        .filter(F.col("pid") != query_id)
+        .select("pid")
+    )
+    corpus = with_l2_norm(
+        embeddings.join(
+            cand_ids, embeddings[id_col] == cand_ids.pid, "leftsemi"
+        ),
+        vec_col,
+        dim,
+    )
+    query = with_l2_norm(
+        embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        dim,
+        "__qnrm",
+    )
+    sim = rhu(cosine_pre(vec_col, "__qvec", "__nrm", "__qnrm", dim), 6)
+    return (
+        corpus.crossJoin(F.broadcast(query))
+        .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
     )
 
 
@@ -139,6 +236,28 @@ def kmeans_oracle_sql(
     as chained CTEs (the pagerank_oracle_sql pattern). Integer sums
     are order-free, so DuckDB may use list comprehensions where Spark
     unrolls — identical values either way."""
+    parts, a_last, _ = _kmeans_cte_parts(
+        table, k, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT pid AS {id_col}, cell, CAST(d2 AS BIGINT) AS d2"
+        f" FROM {a_last}"
+    )
+
+
+def _kmeans_cte_parts(
+    table: str,
+    k: int,
+    n_iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    seed_mod: int,
+) -> tuple[list[str], str, str]:
+    """CTE chain for the unrolled Lloyd rounds; returns (parts,
+    last-assignment CTE name, last-used-centroid CTE name)."""
     q = (
         f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
         f" FOR i IN range(1, {dim} + 1)]"
@@ -173,9 +292,61 @@ def kmeans_oracle_sql(
                 f"c{it + 1} AS (SELECT cell,"
                 f" list(s // c ORDER BY i) AS cm FROM s{it} GROUP BY cell),"
             )
+    return parts, f"a{n_iters - 1}", f"c{n_iters - 1}"
+
+
+def ivf_oracle_sql(
+    table: str = "embeddings",
+    query_id: int = 1,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> str:
+    """DuckDB twin of :func:`ivf_deterministic_topk`: the unrolled
+    k-means CTEs, the query's integer-L2 cell ranking, the probed-cell
+    candidate set, and x09's exact-cosine re-rank text."""
+    parts, a_last, c_last = _kmeans_cte_parts(
+        table, n_cells, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    qd2 = (
+        "list_sum([(q.qxm[i] - c.cm[i]) * (q.qxm[i] - c.cm[i])"
+        " FOR i IN range(1, len(q.qxm) + 1)])"
+    )
+    cos = (
+        f"FLOOR((list_sum([CAST(e.{vec_col}[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(e.{vec_col}) + 1)])"
+        f" / NULLIF(SQRT(list_sum([CAST(e.{vec_col}[i] AS DOUBLE)"
+        f" * CAST(e.{vec_col}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(e.{vec_col}) + 1)]))"
+        f" * SQRT(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(q.qv) + 1)])), 0))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
+    parts.append(f"qx AS (SELECT xm AS qxm FROM pts WHERE pid = {query_id}),")
+    parts.append(
+        f"qc AS (SELECT cell FROM ("
+        f"SELECT c.cell, ROW_NUMBER() OVER (ORDER BY {qd2}, c.cell) AS rn"
+        f" FROM {c_last} c CROSS JOIN qx q) WHERE rn <= {n_probe}),"
+    )
+    parts.append(
+        f"cand AS (SELECT pid FROM {a_last}"
+        f" WHERE cell IN (SELECT cell FROM qc) AND pid <> {query_id}),"
+    )
+    parts.append(
+        f"qv AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}),"
+    )
+    parts.append(
+        f"sims AS (SELECT e.{id_col} AS neighbor_id, {cos} AS cosine_sim"
+        f" FROM {table} e JOIN cand ON e.{id_col} = cand.pid CROSS JOIN qv q),"
+    )
     body = "\n".join(parts).rstrip(",")
     return (
         f"{body}\n"
-        f"SELECT pid AS {id_col}, cell, CAST(d2 AS BIGINT) AS d2"
-        f" FROM a{n_iters - 1}"
+        f"SELECT neighbor_id, cosine_sim FROM sims"
+        f" ORDER BY cosine_sim DESC, neighbor_id LIMIT {k}"
     )

@@ -850,3 +850,46 @@ def x57_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__vr") == 1)
         .select("query_id", F.col("label").alias("label_pred"), "n_votes")
     )
+
+
+# ===========================================================================
+# x58 — deterministic IVF top-k (fully oracle-checked ANN)
+# ===========================================================================
+
+
+def _x58_oracle() -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        ivf_oracle_sql,
+    )
+
+    return ivf_oracle_sql(
+        "embeddings", query_id=1, k=10, n_cells=8, n_probe=2, n_iters=2, dim=64
+    )
+
+
+@register(
+    "x58_ivf_deterministic_topk",
+    _x58_oracle(),
+    doc="""The ANN ladder's scale path with a FULL value-hash oracle:
+    IVF built on the integer-micro k-means (x51) instead of float
+    Lloyd means, probing the 2 of 8 cells whose final centroids are
+    integer-L2 nearest the query, exact-cosine re-ranking the
+    survivors with x09's pinned kernel
+    (operators/clustering.ivf_deterministic_topk). Where x10's float
+    IVF is rows-only forever (summation-order-dependent means), every
+    stage here — seeds, centroids, assignments, probe choice, final
+    neighbor list — is deterministic, so the driver hash-checks the
+    whole approximate index against unrolled SQL. Cost shape is
+    x10's: clustering amortizes across queries; per query a k-row
+    broadcast ranking, a cell semi-join pruning the corpus ~4×, and a
+    TakeOrderedAndProject over the probed fraction.""",
+)
+def x58_ivf_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        ivf_deterministic_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_deterministic_topk(
+        emb, query_id=1, k=10, n_cells=8, n_probe=2, n_iters=2, dim=64
+    )

@@ -77,3 +77,65 @@ def cluster_by_range(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column's bucket so a sort by the key gives EVERY clustered column
+    locality at once — per-file min/max spans shrink to ~n^(1/k) of the
+    domain for k columns, vs exact-for-one / useless-for-others under
+    lexicographic range clustering.
+
+    Callers pass pre-bucketed non-negative ints (see
+    :func:`cluster_by_zorder`, which rank-normalizes arbitrary columns
+    first). The interleave is a generated shift/or chain — pure codegen
+    arithmetic, one expression, no UDF."""
+    k = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(shiftright(CAST({c} AS BIGINT), {i}) & 1, {i * k + j})"
+            )
+    return F.expr("(" + " | ".join(terms) + ")")
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-cluster a table on ``cluster_cols`` (multi-column data
+    skipping): each column is rank-normalized to ``bits`` bits with
+    ``ntile`` (distribution-proof — heavy skew still fills buckets
+    evenly), the buckets interleave into a Morton key, and files are
+    range-partitioned + sorted by that key so parquet min/max stats
+    are selective on EVERY clustered column simultaneously.
+
+    Cost shape at 100 TB: the ntile windows are ORDER-BY-only windows
+    over the whole table — Spark plans them as one global sort each
+    (range exchange), so clustering costs ~k sorts + the final range
+    write; it's the pay-once layout step whose dividend is every
+    later scan's skipped IO (same amortization as bucketing, q34).
+    """
+    from pyspark.sql import Window
+
+    work = df
+    bucket_cols = []
+    n_buckets = 1 << bits
+    for c in cluster_cols:
+        b = f"__zb_{c}"
+        work = work.withColumn(
+            b, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+        )
+        bucket_cols.append(b)
+    work = work.withColumn("__zkey", zorder_key(bucket_cols, bits))
+    (
+        work.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *bucket_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -240,3 +240,16 @@ def test_fan_out_guard(spark, sf_dir):
     assert fan_out(wide) is wide  # no exchange added at scale
     narrow = docs.coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_ivf_deterministic_recall_vs_brute_force(spark, sf_dir):
+    exact = {
+        r.neighbor_id
+        for r in QUERIES["x09_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    ivf = {
+        r.neighbor_id
+        for r in QUERIES["x58_ivf_deterministic_topk"].spark(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"deterministic IVF recall degraded: {recall:.2f}"
