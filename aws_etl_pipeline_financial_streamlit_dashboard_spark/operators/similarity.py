@@ -676,3 +676,190 @@ def quantize_int8_oracle_sql(
            {rq6(sum_err)} AS sum_abs_err
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-integer LSH: the oracle-checkable twin of the float path
+# ---------------------------------------------------------------------------
+
+
+def _plane_coeffs_mic(t: int, p: int, dim: int, n_planes: int) -> list[int]:
+    """Integer-micro hyperplane coefficients: the fract-sin floats of
+    :func:`_plane_coeffs` HALF_UP-quantized once in Python, so BOTH
+    engines consume the identical bigint literals — no float dot, no
+    last-ulp sign flips at the bucket boundary."""
+    import math
+
+    return [
+        int(math.floor(c * 1_000_000.0 + 0.5))
+        for c in _plane_coeffs(t, p, dim, n_planes)
+    ]
+
+
+def _quantize_vec_sql(vec_col: str, dim: int) -> str:
+    elems = ", ".join(
+        f"CAST(FLOOR(CAST(get({vec_col}, {i}) AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"array({elems})"
+
+
+def hyperplane_bucket_table_int(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __buckets) with INTEGER sign-pattern buckets: vector
+    components and plane coefficients are both micro-quantized, each
+    dot is an exact int64 sum (|term| ≤ 1e12, ×dim ≤ 256 within
+    headroom), so every bucket id is bit-identical on any engine or
+    partitioning — what makes x59 fully oracle-checkable where the
+    float path (``hyperplane_bucket_table``) can only be rows-only.
+
+    Same codegen shape as the float form: posexplode + one aggregate
+    with tables·planes conditional integer sums, coefficients embedded
+    as parsed SQL literals (single py4j round trip)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    ex = fan_out(embeddings.select(id_col, vec_col)).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+
+    def dot_sql(t: int, p: int) -> str:
+        arr = ",".join(
+            f"{c}L" for c in _plane_coeffs_mic(t, p, dim, n_planes)
+        )
+        vm = "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        return f"sum({vm} * element_at(array({arr}), pos + 1))"
+
+    dots = ex.groupBy("id").agg(
+        *[
+            F.expr(dot_sql(t, p)).alias(f"__d_{t}_{p}")
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )
+
+    def bucket(t: int) -> Column:
+        out = None
+        for p in range(n_planes):
+            bit = F.when(F.col(f"__d_{t}_{p}") >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ) * (1 << p)
+            out = bit if out is None else out + bit
+        return out
+
+    return dots.select(
+        "id", F.array(*[bucket(t) for t in range(n_tables)]).alias("__buckets")
+    )
+
+
+def lsh_deterministic_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with EXACT cross-engine parity:
+    integer-micro buckets (above), OR-across-tables candidates, pinned
+    exact-cosine re-rank. Same S-curve recall and ~1/2^p-per-table
+    pruning as :func:`lsh_bucketed_topk`; the difference is that every
+    stage is deterministic, so the whole result hash-checks against
+    :func:`lsh_oracle_sql`."""
+    with_bucket = embeddings.join(
+        hyperplane_bucket_table_int(
+            embeddings, dim, n_planes, n_tables, id_col, vec_col
+        ).withColumnRenamed("id", id_col),
+        id_col,
+    )
+    q = with_l2_norm(
+        with_bucket.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
+        ),
+        "__qvec",
+        dim,
+        "__qnrm",
+    )
+    collides = F.exists(
+        F.zip_with("__buckets", "__qbuckets", lambda a, b: a == b),
+        lambda x: x,
+    )
+    sim = rhu(cosine_pre(vec_col, "__qvec", "__nrm", "__qnrm", dim), 6)
+    return (
+        with_l2_norm(with_bucket, vec_col, dim)
+        .crossJoin(F.broadcast(q))
+        .filter(collides & (F.col(id_col) != query_id))
+        .select(F.col(id_col).alias("neighbor_id"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )
+
+
+def lsh_oracle_sql(
+    table: str = "embeddings",
+    query_id: int = 1,
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`lsh_deterministic_topk`: the identical
+    integer-micro quantization and coefficient literals, per-table
+    bucket CASE sums, OR-across-tables candidate predicate, and x09's
+    cosine re-rank text."""
+    vm = (
+        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+
+    def bucket_sql(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = ",".join(str(c) for c in _plane_coeffs_mic(t, p, dim, n_planes))
+            dot = (
+                f"list_sum([xm[i] * ([{arr}])[i]"
+                f" FOR i IN range(1, {dim} + 1)])"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    bcols = ",\n           ".join(
+        f"{bucket_sql(t)} AS b{t}" for t in range(n_tables)
+    )
+    collide = " OR ".join(f"b.b{t} = q.b{t}" for t in range(n_tables))
+    cos = (
+        f"FLOOR((list_sum([CAST(e.{vec_col}[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(e.{vec_col}) + 1)])"
+        f" / NULLIF(SQRT(list_sum([CAST(e.{vec_col}[i] AS DOUBLE)"
+        f" * CAST(e.{vec_col}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(e.{vec_col}) + 1)]))"
+        f" * SQRT(list_sum([CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(qv.qv) + 1)])), 0))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+    WITH vm AS (SELECT {id_col}, {vm} AS xm FROM {table}),
+    b AS (SELECT {id_col},
+           {bcols}
+          FROM vm),
+    q AS (SELECT * FROM b WHERE {id_col} = {query_id}),
+    cand AS (SELECT b.{id_col} FROM b, q
+             WHERE b.{id_col} <> {query_id} AND ({collide})),
+    qv AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}),
+    sims AS (SELECT e.{id_col} AS neighbor_id, {cos} AS cosine_sim
+             FROM {table} e JOIN cand ON e.{id_col} = cand.{id_col}
+             CROSS JOIN qv)
+    SELECT neighbor_id, cosine_sim FROM sims
+    ORDER BY cosine_sim DESC, neighbor_id LIMIT {k}
+    """

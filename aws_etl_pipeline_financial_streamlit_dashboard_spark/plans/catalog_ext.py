@@ -893,3 +893,37 @@ def x58_ivf_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_deterministic_topk(
         emb, query_id=1, k=10, n_cells=8, n_probe=2, n_iters=2, dim=64
     )
+
+
+# ===========================================================================
+# x59 — deterministic hyperplane LSH top-k (fully oracle-checked)
+# ===========================================================================
+
+
+def _x59_oracle() -> str:
+    return S.lsh_oracle_sql(
+        "embeddings", query_id=1, dim=64, k=10, n_planes=4, n_tables=8
+    )
+
+
+@register(
+    "x59_lsh_deterministic_topk",
+    _x59_oracle(),
+    doc="""The LSH tier of the ANN ladder with a FULL value-hash
+    oracle (operators/similarity.lsh_deterministic_topk), completing
+    the set: exact scan (x09), IVF (x58), LSH (this) — each
+    approximate index now has a deterministic, hash-checked twin.
+    Vector components AND hyperplane coefficients are micro-quantized
+    once (coefficients in Python, so both engines consume identical
+    bigint literals); every dot is an exact int64 sum, so bucket sign
+    bits cannot flip at the boundary the way float dots can (the
+    reason x24/x27 stay rows-only). Candidates = OR-across-8-tables
+    bucket collision (~1/16 of the corpus per table), then x09's
+    pinned cosine re-rank. Same codegen shape as x24: explode + 32
+    conditional integer sums, coefficients as parsed SQL literals.""",
+)
+def x59_lsh_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.lsh_deterministic_topk(
+        emb, query_id=1, dim=64, k=10, n_planes=4, n_tables=8
+    )

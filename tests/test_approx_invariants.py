@@ -253,3 +253,40 @@ def test_ivf_deterministic_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"deterministic IVF recall degraded: {recall:.2f}"
+
+
+def test_lsh_deterministic_recall_vs_brute_force(spark, sf_dir):
+    exact = {
+        r.neighbor_id
+        for r in QUERIES["x09_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.neighbor_id
+        for r in QUERIES["x59_lsh_deterministic_topk"].spark(spark, sf_dir).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.5, f"deterministic LSH recall degraded: {recall:.2f}"
+
+
+def test_int_buckets_match_float_buckets_mostly(spark, sf_dir):
+    """Micro-quantizing coefficients moves each hyperplane by ≤ 5e-7
+    per axis — only vectors essentially ON a plane can change sign, so
+    integer and float buckets must agree for almost every vector."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        hyperplane_bucket_table,
+        hyperplane_bucket_table_int,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    f = hyperplane_bucket_table(emb, 64, 4, 8).withColumnRenamed(
+        "__buckets", "bf"
+    )
+    i = hyperplane_bucket_table_int(emb, 64, 4, 8).withColumnRenamed(
+        "__buckets", "bi"
+    )
+    joined = f.join(i, "id").collect()
+    same = sum(1 for r in joined if r.bf == r.bi)
+    assert same / len(joined) >= 0.95
