@@ -464,6 +464,7 @@ def lsh_blocked_dup_pairs(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    integer_buckets: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: LSH blocking feeding the
     exact-cosine verification kernel — the blocked form of the all-pairs
@@ -485,8 +486,17 @@ def lsh_blocked_dup_pairs(
     p = 1 - θ/π; misses are pairs whose similarity sits far below the
     curve's knee — tunable via ``n_tables``. Rows-only driver check;
     recall vs the exact x16 kernel is asserted in tests.
+
+    ``integer_buckets=True`` swaps in the micro-quantized integer
+    bucket table (:func:`hyperplane_bucket_table_int`) — exact int64
+    dots, no boundary sign flips — which makes the whole pair set
+    cross-engine deterministic and fully oracle-checkable (x60), at
+    identical cost shape.
     """
-    ids = hyperplane_bucket_table(
+    bucket_table = (
+        hyperplane_bucket_table_int if integer_buckets else hyperplane_bucket_table
+    )
+    ids = bucket_table(
         embeddings, dim, n_planes, n_tables, id_col, vec_col
     ).select(
         "id",
@@ -862,4 +872,67 @@ def lsh_oracle_sql(
              CROSS JOIN qv)
     SELECT neighbor_id, cosine_sim FROM sims
     ORDER BY cosine_sim DESC, neighbor_id LIMIT {k}
+    """
+
+
+def lsh_pairs_oracle_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_filter: str = "",
+) -> str:
+    """DuckDB twin of ``lsh_blocked_dup_pairs(integer_buckets=True)``:
+    identical integer buckets, OR-across-tables pair predicate, pinned
+    cosine verify ≥ threshold. The oracle's pair join is an O(n²)
+    predicate join — fine at oracle scale; the ENGINE's plan is the
+    equi-join on (table, bucket)."""
+    vm = (
+        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+
+    def bucket_sql(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = ",".join(str(c) for c in _plane_coeffs_mic(t, p, dim, n_planes))
+            dot = (
+                f"list_sum([xm[i] * ([{arr}])[i]"
+                f" FOR i IN range(1, {dim} + 1)])"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    bcols = ",\n           ".join(
+        f"{bucket_sql(t)} AS b{t}" for t in range(n_tables)
+    )
+    collide = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    where = f"WHERE {id_filter}" if id_filter else ""
+    cos = (
+        f"FLOOR((list_sum([CAST(ea.{vec_col}[i] AS DOUBLE) * CAST(eb.{vec_col}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(ea.{vec_col}) + 1)])"
+        f" / NULLIF(SQRT(list_sum([CAST(ea.{vec_col}[i] AS DOUBLE)"
+        f" * CAST(ea.{vec_col}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(ea.{vec_col}) + 1)]))"
+        f" * SQRT(list_sum([CAST(eb.{vec_col}[i] AS DOUBLE) * CAST(eb.{vec_col}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len(eb.{vec_col}) + 1)])), 0))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+    WITH src AS (SELECT * FROM {table} {where}),
+    vm AS (SELECT {id_col}, {vm} AS xm FROM src),
+    b AS (SELECT {id_col},
+           {bcols}
+          FROM vm),
+    cand AS (SELECT a.{id_col} AS id_a, c.{id_col} AS id_b
+             FROM b a JOIN b c
+               ON a.{id_col} < c.{id_col} AND ({collide})),
+    sims AS (SELECT cand.id_a, cand.id_b, {cos} AS cosine_sim
+             FROM cand
+             JOIN src ea ON ea.{id_col} = cand.id_a
+             JOIN src eb ON eb.{id_col} = cand.id_b)
+    SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= {threshold}
     """

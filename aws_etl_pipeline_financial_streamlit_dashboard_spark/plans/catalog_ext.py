@@ -927,3 +927,40 @@ def x59_lsh_deterministic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_deterministic_topk(
         emb, query_id=1, dim=64, k=10, n_planes=4, n_tables=8
     )
+
+
+# ===========================================================================
+# x60 — deterministic LSH near-dup pairs (fully oracle-checked)
+# ===========================================================================
+
+
+def _x60_oracle() -> str:
+    return S.lsh_pairs_oracle_sql(
+        "embeddings",
+        dim=64,
+        threshold=0.35,
+        n_planes=4,
+        n_tables=16,
+        id_filter="vec_id < 150",
+    )
+
+
+@register(
+    "x60_lsh_dup_pairs_deterministic",
+    _x60_oracle(),
+    doc="""x27's blocked near-dup pipeline with integer buckets
+    (lsh_blocked_dup_pairs(integer_buckets=True)): micro-quantized
+    vectors and coefficients make every sign bucket exact, so the
+    ENTIRE candidate-and-verify pair set hash-checks against the
+    oracle — the last rows-only family member (x27) now has a
+    deterministic twin, like x20→x55, x10→x58, x24→x59. The engine's
+    plan is unchanged: equi-join candidates on (table, bucket) —
+    ~Σ bucket² per table, never n² — then the exact-cosine kernel; the
+    oracle's n² predicate join is its portability shape, not the
+    engine's.""",
+)
+def x60_lsh_dup_pairs_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return S.lsh_blocked_dup_pairs(
+        emb, dim=64, threshold=0.35, n_tables=16, integer_buckets=True
+    )

@@ -1793,3 +1793,36 @@ def x54_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             " | ",
         ).alias("context"),
     )
+
+
+@register(
+    "q58_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="""Customer order-count distribution (TPC-H Q13 shape): LEFT
+    join so zero-order customers keep c_count = 0 (COUNT of a NULL key
+    is 0 — the inner-join version silently drops them), then a second
+    aggregate histograms the counts. The canonical two-level
+    re-aggregation: level 1 shuffles on c_custkey with map-side
+    partials over the fact; level 2 shuffles only |distinct counts|
+    rows — a plan whose cost is one fact shuffle at any scale. All
+    integers → bit-exact parity.""",
+)
+def q58_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
