@@ -60,11 +60,38 @@ def deterministic_shuffle(
     the order total). Output = input columns + ``shuffle_pos``.
     """
     keyed = df.withColumn(_KEY, shuffle_key(key_col, seed))
-    parts = [F.col(_KEY), F.col(key_col)]
+    return global_rank(
+        keyed,
+        [F.col(_KEY), F.col(key_col)],
+        rank_col="shuffle_pos",
+        num_partitions=num_partitions,
+    ).drop(_KEY)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global rank in ``order_cols`` order WITHOUT a
+    single-partition window (an ORDER-BY-only ``Window`` collapses the
+    whole table onto one task — the scale-killer this operator exists
+    to avoid).
+
+    Two-phase enumeration: range-partition + per-partition sort on the
+    order columns, local ``row_number`` within each range partition,
+    then one |partitions|-row broadcast of cumulative start offsets.
+    The order must be total (include a unique tie-break column) for
+    the rank to be deterministic. This is the engine's building block
+    for every global-order computation: deterministic_shuffle (x42),
+    NTILE-at-scale (q59), zorder rank-normalization.
+    """
+    parts = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
-        keyed.repartitionByRange(num_partitions, *parts)
+        df.repartitionByRange(num_partitions, *parts)
         if num_partitions
-        else keyed.repartitionByRange(*parts)
+        else df.repartitionByRange(*parts)
     ).sortWithinPartitions(*parts)
     marked = ranged.withColumn(_PART, F.spark_partition_id())
 
@@ -92,8 +119,34 @@ def deterministic_shuffle(
 
     return (
         local.join(F.broadcast(offsets), _PART)
-        .withColumn(
-            "shuffle_pos", (F.col(_OFFSET) + F.col(_LOCAL)).cast("long")
-        )
-        .drop(_KEY, _PART, _LOCAL, _OFFSET)
+        .withColumn(rank_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PART, _LOCAL, _OFFSET)
+    )
+
+
+def ntile_at_scale(
+    df: DataFrame,
+    order_cols,
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL-standard NTILE(k) without the single-partition window: the
+    bucket is a closed-form function of the global rank and the total
+    count (first n mod k buckets get one extra row), both computed by
+    :func:`global_rank`'s two-phase enumeration plus a 1-row broadcast
+    of the total. Bit-identical to engine NTILE for a total order."""
+    ranked = global_rank(df, order_cols, "__r", num_partitions)
+    total = ranked.groupBy().agg(F.count("*").alias("__nt"))
+    q = "(__nt div {k})".format(k=k)
+    rem = "(__nt % {k})".format(k=k)
+    big = f"(({q} + 1) * {rem})"  # rows covered by the larger buckets
+    bucket = (
+        f"CASE WHEN __r <= {big} THEN (__r - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + (__r - {big} - 1) div {q} + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, F.expr(bucket).cast("int"))
+        .drop("__r", "__nt")
     )

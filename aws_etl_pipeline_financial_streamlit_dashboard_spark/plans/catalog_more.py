@@ -1826,3 +1826,54 @@ def q58_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(orders.o_orderkey).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q59_ntile_quartiles",
+    """
+    WITH t AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    SELECT quartile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS lo,
+           MAX(c_acctbal) AS hi
+    FROM t
+    GROUP BY quartile
+    """,
+    doc="""Equal-frequency binning via NTILE (the ranking-function
+    family's last uncovered member after row_number/rank in q13/q48):
+    global account-balance quartiles with bin sizes and boundaries.
+    NTILE's remainder rule (first bins get the extra rows) is SQL
+    standard — identical in both engines — and the (balance, custkey)
+    order is total, so assignment is deterministic and the outputs are
+    raw values/counts → bit-exact.
+
+    Scale note: Spark's own NTILE over an ORDER-BY-only window
+    collapses the table onto ONE task (Exchange SinglePartition —
+    verified in the plan) — so this entry computes the identical
+    bucketing with operators/shuffle.ntile_at_scale: the x42 two-phase
+    global-rank enumeration (range exchange + per-partition
+    row_number + a |partitions|-row offset broadcast) and the
+    SQL-standard remainder rule as a closed-form expression of
+    (rank, total). Plan-pinned single-partition-free in
+    test_plan_shape.""",
+)
+def q59_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = ntile_at_scale(
+        customer, ["c_acctbal", "c_custkey"], k=4, out_col="quartile"
+    )
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )

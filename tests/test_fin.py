@@ -174,3 +174,27 @@ def test_returns_null_on_zero_or_first_tick(spark):
     assert rows[1].r_bp == -10000  # 10 → 0 is a −100% return
     assert rows[2].r_bp is None  # prior price 0 → undefined
     assert rows[3].r_bp == 10000  # 5 → 10 is +100%
+
+
+def test_ntile_at_scale_matches_engine_ntile(spark):
+    """ntile_at_scale's closed-form remainder rule must equal Spark's
+    own NTILE for several (n, k) shapes, including n < k and n % k != 0."""
+    from pyspark.sql import Window
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
+
+    for n, k in [(10, 4), (7, 3), (3, 5), (8, 8), (1, 2)]:
+        df = spark.range(n).select(F.col("id").cast("long").alias("v"))
+        ours = {
+            (r.v, r.bucket)
+            for r in ntile_at_scale(df, ["v"], k=k).collect()
+        }
+        theirs = {
+            (r.v, r.b)
+            for r in df.select(
+                "v", F.ntile(k).over(Window.orderBy("v")).alias("b")
+            ).collect()
+        }
+        assert ours == theirs, (n, k)

@@ -172,3 +172,23 @@ def test_q16_eager_agg_below_fact_join(spark, sf_dir):
     # the per-orderkey rollup (keyed on l_orderkey) appears below the join
     below = plan[shj:]
     assert "HashAggregate(keys=[l_orderkey" in below
+
+
+def test_ntile_no_single_partition_exchange(spark, sf_dir):
+    """q59's global quartiles must never collapse the TABLE onto one
+    task: no engine ntile window (which plans Exchange SinglePartition
+    over the whole input) — the data flows through a range exchange.
+    The one single-partition exchange allowed is the |partitions|-row
+    offsets side table (bounded by construction, the x42 pattern), so
+    it must sit above the count aggregate, never above a file scan."""
+    df = QUERIES["q59_ntile_quartiles"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "ntile(" not in plan  # engine NTILE never appears
+    # (the range exchange itself is hidden behind the localCheckpoint's
+    # ScanExistingRDD in the executed plan; global_rank's own unit
+    # tests pin the enumeration)
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        # whatever feeds a single-partition exchange must already be
+        # the tiny per-partition count aggregate, not raw data
+        head = frag[:400]
+        assert "count(1)" in head or "HashAggregate" in head
