@@ -51,3 +51,34 @@ def test_fixed_rounds_mode_matches_probed(spark):
         ).collect()
     }
     assert fixed == probed
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant edge: K4 has exactly 4 triangles; the pendant
+    adds none. Degree ordering must count each exactly once."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        triangle_count,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(k4, "a long, b long")
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 4
+    assert row.n_edges == 7
+    assert row.n_vertices == 5
+
+
+def test_triangle_count_hub_wedges_bounded(spark):
+    """A star (hub + 40 leaves) has zero triangles AND — the scale
+    property — zero oriented wedges at the hub: all its edges orient
+    leaf→hub (leaves have lower degree), so no wedge pivots on it.
+    A naive enumeration would generate C(40,2)=780 hub wedges."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        triangle_count,
+    )
+
+    star = [(0, i) for i in range(1, 41)]
+    edges = spark.createDataFrame(star, "a long, b long")
+    row = triangle_count(edges).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 0
