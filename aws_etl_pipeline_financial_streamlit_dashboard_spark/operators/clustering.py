@@ -310,6 +310,10 @@ def ivf_oracle_sql(
     """DuckDB twin of :func:`ivf_deterministic_topk`: the unrolled
     k-means CTEs, the query's integer-L2 cell ranking, the probed-cell
     candidate set, and x09's exact-cosine re-rank text."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        duckdb_cosine_sql,
+    )
+
     parts, a_last, c_last = _kmeans_cte_parts(
         table, n_cells, n_iters, dim, id_col, vec_col, seed_mod
     )
@@ -317,16 +321,7 @@ def ivf_oracle_sql(
         "list_sum([(q.qxm[i] - c.cm[i]) * (q.qxm[i] - c.cm[i])"
         " FOR i IN range(1, len(q.qxm) + 1)])"
     )
-    cos = (
-        f"FLOOR((list_sum([CAST(e.{vec_col}[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(e.{vec_col}) + 1)])"
-        f" / NULLIF(SQRT(list_sum([CAST(e.{vec_col}[i] AS DOUBLE)"
-        f" * CAST(e.{vec_col}[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(e.{vec_col}) + 1)]))"
-        f" * SQRT(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(q.qv) + 1)])), 0))"
-        f" * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = duckdb_cosine_sql(f"e.{vec_col}", "q.qv")
     parts.append(f"qx AS (SELECT xm AS qxm FROM pts WHERE pid = {query_id}),")
     parts.append(
         f"qc AS (SELECT cell FROM ("

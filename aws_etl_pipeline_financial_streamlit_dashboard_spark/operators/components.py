@@ -224,9 +224,16 @@ def triangle_count(
 
     Plan: one degree aggregate, two broadcast-or-shuffle joins to
     attach degrees, a self-join on the wedge pivot, and a closing
-    semi-join keyed (v, w). No iteration, no driver actions.
+    LEFT join keyed (v, w) whose match flag feeds ONE aggregate for
+    both the wedge and triangle counts. The edge set and the oriented
+    edge set are localCheckpointed so the four output counters read
+    materialized frames instead of re-running the (dominant) wedge
+    self-join and edge build per counter. No iteration; the only
+    driver actions are the two checkpoints.
     """
-    e = edges.select(F.col(a_col).alias("ea"), F.col(b_col).alias("eb"))
+    e = edges.select(
+        F.col(a_col).alias("ea"), F.col(b_col).alias("eb")
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("ea").alias("v"))
         .union(e.select(F.col("eb").alias("v")))
@@ -244,7 +251,7 @@ def triangle_count(
         F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
         F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     d1 = directed.select(
         F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
     )
@@ -256,16 +263,19 @@ def triangle_count(
         | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
     )
     closing = directed.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.lit(1).alias("__hit")
     )
-    triangles = wedges.join(closing, ["v", "w"], "leftsemi")
-    counts = [
-        deg.agg(F.count("*").alias("n_vertices")),
-        e.agg(F.count("*").alias("n_edges")),
-        wedges.agg(F.count("*").alias("n_wedges")),
-        triangles.agg(F.count("*").alias("n_triangles")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)
-    return out
+    wedge_stats = (
+        wedges.join(closing, ["v", "w"], "left")
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_wedges"),
+            F.count("__hit").alias("n_triangles"),
+        )
+    )
+    return (
+        deg.groupBy()
+        .agg(F.count("*").alias("n_vertices"))
+        .crossJoin(e.groupBy().agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedge_stats)
+    )

@@ -706,13 +706,41 @@ def _plane_coeffs_mic(t: int, p: int, dim: int, n_planes: int) -> list[int]:
     ]
 
 
-def _quantize_vec_sql(vec_col: str, dim: int) -> str:
-    elems = ", ".join(
-        f"CAST(FLOOR(CAST(get({vec_col}, {i}) AS DOUBLE) * 1000000.0 + 0.5)"
-        f" AS BIGINT)"
-        for i in range(dim)
+def duckdb_vm_sql(vec_col: str, dim: int) -> str:
+    """DuckDB list-comprehension text for the micro-quantized bigint
+    vector — ONE definition shared by every integer-LSH oracle so the
+    quantization can never drift between them."""
+    return (
+        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
     )
-    return f"array({elems})"
+
+
+def duckdb_bucket_sql(t: int, n_planes: int, dim: int) -> str:
+    """DuckDB text for one table's sign-pattern bucket over the
+    quantized column ``xm`` (shared by the topk and pairs oracles)."""
+    bits = []
+    for p in range(n_planes):
+        arr = ",".join(str(c) for c in _plane_coeffs_mic(t, p, dim, n_planes))
+        dot = f"list_sum([xm[i] * ([{arr}])[i] FOR i IN range(1, {dim} + 1)])"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def duckdb_cosine_sql(a: str, b: str) -> str:
+    """DuckDB text for the pinned rounded cosine between two vector
+    expressions (e.g. ``e.embedding`` and ``qv.qv``) — the single
+    source for every oracle's re-rank arithmetic."""
+    return (
+        f"FLOOR((list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len({a}) + 1)])"
+        f" / NULLIF(SQRT(list_sum([CAST({a}[i] AS DOUBLE)"
+        f" * CAST({a}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len({a}) + 1)]))"
+        f" * SQRT(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" FOR i IN range(1, len({b}) + 1)])), 0))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
 
 
 def hyperplane_bucket_table_int(
@@ -827,37 +855,13 @@ def lsh_oracle_sql(
     """DuckDB twin of :func:`lsh_deterministic_topk`: the identical
     integer-micro quantization and coefficient literals, per-table
     bucket CASE sums, OR-across-tables candidate predicate, and x09's
-    cosine re-rank text."""
-    vm = (
-        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-        f" FOR i IN range(1, {dim} + 1)]"
-    )
-
-    def bucket_sql(t: int) -> str:
-        bits = []
-        for p in range(n_planes):
-            arr = ",".join(str(c) for c in _plane_coeffs_mic(t, p, dim, n_planes))
-            dot = (
-                f"list_sum([xm[i] * ([{arr}])[i]"
-                f" FOR i IN range(1, {dim} + 1)])"
-            )
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-        return " + ".join(bits)
-
+    cosine re-rank text (all from the shared duckdb_*_sql helpers)."""
+    vm = duckdb_vm_sql(vec_col, dim)
     bcols = ",\n           ".join(
-        f"{bucket_sql(t)} AS b{t}" for t in range(n_tables)
+        f"{duckdb_bucket_sql(t, n_planes, dim)} AS b{t}" for t in range(n_tables)
     )
     collide = " OR ".join(f"b.b{t} = q.b{t}" for t in range(n_tables))
-    cos = (
-        f"FLOOR((list_sum([CAST(e.{vec_col}[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(e.{vec_col}) + 1)])"
-        f" / NULLIF(SQRT(list_sum([CAST(e.{vec_col}[i] AS DOUBLE)"
-        f" * CAST(e.{vec_col}[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(e.{vec_col}) + 1)]))"
-        f" * SQRT(list_sum([CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(qv.qv) + 1)])), 0))"
-        f" * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = duckdb_cosine_sql(f"e.{vec_col}", "qv.qv")
     return f"""
     WITH vm AS (SELECT {id_col}, {vm} AS xm FROM {table}),
     b AS (SELECT {id_col},
@@ -887,40 +891,16 @@ def lsh_pairs_oracle_sql(
 ) -> str:
     """DuckDB twin of ``lsh_blocked_dup_pairs(integer_buckets=True)``:
     identical integer buckets, OR-across-tables pair predicate, pinned
-    cosine verify ≥ threshold. The oracle's pair join is an O(n²)
-    predicate join — fine at oracle scale; the ENGINE's plan is the
-    equi-join on (table, bucket)."""
-    vm = (
-        f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-        f" FOR i IN range(1, {dim} + 1)]"
-    )
-
-    def bucket_sql(t: int) -> str:
-        bits = []
-        for p in range(n_planes):
-            arr = ",".join(str(c) for c in _plane_coeffs_mic(t, p, dim, n_planes))
-            dot = (
-                f"list_sum([xm[i] * ([{arr}])[i]"
-                f" FOR i IN range(1, {dim} + 1)])"
-            )
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-        return " + ".join(bits)
-
+    cosine verify ≥ threshold (shared duckdb_*_sql helpers). The
+    oracle's pair join is an O(n²) predicate join — fine at oracle
+    scale; the ENGINE's plan is the equi-join on (table, bucket)."""
+    vm = duckdb_vm_sql(vec_col, dim)
     bcols = ",\n           ".join(
-        f"{bucket_sql(t)} AS b{t}" for t in range(n_tables)
+        f"{duckdb_bucket_sql(t, n_planes, dim)} AS b{t}" for t in range(n_tables)
     )
     collide = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     where = f"WHERE {id_filter}" if id_filter else ""
-    cos = (
-        f"FLOOR((list_sum([CAST(ea.{vec_col}[i] AS DOUBLE) * CAST(eb.{vec_col}[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(ea.{vec_col}) + 1)])"
-        f" / NULLIF(SQRT(list_sum([CAST(ea.{vec_col}[i] AS DOUBLE)"
-        f" * CAST(ea.{vec_col}[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(ea.{vec_col}) + 1)]))"
-        f" * SQRT(list_sum([CAST(eb.{vec_col}[i] AS DOUBLE) * CAST(eb.{vec_col}[i] AS DOUBLE)"
-        f" FOR i IN range(1, len(eb.{vec_col}) + 1)])), 0))"
-        f" * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = duckdb_cosine_sql(f"ea.{vec_col}", f"eb.{vec_col}")
     return f"""
     WITH src AS (SELECT * FROM {table} {where}),
     vm AS (SELECT {id_col}, {vm} AS xm FROM src),

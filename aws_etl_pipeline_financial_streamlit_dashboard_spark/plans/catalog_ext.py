@@ -823,10 +823,14 @@ _X57_ORACLE = """
 
     Plan: queries broadcast (the small side by construction —
     unlabeled batches are ingest-sized), one narrow cosine pass over
-    the labeled corpus, per-query window top-k, then a |Q|·k-row vote
-    aggregate — the corpus is scanned once and never shuffled. At
-    real scale swap the exact join for the IVF/LSH candidate
-    generators (x10/x24) under the identical vote.""",
+    the labeled corpus, then the per-query top-k window — which DOES
+    hash-shuffle the |Q|·|C| candidate rows on query_id (the
+    dominant data movement of the exact form; a per-partition partial
+    top-k à la operators/skew.grouped_topk would pre-reduce it to
+    |Q|·k·splits), then a |Q|·k-row vote aggregate. At real scale
+    swap the exact join for the IVF/LSH candidate generators
+    (x58/x59) under the identical vote — candidates shrink to the
+    probed fraction before any shuffle.""",
 )
 def x57_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -35,7 +35,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import
 
 
 # ===========================================================================
-# q50 — OHLC candlesticks (daily bars per symbol)
+# q55 — OHLC candlesticks (daily bars per symbol)
 # ===========================================================================
 
 _OHLC_ORACLE = r"""
@@ -110,7 +110,7 @@ def q55_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# q51 — VWAP (volume-weighted average price) per symbol-month
+# q56 — VWAP (volume-weighted average price) per symbol-month
 # ===========================================================================
 
 # price×size quantized to micro-units per row, summed as exact longs
@@ -133,7 +133,7 @@ _VWAP_ORACLE = rf"""
     SELECT event_type, month,
            FLOOR((CAST({_VWAP_NUM_HI} AS DOUBLE)
                   + CAST({_VWAP_NUM_LO} AS DOUBLE) / 1000000.0)
-                 / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                 / NULLIF(CAST(SUM(vol) AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0
                AS vwap,
            SUM(vol) AS volume,
            COUNT(*) AS n_trades
@@ -164,7 +164,7 @@ def q56_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vwap = (
         f"FLOOR((CAST({_VWAP_NUM_HI} AS DOUBLE)"
         f" + CAST({_VWAP_NUM_LO} AS DOUBLE) / 1000000.0)"
-        " / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+        " / NULLIF(CAST(SUM(vol) AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0"
     )
     return ev.groupBy("event_type", "month").agg(
         F.expr(f"CAST(({vwap}) AS DOUBLE)").alias("vwap"),
@@ -193,7 +193,7 @@ _DRAWDOWN_ORACLE = r"""
     SELECT user_id,
            COUNT(*) AS n_ticks,
            MAX(peak) AS peak_value,
-           FLOOR(MAX((peak - value) / peak) * 1000000.0 + 0.5) / 1000000.0
+           FLOOR(MAX((peak - value) / NULLIF(peak, 0.0)) * 1000000.0 + 0.5) / 1000000.0
                AS max_drawdown
     FROM dd
     GROUP BY user_id
@@ -237,7 +237,7 @@ def q52_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("COUNT(*)").alias("n_ticks"),
         F.expr("MAX(peak)").alias("peak_value"),
         F.expr(
-            "CAST(FLOOR(MAX((peak - value) / peak) * 1000000.0 + 0.5)"
+            "CAST(FLOOR(MAX((peak - value) / NULLIF(peak, 0.0)) * 1000000.0 + 0.5)"
             " / 1000000.0 AS DOUBLE)"
         ).alias("max_drawdown"),
     )

@@ -576,8 +576,12 @@ def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number plan, the oracle's shape, could not stream). The
     single-file source drains in one micro-batch, so the streamed bars
     equal q55's batch bars per (symbol, day) — which is what the
-    oracle checks; the watermark bounds state eviction on a true
-    unbounded feed.""",
+    oracle checks. NOTE the mode/state trade: complete mode (used
+    here so the one-batch AvailableNow run emits every bar) retains
+    ALL window state for the life of the query; the unbounded-feed
+    production shape is append mode, where the watermark closes and
+    EVICTS each day's bar one day after its window ends — same
+    aggregation expression, different sink mode.""",
 )
 def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -114,21 +114,27 @@ def cluster_by_zorder(
     range-partitioned + sorted by that key so parquet min/max stats
     are selective on EVERY clustered column simultaneously.
 
-    Cost shape at 100 TB: the ntile windows are ORDER-BY-only windows
-    over the whole table — Spark plans them as one global sort each
-    (range exchange), so clustering costs ~k sorts + the final range
-    write; it's the pay-once layout step whose dividend is every
-    later scan's skipped IO (same amortization as bucketing, q34).
+    Cost shape at 100 TB: each column's rank-normalization runs
+    through ``operators/shuffle.ntile_at_scale`` — a range exchange +
+    per-partition enumeration, NEVER Spark's ORDER-BY-only ntile
+    window (which collapses the whole table onto one task); clustering
+    costs ~k range sorts + the final range write. It's the pay-once
+    layout step whose dividend is every later scan's skipped IO (same
+    amortization as bucketing, q34). Ties within a cluster column get
+    arbitrary-but-stable-size buckets (no tie-break column needed —
+    bucket SPANS, not row identity, are what min/max stats read).
     """
-    from pyspark.sql import Window
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
 
     work = df
     bucket_cols = []
     n_buckets = 1 << bits
     for c in cluster_cols:
         b = f"__zb_{c}"
-        work = work.withColumn(
-            b, F.ntile(n_buckets).over(Window.orderBy(F.col(c))) - 1
+        work = ntile_at_scale(work, [c], n_buckets, out_col=b).withColumn(
+            b, F.col(b) - 1
         )
         bucket_cols.append(b)
     work = work.withColumn("__zkey", zorder_key(bucket_cols, bits))
