@@ -644,3 +644,109 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@register(
+    "s13_streaming_ohlc_append",
+    """
+    WITH e AS (
+        SELECT event_type,
+               STRFTIME(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               time_bucket(INTERVAL '1 day', ts) AS w0,
+               epoch_us(ts) AS us, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM events),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, window_start
+                                  ORDER BY us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, window_start
+                                  ORDER BY us DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           SUM(vol) AS volume,
+           COUNT(*) AS n_trades
+    FROM r, m
+    WHERE w0 + INTERVAL 2 DAY <= mx
+    GROUP BY event_type, window_start
+    """,
+    doc="""s12's candlestick builder in its PRODUCTION output mode:
+    append — a bar is emitted exactly once, when the watermark passes
+    its window end, and its state is then EVICTED (bounded state on an
+    unbounded feed; s12's complete mode re-emits everything and
+    retains all state). The AvailableNow run drains the batch, then
+    the final no-data micro-batch advances the watermark to
+    max(ts) − 1 day, emitting every bar whose day ended at least one
+    delay before the last tick — which is what the oracle encodes
+    (window_start + 2 days ≤ max ts: 1 day window + 1 day delay); the
+    in-flight final day's bar is correctly ABSENT, the semantic
+    difference a complete-mode oracle could never check. Same
+    mergeable struct-extreme aggregates as q55/s12.""",
+)
+def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(glob)
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "value",
+            F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+        )
+        .withWatermark("ts", "1 day")
+    )
+    bars = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.min(F.struct("us", "event_id", "value")).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("us", "event_id", "value")).getField("value").alias("close"),
+            F.sum("vol").alias("volume"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+    name = f"stream_ohlc_ap_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        bars.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
