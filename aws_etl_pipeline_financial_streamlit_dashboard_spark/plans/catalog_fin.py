@@ -521,3 +521,172 @@ def q57_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_ret_bp"),
         F.expr(f"CAST(({_VOL_EXPR}) AS DOUBLE)").alias("vol_bp"),
     )
+
+
+# ===========================================================================
+# q60 — Bollinger bands (rolling exact moments)
+# ===========================================================================
+
+# Rolling 20-tick window per symbol: price quantized to integer centis
+# once, then Σc and Σc² accumulate as exact int64 inside the ROWS frame
+# (centis ≤ ~6e4 → c² ≤ 4e9, ×20 ticks ≈ 8e10 — int64 headroom ~1e8×).
+# The mean/σ/band finish is a pinned scalar chain on the exact sums.
+_BOLL_WIN = "(PARTITION BY event_type ORDER BY us, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+_BOLL_C = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+
+_BOLL_STATS = {
+    "n_w": f"COUNT(*) OVER {{w}}",
+    "s1": f"SUM({_BOLL_C}) OVER {{w}}",
+    "s2": f"SUM({_BOLL_C} * {_BOLL_C}) OVER {{w}}",
+}
+
+_BOLL_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))"
+_BOLL_SD = (
+    "SQRT((CAST(n_w AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n_w AS DOUBLE) * CAST(NULLIF(n_w - 1, 0) AS DOUBLE)))"
+)
+
+def _boll_out(expr: str) -> str:
+    # centis → display units, HALF_UP at 4 decimals, pinned text
+    return f"FLOOR(({expr}) / 100.0 * 10000.0 + 0.5) / 10000.0"
+
+
+_BOLL_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id, value
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, us, event_id, value,
+               {_BOLL_STATS['n_w'].format(w='w')} AS n_w,
+               {_BOLL_STATS['s1'].format(w='w')} AS s1,
+               {_BOLL_STATS['s2'].format(w='w')} AS s2
+        FROM t
+        WINDOW w AS {_BOLL_WIN}
+    )
+    SELECT event_type, event_id, us, value,
+           {_boll_out(_BOLL_MEAN)} AS sma20,
+           {_boll_out(f"{_BOLL_MEAN} + 2.0 * {_BOLL_SD}")} AS upper_band,
+           {_boll_out(f"{_BOLL_MEAN} - 2.0 * {_BOLL_SD}")} AS lower_band
+    FROM s
+"""
+
+
+@register(
+    "q60_bollinger_bands",
+    _BOLL_ORACLE,
+    doc="""Bollinger bands: 20-tick rolling mean ± 2σ per symbol — the
+    volatility envelope under every trading chart (q53's EWMA is the
+    smoothing line; these are the bands). Exactness strategy: prices
+    quantize to integer centis ONCE, the rolling Σc/Σc² are exact
+    int64 window sums (order-free by exactness), and the
+    mean/σ/band arithmetic is a pinned scalar chain with IEEE SQRT —
+    so a windowed VARIANCE computation, normally the poster child of
+    float-accumulation drift, hash-matches bitwise. NULL σ (n=1
+    frames) propagates NULL bands in both engines.
+
+    Plan: ONE per-symbol window shuffle; a ROWS frame keeps O(20)
+    running state per partition — no group buffering, any scale.""",
+)
+def q60_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type", ts_micros("ts").alias("us"), "event_id", "value"
+    )
+    s = t.select(
+        "event_type",
+        "us",
+        "event_id",
+        "value",
+        F.expr(_BOLL_STATS["n_w"].format(w=_BOLL_WIN)).alias("n_w"),
+        F.expr(_BOLL_STATS["s1"].format(w=_BOLL_WIN)).alias("s1"),
+        F.expr(_BOLL_STATS["s2"].format(w=_BOLL_WIN)).alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "event_id",
+        "us",
+        "value",
+        F.expr(f"CAST({_boll_out(_BOLL_MEAN)} AS DOUBLE)").alias("sma20"),
+        F.expr(
+            f"CAST({_boll_out(f'{_BOLL_MEAN} + 2.0 * {_BOLL_SD}')} AS DOUBLE)"
+        ).alias("upper_band"),
+        F.expr(
+            f"CAST({_boll_out(f'{_BOLL_MEAN} - 2.0 * {_BOLL_SD}')} AS DOUBLE)"
+        ).alias("lower_band"),
+    )
+
+
+# ===========================================================================
+# q61 — tick-rule order-flow imbalance
+# ===========================================================================
+
+_TICK_DIR = (
+    "CASE WHEN lag(value) OVER {w} IS NULL THEN 0 "
+    "WHEN value > lag(value) OVER {w} THEN 1 "
+    "WHEN value < lag(value) OVER {w} THEN -1 ELSE 0 END"
+)
+
+_TICK_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+               epoch_us(ts) AS us, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, day, vol,
+               {_TICK_DIR.format(w='w')} AS dir
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    )
+    SELECT event_type, day,
+           SUM(CASE WHEN dir = 1 THEN vol ELSE 0 END) AS buy_volume,
+           SUM(CASE WHEN dir = -1 THEN vol ELSE 0 END) AS sell_volume,
+           SUM(CASE WHEN dir = 0 THEN vol ELSE 0 END) AS neutral_volume,
+           SUM(dir * vol) AS net_flow,
+           COUNT(*) AS n_trades
+    FROM d
+    GROUP BY event_type, day
+"""
+
+
+@register(
+    "q61_tick_rule_imbalance",
+    _TICK_ORACLE,
+    doc="""Order-flow imbalance by the tick rule (Lee-Ready without
+    quotes): each trade classifies as buyer-initiated (uptick),
+    seller-initiated (downtick) or neutral vs the previous tick, and
+    daily buy/sell/net volumes aggregate per symbol — the
+    microstructure summary behind flow dashboards. Comparisons +
+    integer volume sums only → bit-exact. First tick of a symbol is
+    neutral by definition (no prior), pinned in the shared CASE
+    template.
+
+    Plan: one per-symbol lag window (1 row of state) feeding one
+    partial-aggregating shuffle keyed (symbol, day) — the q57 shape
+    with a classification instead of a quantized return.""",
+)
+def q61_tick_rule_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    spec = "(PARTITION BY event_type ORDER BY us, event_id)"
+    d = t.select(
+        "event_type",
+        "day",
+        "vol",
+        F.expr(_TICK_DIR.format(w=spec)).alias("dir"),
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.expr("SUM(CASE WHEN dir = 1 THEN vol ELSE 0 END)").alias("buy_volume"),
+        F.expr("SUM(CASE WHEN dir = -1 THEN vol ELSE 0 END)").alias("sell_volume"),
+        F.expr("SUM(CASE WHEN dir = 0 THEN vol ELSE 0 END)").alias("neutral_volume"),
+        F.expr("SUM(dir * vol)").alias("net_flow"),
+        F.expr("COUNT(*)").alias("n_trades"),
+    )
