@@ -1,0 +1,64 @@
+"""Oracle parity at sf0.1 for the arithmetic-sensitive entries.
+
+The standard parity suite runs at sf0.001 (and the driver at sf0.01);
+this module re-checks the entries whose cross-engine determinism rests
+on quantization/overflow arguments at 10–100× the row count — where a
+wrong overflow bound, a float-accumulation leak, or a boundary rounding
+case would actually surface. Marked slow-ish (~1 min total); the
+selection is the fixed-point aggregate family, the window-moment
+family, and the deterministic recipe ops.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+from tests.conftest import ORACLE_TABLES, assert_frames_match
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# Entries where scale actually stresses the parity argument:
+# fixed-point sums over 6e5 rows, exact window moments, md5 recipes,
+# global-order enumeration, basis-point moments.
+SENSITIVE = [
+    "q07_flagship_industry_avg",
+    "q08_monthly_avg_series",
+    "q16_star_join_revenue",
+    "q17_pricing_summary",
+    "q55_ohlc_candles",
+    "q56_vwap",
+    "q52_max_drawdown",
+    "q53_ewma_smoothing",
+    "q54_symbol_correlation",
+    "q57_returns_volatility",
+    "q60_bollinger_bands",
+    "q61_tick_rule_imbalance",
+    "q59_ntile_quartiles",
+    "x01_dedup_exact",
+    "x31_hash_split",
+    "x42_deterministic_shuffle",
+    "x55_hash_stratified_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for t in ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_oracle_parity_at_sf01(spark, duck01, name):
+    spec = QUERIES[name]
+    assert spec.oracle is not None, f"{name} must be oracle-backed"
+    sdf = spec.spark(spark, SF01_DIR)
+    rel = duck01.sql(spec.oracle)
+    assert_frames_match(sdf, rel, f"{name}@sf0.1")
