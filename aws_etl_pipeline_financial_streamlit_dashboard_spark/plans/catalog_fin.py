@@ -690,3 +690,83 @@ def q61_tick_rule_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(dir * vol)").alias("net_flow"),
         F.expr("COUNT(*)").alias("n_trades"),
     )
+
+
+# ===========================================================================
+# q62 — TWAP (time-weighted average price)
+# ===========================================================================
+
+# Each tick's price holds until the next tick of the same symbol-day;
+# the weight is that holding time in integer MICROSECONDS (exact), and
+# the price is integer centis (exact), so the weighted sum is exact
+# int64: Σ centis·Δt_us ≤ 6e4 · 8.64e10 (one day of micros) ≈ 5e15
+# per (symbol, day) group — inside int64, and the final division is a
+# pinned scalar chain. The day's last tick carries zero weight (its
+# price has no observed holding interval) — pinned identically in both
+# engines by the lead() NULL → 0 coalesce.
+_TWAP_DT = "COALESCE(lead(us) OVER {w} - us, 0)"
+
+_TWAP_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+               epoch_us(ts) AS us, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, day, c,
+               {_TWAP_DT.format(w='w')} AS dt
+        FROM t
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY us, event_id)
+    )
+    SELECT event_type, day,
+           FLOOR(CAST(SUM(c * dt) AS DOUBLE)
+                 / NULLIF(CAST(SUM(dt) AS DOUBLE), 0.0)
+                 / 100.0 * 10000.0 + 0.5) / 10000.0 AS twap,
+           SUM(dt) AS observed_us,
+           COUNT(*) AS n_trades
+    FROM d
+    GROUP BY event_type, day
+"""
+
+
+@register(
+    "q62_twap",
+    _TWAP_ORACLE,
+    doc="""Daily TWAP per symbol — the duration-weighted complement to
+    q56's volume-weighted average: each tick's price is weighted by
+    how long it stood (lead() holding interval within the symbol-day,
+    exact integer microseconds; the day's final tick holds for 0 —
+    pinned by the same COALESCE in both engines). Price centis ×
+    micro-durations stay exact int64 (Σ ≤ ~5e15 per group, headroom
+    ~2000×), so the weighted sum is order-independent and the single
+    division at the end is a pinned scalar chain → bitwise parity.
+    One-tick days yield NULL TWAP (zero observed time) identically.
+
+    Plan: one per-(symbol, day) lead window (1 row of state) feeding
+    one partial-aggregating shuffle of two longs — the q57 shape.""",
+)
+def q62_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("c"),
+    )
+    spec = "(PARTITION BY event_type, day ORDER BY us, event_id)"
+    d = t.select(
+        "event_type",
+        "day",
+        "c",
+        F.expr(_TWAP_DT.format(w=spec)).alias("dt"),
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(c * dt) AS DOUBLE)"
+            " / NULLIF(CAST(SUM(dt) AS DOUBLE), 0.0)"
+            " / 100.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"
+        ).alias("twap"),
+        F.expr("SUM(dt)").alias("observed_us"),
+        F.expr("COUNT(*)").alias("n_trades"),
+    )
