@@ -1,0 +1,255 @@
+"""Property-based and edge-case tests for the round-3 second-half
+primitives: global-rank/ntile enumeration, Morton keys, triangle
+counting vs brute force, EWMA bit-parity vs Python, and the nesting
+property of hash-threshold sampling."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# global_rank / ntile_at_scale
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_is_contiguous_and_layout_independent(spark):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        global_rank,
+    )
+
+    vals = [(i * 37 % 101, i) for i in range(101)]  # shuffled uniques + tiebreak
+    for parts in (1, 7):
+        df = spark.createDataFrame(vals, "v long, uid long").repartition(parts)
+        got = global_rank(df, ["v", "uid"], "r")
+        rows = sorted((r.v, r.r) for r in got.collect())
+        ranks = sorted(r for _, r in rows)
+        assert ranks == list(range(1, 102))  # contiguous, no gaps/dups
+        by_rank = sorted((r, v) for v, r in rows)
+        assert [v for _, v in by_rank] == sorted(v for v, _ in vals)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_ntile_remainder_rule_property(spark, n, k):
+    """Bucket sizes must be floor(n/k) or floor(n/k)+1, larger buckets
+    first, buckets ordered — for ANY (n, k)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
+
+    df = spark.range(n).select(F.col("id").alias("v"))
+    rows = ntile_at_scale(df, ["v"], k=k).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    q, rem = divmod(n, k)
+    expected = {b + 1: (q + 1 if b < rem else q) for b in range(k)}
+    expected = {b: c for b, c in expected.items() if c > 0}
+    assert sizes == expected
+    # bucket assignment must respect the order: max of bucket i < min of i+1
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.v)
+    buckets = sorted(by_bucket)
+    for a, b in zip(buckets, buckets[1:]):
+        assert max(by_bucket[a]) < min(by_bucket[b])
+
+
+# ---------------------------------------------------------------------------
+# Morton / Z-order key
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_zorder_key_roundtrip(spark, a, b):
+    """De-interleaving the Morton key recovers both inputs exactly."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.maintenance import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(a, b)], "a long, b long")
+    z = df.select(zorder_key(["a", "b"], bits=16).alias("z")).collect()[0].z
+    ra = rb = 0
+    for i in range(16):
+        ra |= ((z >> (2 * i)) & 1) << i
+        rb |= ((z >> (2 * i + 1)) & 1) << i
+    assert (ra, rb) == (a, b)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count vs brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).map(lambda p: (min(p), max(p))),
+        max_size=25,
+    ).map(lambda s: [(a, b) for a, b in s if a != b])
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        triangle_count,
+    )
+
+    if not edges:
+        return
+    eset = set(edges)
+    verts = sorted({v for e in edges for v in e})
+    brute = sum(
+        1
+        for u, v, w in itertools.combinations(verts, 3)
+        if (u, v) in eset and (v, w) in eset and (u, w) in eset
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_vertices == len(verts)
+
+
+# ---------------------------------------------------------------------------
+# EWMA bit-parity vs Python
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=0.01, max_value=1000.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_ewma_bit_parity_with_python(spark, vals):
+    """The generated lag chain must equal the identical left-fold in
+    Python BITWISE (==, not approx): same ops, same order, same IEEE
+    doubles — the property the oracle parity rests on."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_fin import (
+        _EWMA_DEN,
+        _EWMA_NUM,
+    )
+
+    df = spark.createDataFrame(
+        [("A", i, i, v) for i, v in enumerate(vals, start=1)],
+        "event_type string, us long, event_id long, value double",
+    )
+    spec = "(PARTITION BY event_type ORDER BY us, event_id)"
+    num = _EWMA_NUM.replace("OVER w", f"OVER {spec}")
+    den = _EWMA_DEN.replace("OVER w", f"OVER {spec}")
+    got = [
+        r.e
+        for r in df.select("us", F.expr(f"({num}) / ({den})").alias("e"))
+        .orderBy("us")
+        .collect()
+    ]
+    for t in range(len(vals)):
+        window = vals[max(0, t - 9) : t + 1][::-1]
+        # identical left-assoc chains: sum of COALESCE(v*w, 0) in order
+        n = 0.0
+        d = 0.0
+        for i in range(10):
+            if i < len(window):
+                n = n + window[i] * (0.5**i)
+                d = d + (0.5**i)
+            else:
+                n = n + 0.0
+                d = d + 0.0
+        assert got[t] == n / d  # bitwise, no approx
+
+
+# ---------------------------------------------------------------------------
+# hash-threshold sampling: nesting
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_fractions_nest(spark, sf_dir):
+    """With one seed, a smaller keep-fraction's sample is a SUBSET of a
+    larger one's — md5 thresholding is nested by construction (the
+    property that makes recipe ramp-ups append-only)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    small = hash_stratified_sample(
+        docs, "source", "doc_id", {s: 0.3 for s in sources}, seed=5
+    )
+    large = hash_stratified_sample(
+        docs, "source", "doc_id", {s: 0.6 for s in sources}, seed=5
+    )
+    ids_small = {r.doc_id for r in small.select("doc_id").collect()}
+    ids_large = {r.doc_id for r in large.select("doc_id").collect()}
+    assert ids_small < ids_large
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_empty_edges(spark):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        triangle_count,
+    )
+
+    empty = spark.createDataFrame([], "a long, b long")
+    row = triangle_count(empty).collect()[0]
+    assert (row.n_vertices, row.n_edges, row.n_wedges, row.n_triangles) == (
+        0,
+        0,
+        0,
+        0,
+    )
+
+
+def test_bollinger_single_row_null_bands(spark):
+    """A 1-row frame has undefined σ: bands must be NULL, mean equal to
+    the price — in the Spark expression exactly as in the oracle."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_fin import (
+        _BOLL_MEAN,
+        _BOLL_SD,
+        _BOLL_STATS,
+        _BOLL_WIN,
+        _boll_out,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 1, 42.5)], "event_type string, us long, event_id long, value double"
+    )
+    s = df.select(
+        "value",
+        F.expr(_BOLL_STATS["n_w"].format(w=_BOLL_WIN)).alias("n_w"),
+        F.expr(_BOLL_STATS["s1"].format(w=_BOLL_WIN)).alias("s1"),
+        F.expr(_BOLL_STATS["s2"].format(w=_BOLL_WIN)).alias("s2"),
+    ).select(
+        F.expr(f"{_boll_out(_BOLL_MEAN)}").alias("sma"),
+        F.expr(f"{_boll_out(f'{_BOLL_MEAN} + 2.0 * {_BOLL_SD}')}").alias("ub"),
+    )
+    row = s.collect()[0]
+    assert row.sma == pytest.approx(42.5)
+    assert row.ub is None
