@@ -1877,3 +1877,91 @@ def q59_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").alias("lo"),
         F.max("c_acctbal").alias("hi"),
     )
+
+
+@register(
+    "q63_data_quality_report",
+    """
+    WITH base AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+                   AS bad_status,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkeys
+        FROM orders
+    ),
+    orphans AS (
+        SELECT COUNT(*) AS orphan_custkeys
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+    )
+    SELECT r.rule, r.violations, b.n_rows,
+           FLOOR(r.violations * 1.0 / b.n_rows * 1000000.0 + 0.5) / 1000000.0
+               AS violation_rate
+    FROM base b, orphans x,
+         LATERAL (VALUES ('null_custkey', b.null_custkey),
+                         ('nonpositive_price', b.nonpositive_price),
+                         ('bad_status', b.bad_status),
+                         ('dup_orderkeys', b.dup_orderkeys),
+                         ('orphan_custkeys', x.orphan_custkeys)) AS r(rule, violations)
+    """,
+    doc="""Declarative data-quality constraint report (the deequ-shaped
+    audit a serving pipeline runs before publishing): completeness
+    (null keys), domain (status enum), sanity (positive prices),
+    uniqueness (duplicate order keys), and referential integrity
+    (orphan customer keys) — one row per rule with its violation count
+    and rate. The reference's cleaning stage (cleaning.py) implies
+    these invariants; this entry makes them a checked artifact.
+
+    Plan: ONE pass over the fact computes all row-local rules as
+    conditional sums inside a single aggregate (no per-rule scans);
+    uniqueness rides the same aggregate via COUNT DISTINCT; the
+    referential rule is a broadcast-dim anti-join count. The rule
+    pivot at the end unions |rules| one-row frames — constant work.
+    At 100 TB: two fact scans total (local rules + integrity join),
+    both full-parallel.""",
+)
+def q63_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.expr("COUNT(*)").alias("n_rows"),
+        F.expr("SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)").alias(
+            "null_custkey"
+        ),
+        F.expr("SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)").alias(
+            "nonpositive_price"
+        ),
+        F.expr(
+            "SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)"
+        ).alias("bad_status"),
+        F.expr("COUNT(*) - COUNT(DISTINCT o_orderkey)").alias("dup_orderkeys"),
+    )
+    orphans = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.expr("COUNT(*)").alias("orphan_custkeys"))
+    )
+    wide = base.crossJoin(orphans)
+    rules = wide.selectExpr(
+        "n_rows",
+        "stack(5, 'null_custkey', null_custkey,"
+        " 'nonpositive_price', nonpositive_price,"
+        " 'bad_status', bad_status,"
+        " 'dup_orderkeys', dup_orderkeys,"
+        " 'orphan_custkeys', orphan_custkeys) AS (rule, violations)",
+    )
+    return rules.select(
+        "rule",
+        "violations",
+        "n_rows",
+        F.expr(
+            "CAST(FLOOR(violations * 1.0 / n_rows * 1000000.0 + 0.5)"
+            " / 1000000.0 AS DOUBLE)"
+        ).alias("violation_rate"),
+    )
