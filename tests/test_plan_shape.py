@@ -192,3 +192,38 @@ def test_ntile_no_single_partition_exchange(spark, sf_dir):
         # the tiny per-partition count aggregate, not raw data
         head = frag[:400]
         assert "count(1)" in head or "HashAggregate" in head
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a month-partitioned fact joined to a
+    dim whose FILTER only becomes known at runtime must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is the
+    difference between scanning one partition and scanning the table
+    when the pruning key arrives via a join rather than a literal."""
+    out = str(tmp_path / "fact_by_month")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.mode("overwrite").partitionBy("month").parquet(out)
+
+    # a tiny dim mapping month → label, filtered on the label: the
+    # month set reaching the fact is only known after the dim filter
+    dim = (
+        orders.select("month")
+        .distinct()
+        .withColumn("quarter", F.expr("substring(month, 6, 2) IN ('01','02','03')"))
+    )
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim.filter(F.col("quarter")), "month").groupBy("month").count()
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        plan = _formatted(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
