@@ -218,9 +218,13 @@ def triangle_count(
     enumeration generates deg² wedges; oriented, its out-edges only
     point to higher-degree vertices, of which there are few).
 
-    Input: distinct undirected edges with ``a < b``. Output: one row
-    (n_vertices, n_edges, n_wedges, n_triangles) — all integer
-    arithmetic, bit-exact on any engine or partitioning.
+    Input: undirected edges in any form — they are CANONICALIZED
+    defensively (a < b via least/greatest, self-loops dropped,
+    distinct), so duplicate or reversed edges cannot multiply wedge or
+    triangle counts through the closing join. Output: one row
+    (n_vertices, n_edges, n_wedges, n_triangles) over the canonical
+    edge set — all integer arithmetic, bit-exact on any engine or
+    partitioning.
 
     Plan: one degree aggregate, two broadcast-or-shuffle joins to
     attach degrees, a self-join on the wedge pivot, and a closing
@@ -231,9 +235,15 @@ def triangle_count(
     self-join and edge build per counter. No iteration; the only
     driver actions are the two checkpoints.
     """
-    e = edges.select(
-        F.col(a_col).alias("ea"), F.col(b_col).alias("eb")
-    ).localCheckpoint(eager=True)
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("ea"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("eb"),
+        )
+        .filter(F.col("ea") < F.col("eb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         e.select(F.col("ea").alias("v"))
         .union(e.select(F.col("eb").alias("v")))

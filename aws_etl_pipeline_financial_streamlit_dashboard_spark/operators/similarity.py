@@ -186,9 +186,12 @@ def knn_join_brute_force(
     SKEW-SAFE two-phase top-k (operators/skew.grouped_topk): a partial
     rank within (query, scan-split) keeps k survivors per split before
     the per-query window, so the final exchange carries ≤ k·|splits|
-    rows per query instead of the full |Q|·|C| candidate stream —
-    measured 7.4 s → ~2 s on the 3M-candidate x57 shape at sf0.1, and
-    the property that matters when |C| is a corpus. Results are exactly
+    rows per query instead of the full |Q|·|C| candidate stream. On
+    the toy x57 shape this is timing-neutral (the single-task scan
+    dominates there — fan_out is that fix; docs/PERF.md); the
+    pre-reduction is the property that matters when |C| is a corpus
+    and the candidate stream would otherwise hit one reducer per
+    query. Results are exactly
     the plain window's (total order: sim desc, id asc).
     O(|Q|·|C|·d) similarity work — exact, parallel over corpus splits;
     use the IVF/LSH paths when |Q|·|C| is too large.

@@ -841,7 +841,8 @@ def x57_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out the corpus side: the testdata parquet is one row group →
     # a single-task scan, and the |Q|·|C| cosine kernel is multiplied
     # work byte-based planning never saw (identity on any real
-    # multi-split corpus). Measured 7.6 s → ~1 s at sf0.1.
+    # multi-split corpus). Measured 7.6 s → 2.7 s at sf0.1 (the
+    # single authoritative number for this fix — docs/PERF.md).
     nn = S.knn_join_brute_force(queries, fan_out(corpus), k=5, dim=64)
     labeled = nn.join(
         F.broadcast(
@@ -1034,7 +1035,9 @@ _X61_ORACLE = """
     toward the higher-(degree, id) endpoint caps every out-degree at
     O(√m), bounding total wedges at O(m^1.5) — skew-proof by
     construction, not by salting. Pure integer pipeline → bit-exact
-    oracle parity; no iteration, no driver actions.""",
+    oracle parity; no iteration — the only driver actions are the two
+    localCheckpoints that keep the four output counters from re-running
+    the wedge join (operators/components.triangle_count).""",
 )
 def x61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (

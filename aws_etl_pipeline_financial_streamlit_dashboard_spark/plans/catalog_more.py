@@ -1897,7 +1897,7 @@ def q59_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
     )
     SELECT r.rule, r.violations, b.n_rows,
-           FLOOR(r.violations * 1.0 / b.n_rows * 1000000.0 + 0.5) / 1000000.0
+           FLOOR(r.violations * 1.0 / NULLIF(b.n_rows, 0) * 1000000.0 + 0.5) / 1000000.0
                AS violation_rate
     FROM base b, orphans x,
          LATERAL (VALUES ('null_custkey', b.null_custkey),
@@ -1961,7 +1961,7 @@ def q63_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         "n_rows",
         F.expr(
-            "CAST(FLOOR(violations * 1.0 / n_rows * 1000000.0 + 0.5)"
+            "CAST(FLOOR(violations * 1.0 / NULLIF(n_rows, 0) * 1000000.0 + 0.5)"
             " / 1000000.0 AS DOUBLE)"
         ).alias("violation_rate"),
     )

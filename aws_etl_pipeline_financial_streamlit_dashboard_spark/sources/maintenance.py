@@ -118,9 +118,13 @@ def cluster_by_zorder(
     through ``operators/shuffle.ntile_at_scale`` — a range exchange +
     per-partition enumeration, NEVER Spark's ORDER-BY-only ntile
     window (which collapses the whole table onto one task); clustering
-    costs ~k range sorts + the final range write. It's the pay-once
-    layout step whose dividend is every later scan's skipped IO (same
-    amortization as bucketing, q34). Ties within a cluster column get
+    costs ~k range sorts + the final range write, PLUS transient
+    executor-local storage: each ``global_rank`` localCheckpoints its
+    ranged frame, so up to k materialized copies of the table exist
+    during the build until the ContextCleaner frees them after the
+    job — size executor disks for the build accordingly. It's the
+    pay-once layout step whose dividend is every later scan's
+    skipped IO (same amortization as bucketing, q34). Ties within a cluster column get
     arbitrary-but-stable-size buckets (no tie-break column needed —
     bucket SPANS, not row identity, are what min/max stats read).
     """

@@ -11,13 +11,19 @@ family, and the deterministic recipe ops.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
 from tests.conftest import ORACLE_TABLES, assert_frames_match
 
-SF01_DIR = "/root/testdata/sf0.1"
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01_DIR), reason=f"{SF01_DIR} not generated"
+)
 
 # Entries where scale actually stresses the parity argument:
 # fixed-point sums over 6e5 rows, exact window moments, md5 recipes,
