@@ -1057,3 +1057,76 @@ def x61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges, "a", "b")
+
+
+# ===========================================================================
+# x62 — cross-source near-duplication matrix
+# ===========================================================================
+
+_X62_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ANY_VALUE(a.source) AS src_a, ANY_VALUE(b.source) AS src_b,
+               COUNT(*) AS inter,
+               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS (
+        SELECT LEAST(src_a, src_b) AS source_a,
+               GREATEST(src_a, src_b) AS source_b
+        FROM pairs
+        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
+           SUM(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) > 0
+               AS crosses_sources
+    FROM dup
+    GROUP BY source_a, source_b
+"""
+
+
+@register(
+    "x62_cross_source_dup_matrix",
+    _X62_ORACLE,
+    doc="""Cross-source near-duplication matrix: x02's verified
+    near-dup pairs rolled up by (source_a, source_b) — the governance
+    view that tells a corpus builder WHERE duplication comes from
+    (mirrored scrapes between two sources vs boilerplate within one).
+    Within-pair source order is canonicalized (least/greatest) so the
+    matrix is triangular. Composition cost: the pair generation is
+    x02's inverted-index join; the rollup adds one |pairs|-row
+    aggregate — nothing new shuffles at scale.""",
+)
+def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    dup = (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    return dup.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.expr(
+            "SUM(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) > 0"
+        ).alias("crosses_sources"),
+    )

@@ -750,3 +750,56 @@ def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(name)
+
+
+@register(
+    "s14_update_mode_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """.format(sv=sql_dec_sum('value', 2)),
+    doc="""Update output mode — the third leg of the sink-mode
+    coverage (complete: s07/s12, append: s09/s13): an unwindowed
+    running aggregate where each micro-batch emits ONLY the groups
+    whose values changed, the natural fit for a serving-table upsert
+    sink (foreachBatch MERGE). Bounded state: |groups| rows forever,
+    no watermark needed because the aggregate is keyed, not windowed.
+    The AvailableNow run drains one batch, in which every group
+    changes, so the update stream equals the batch aggregate — which
+    is what the oracle checks; on a live feed each batch would emit
+    the delta rows only.""",
+)
+def s14_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, event_type string, value double"
+        )
+        .format("parquet")
+        .load(glob)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", 2).alias("sum_value"),
+    )
+    name = f"stream_update_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
