@@ -1130,3 +1130,88 @@ def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) > 0"
         ).alias("crosses_sources"),
     )
+
+
+# ===========================================================================
+# x63 — split-leakage audit (near-dups straddling train/test)
+# ===========================================================================
+
+_X63_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+               CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 80
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        FROM w
+    ),
+    ex AS (SELECT doc_id, split, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ANY_VALUE(a.split) AS split_a, ANY_VALUE(b.split) AS split_b,
+               COUNT(*) AS inter,
+               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup AS (
+        SELECT LEAST(split_a, split_b) AS split_lo,
+               GREATEST(split_a, split_b) AS split_hi
+        FROM pairs
+        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
+    )
+    SELECT split_lo, split_hi,
+           COUNT(*) AS n_dup_pairs,
+           (split_lo <> split_hi) AS is_leakage
+    FROM dup
+    GROUP BY split_lo, split_hi
+"""
+
+
+@register(
+    "x63_split_leakage_audit",
+    _X63_ORACLE,
+    doc="""Split-leakage audit: x31's content-hash train/val/test
+    assignment crossed with x02's verified near-dup pairs — any pair
+    straddling two splits is test-set leakage the exact-dedup guard
+    (hashing the full text) cannot catch, because NEAR-duplicates hash
+    differently. Rows where is_leakage is true are the audit's
+    finding; within-split pairs are the harmless baseline. This is the
+    check a training-data pipeline runs AFTER splitting and BEFORE
+    training: x31 keys the split on exact content, x38 collapses
+    near-dup clusters, and this entry proves (or disproves) that what
+    remains doesn't leak.
+
+    Cost: the pair join is x02's inverted-index shape; the split
+    column rides the exploded shingles (no extra join against the
+    corpus). Output is |splits|² rows max.""",
+)
+def x63_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
+
+    docs = SP.hash_split(
+        read_table(spark, sf_dir, "documents"), "text"
+    ).select("doc_id", "text", "split")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    sp = docs.select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    dup = (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+    )
+    return dup.groupBy("split_lo", "split_hi").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.expr("split_lo <> split_hi").alias("is_leakage"),
+    )
