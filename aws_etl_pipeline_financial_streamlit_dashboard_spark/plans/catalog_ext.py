@@ -47,29 +47,55 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
+def jaccard_pairs_cte(carry_expr: str | None = None, carry: str | None = None,
+                      n: int = 3, threshold: float = 0.2) -> str:
+    """Shared DuckDB CTE prefix for the n-gram Jaccard pair pipeline —
+    ONE definition of the shingle set, inverted-index pair join, and
+    rounded-threshold filter, so x02 and every entry composed on top of
+    it (x62 source matrix, x63 split audit) can never drift apart.
+    ``carry_expr AS carry`` is an optional per-document column carried
+    through to the pair level as ``carry_a`` / ``carry_b``. Yields CTEs
+    ``w, sh, ex, pairs, dup`` where ``dup`` is the thresholded pair
+    set."""
+    g = n - 1  # w[i:i+g] spans n tokens in DuckDB's inclusive slice
+    carry_w = f", {carry_expr} AS {carry}" if carry_expr else ""
+    carry_sh = f", {carry}" if carry_expr else ""
+    carry_ex = f", {carry}" if carry_expr else ""
+    carry_pairs = (
+        f", ANY_VALUE(a.{carry}) AS {carry}_a, ANY_VALUE(b.{carry}) AS {carry}_b"
+        if carry_expr
+        else ""
+    )
+    carry_dup = f", {carry}_a, {carry}_b" if carry_expr else ""
+    jac = "FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
     WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w{carry_w}
         FROM documents
     ),
     sh AS (
-        SELECT doc_id,
-               list_distinct([array_to_string(w[i:i+2], ' ')
-                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
+        SELECT doc_id{carry_sh},
+               list_distinct([array_to_string(w[i:i+{g}], ' ')
+                              FOR i IN range(1, GREATEST(len(w)-{g}, 1) + 1)]) AS shingles
         FROM w
     ),
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id{carry_ex}, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b{carry_pairs},
                COUNT(*) AS inter,
                ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-    FROM pairs
-    WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+    ),
+    dup AS (
+        SELECT doc_a, doc_b{carry_dup}, {jac} AS jaccard
+        FROM pairs
+        WHERE {jac} >= {threshold}
+    )"""
+
+
+_JACCARD_ORACLE = jaccard_pairs_cte() + """
+    SELECT doc_a, doc_b, jaccard FROM dup
 """
 
 
@@ -1063,38 +1089,13 @@ def x61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x62 — cross-source near-duplication matrix
 # ===========================================================================
 
-_X62_ORACLE = """
-    WITH w AS (
-        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, source,
-               list_distinct([array_to_string(w[i:i+2], ' ')
-                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
-        FROM w
-    ),
-    ex AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ANY_VALUE(a.source) AS src_a, ANY_VALUE(b.source) AS src_b,
-               COUNT(*) AS inter,
-               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    dup AS (
-        SELECT LEAST(src_a, src_b) AS source_a,
-               GREATEST(src_a, src_b) AS source_b
-        FROM pairs
-        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
-              / 1000000.0 >= 0.2
-    )
-    SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
-           SUM(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) > 0
-               AS crosses_sources
+_X62_ORACLE = jaccard_pairs_cte("source", "src") + """
+    SELECT LEAST(src_a, src_b) AS source_a,
+           GREATEST(src_a, src_b) AS source_b,
+           COUNT(*) AS n_dup_pairs,
+           (LEAST(src_a, src_b) <> GREATEST(src_a, src_b)) AS crosses_sources
     FROM dup
-    GROUP BY source_a, source_b
+    GROUP BY LEAST(src_a, src_b), GREATEST(src_a, src_b)
 """
 
 
@@ -1107,8 +1108,9 @@ _X62_ORACLE = """
     (mirrored scrapes between two sources vs boilerplate within one).
     Within-pair source order is canonicalized (least/greatest) so the
     matrix is triangular. Composition cost: the pair generation is
-    x02's inverted-index join; the rollup adds one |pairs|-row
-    aggregate — nothing new shuffles at scale.""",
+    x02's inverted-index join; attaching sources is two id-keyed joins
+    probed by the (small) pair set — the corpus-sized side is NEVER
+    broadcast — then a |pairs|-row rollup.""",
 )
 def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -1116,9 +1118,12 @@ def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # No broadcast hint: the (doc_id, source) map is CORPUS-sized — at
+    # scale these are id-keyed shuffle joins probing with the small
+    # pair set (locally the size policy broadcasts them on its own).
     dup = (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
@@ -1126,9 +1131,7 @@ def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dup.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_dup_pairs"),
-        F.expr(
-            "SUM(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) > 0"
-        ).alias("crosses_sources"),
+        F.expr("source_a <> source_b").alias("crosses_sources"),
     )
 
 
@@ -1136,42 +1139,15 @@ def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x63 — split-leakage audit (near-dups straddling train/test)
 # ===========================================================================
 
-_X63_ORACLE = """
-    WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
-               CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 80
-                    THEN 'train'
-                    WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90
-                    THEN 'val' ELSE 'test' END AS split
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, split,
-               list_distinct([array_to_string(w[i:i+2], ' ')
-                              FOR i IN range(1, GREATEST(len(w)-2, 1) + 1)]) AS shingles
-        FROM w
-    ),
-    ex AS (SELECT doc_id, split, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ANY_VALUE(a.split) AS split_a, ANY_VALUE(b.split) AS split_b,
-               COUNT(*) AS inter,
-               ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    dup AS (
-        SELECT LEAST(split_a, split_b) AS split_lo,
-               GREATEST(split_a, split_b) AS split_hi
-        FROM pairs
-        WHERE FLOOR((inter * 1.0 / (na + nb - inter)) * 1000000.0 + 0.5)
-              / 1000000.0 >= 0.2
-    )
-    SELECT split_lo, split_hi,
+_X63_ORACLE = jaccard_pairs_cte(
+    "CASE WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 80 THEN 'train' WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90 THEN 'val' ELSE 'test' END", "split"
+) + """
+    SELECT LEAST(split_a, split_b) AS split_lo,
+           GREATEST(split_a, split_b) AS split_hi,
            COUNT(*) AS n_dup_pairs,
-           (split_lo <> split_hi) AS is_leakage
+           (LEAST(split_a, split_b) <> GREATEST(split_a, split_b)) AS is_leakage
     FROM dup
-    GROUP BY split_lo, split_hi
+    GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
 """
 
 
@@ -1189,9 +1165,9 @@ _X63_ORACLE = """
     near-dup clusters, and this entry proves (or disproves) that what
     remains doesn't leak.
 
-    Cost: the pair join is x02's inverted-index shape; the split
-    column rides the exploded shingles (no extra join against the
-    corpus). Output is |splits|² rows max.""",
+    Cost: the pair join is x02's inverted-index shape; splits attach
+    via two id-keyed joins probed by the (small) pair set. Output is
+    |splits|² rows max.""",
 )
 def x63_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
@@ -1203,9 +1179,11 @@ def x63_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = docs.select("doc_id", "split")
     a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    # corpus-sized split map joins by id, probed by the small pair set
+    # (no broadcast hint — see x62)
     dup = (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             F.least("split_a", "split_b").alias("split_lo"),
             F.greatest("split_a", "split_b").alias("split_hi"),

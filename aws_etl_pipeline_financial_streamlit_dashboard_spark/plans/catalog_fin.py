@@ -770,3 +770,122 @@ def q62_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(dt)").alias("observed_us"),
         F.expr("COUNT(*)").alias("n_trades"),
     )
+
+
+# ===========================================================================
+# q64 — lead-lag cross-correlation between symbols
+# ===========================================================================
+
+_LEADLAG_ORACLE = r"""
+    WITH daily AS (
+        SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS flow
+        FROM events
+        GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+    ),
+    lagged AS (
+        SELECT event_type, day, flow,
+               lead(flow) OVER (PARTITION BY event_type ORDER BY day)
+                   AS next_flow
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.event_type AS leader, b.event_type AS follower,
+               COUNT(*) AS n_days,
+               SUM(a.flow) AS sx, SUM(b.next_flow) AS sy,
+               SUM(a.flow * b.next_flow) AS sxy,
+               SUM(a.flow * a.flow) AS sxx,
+               SUM(b.next_flow * b.next_flow) AS syy
+        FROM daily a JOIN lagged b
+          ON a.day = b.day AND a.event_type <> b.event_type
+        WHERE b.next_flow IS NOT NULL
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT leader, follower, n_days,
+           FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lead_corr
+    FROM pairs
+"""
+
+
+@register(
+    "q64_lead_lag_correlation",
+    _LEADLAG_ORACLE,
+    doc="""Lead-lag cross-correlation: does symbol A's daily flow
+    predict symbol B's NEXT-day flow? q54's correlation machinery
+    (exact integer centi-moments, pinned scalar finish, IEEE sqrt →
+    bitwise parity) applied to a 1-day-shifted pairing — the
+    directional companion to q54's contemporaneous matrix, and the
+    asymmetric one (leader ≠ follower matters, so the full
+    |symbols|·(|symbols|−1) grid, not the triangle). "Next day" means
+    next OBSERVED day for the follower (lead() over its series): over
+    calendar gaps the pairing spans the gap — document-level choice,
+    identical in both engines; restrict to date_add(day, 1) matches if
+    strict-1-day lags are wanted. The shift is a lead() on the
+    ALREADY-AGGREGATED daily series (one tiny window on
+    |symbols|×|days| rows); the daily aggregate is checkpointed so the
+    fact scan + partial agg runs ONCE and both join sides read the
+    materialized result.""",
+)
+def q64_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.expr("SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))").alias(
+                "flow"
+            )
+        )
+        # materialize once: both the leader side and the lagged
+        # follower side read this aggregate — without the checkpoint
+        # the plan carries two copies of the fact scan + partial agg
+        # (different projections defeat ReuseExchange), doubling the
+        # only fact-scale stage
+        .localCheckpoint(eager=True)
+    )
+    lagged = daily.select(
+        F.col("event_type").alias("follower"),
+        F.col("day").alias("day_b"),
+        F.expr(
+            "lead(flow) OVER (PARTITION BY event_type ORDER BY day)"
+        ).alias("next_flow"),
+    ).filter(F.col("next_flow").isNotNull())
+    a = daily.select(
+        F.col("event_type").alias("leader"), "day", F.col("flow").alias("fa")
+    )
+    pairs = (
+        a.join(
+            F.broadcast(lagged),
+            (F.col("day") == F.col("day_b"))
+            & (F.col("leader") != F.col("follower")),
+        )
+        .groupBy("leader", "follower")
+        .agg(
+            F.expr("COUNT(*)").alias("n_days"),
+            F.expr("SUM(fa)").alias("sx"),
+            F.expr("SUM(next_flow)").alias("sy"),
+            F.expr("SUM(fa * next_flow)").alias("sxy"),
+            F.expr("SUM(fa * fa)").alias("sxx"),
+            F.expr("SUM(next_flow * next_flow)").alias("syy"),
+        )
+    )
+    corr = (
+        "FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(SQRT(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * SQRT(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return pairs.select(
+        "leader",
+        "follower",
+        "n_days",
+        F.expr(f"CAST(({corr}) AS DOUBLE)").alias("lead_corr"),
+    )

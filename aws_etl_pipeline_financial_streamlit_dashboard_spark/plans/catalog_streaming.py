@@ -537,6 +537,30 @@ def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _drain_to_memory(df, output_mode: str, prefix: str):
+    """Shared sink tail for the real-streaming entries: memory sink +
+    fresh checkpoint + Trigger.AvailableNow, returning the drained
+    table. One definition of the uuid/checkpoint/start/await sequence
+    instead of a copy per entry."""
+    import os
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(ckpt, "state"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return df.sparkSession.table(name)
+
+
+
 @register(
     "s12_streaming_ohlc",
     """
@@ -585,8 +609,6 @@ def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
     leaf = "events.parquet"
@@ -632,18 +654,7 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trades",
         )
     )
-    name = f"stream_ohlc_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        bars.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(bars, "complete", "stream_ohlc")
 
 
 @register(
@@ -693,8 +704,6 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
     leaf = "events.parquet"
@@ -738,18 +747,7 @@ def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trades",
         )
     )
-    name = f"stream_ohlc_ap_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        bars.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(bars, "append", "stream_ohlc_ap")
 
 
 @register(
@@ -774,8 +772,6 @@ def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s14_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
     leaf = "events.parquet"
@@ -791,15 +787,16 @@ def s14_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_sum("value", 2).alias("sum_value"),
     )
-    name = f"stream_update_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    out = _drain_to_memory(agg, "update", "stream_update")
+    # Enforce the stated single-batch assumption instead of assuming
+    # it: update mode appends each batch's changed rows to the memory
+    # sink, so a multi-batch drain would emit intermediate running
+    # values per key and silently break the batch-equivalence oracle.
+    n_rows = out.count()
+    n_keys = out.select("event_type").distinct().count()
+    if n_rows != n_keys:
+        raise RuntimeError(
+            f"s14 drained in >1 micro-batch ({n_rows} update rows for "
+            f"{n_keys} keys) — the single-batch oracle assumption broke"
+        )
+    return out
