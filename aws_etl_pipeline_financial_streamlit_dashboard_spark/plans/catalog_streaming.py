@@ -246,18 +246,7 @@ def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("value", 2).alias("sum_value"),
     )
 
-    name = f"stream_static_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(agg, "complete", "stream_static")
 
 
 @register(
@@ -365,18 +354,7 @@ def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("v_ts").alias("v_ts_us"),
     )
 
-    name = f"stream_stream_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(joined, "append", "stream_stream")
 
 
 @register(
@@ -459,18 +437,7 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("v_ts").alias("v_ts_us"),
     )
 
-    name = f"stream_left_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(joined, "append", "stream_left")
 
 
 @register(
@@ -523,18 +490,7 @@ def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
 
-    name = f"stream_incr_dedup_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        fresh.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(name)
+    return _drain_to_memory(fresh, "append", "stream_incr_dedup")
 
 
 def _drain_to_memory(df, output_mode: str, prefix: str):
