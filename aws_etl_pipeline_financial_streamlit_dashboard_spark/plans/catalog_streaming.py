@@ -223,8 +223,6 @@ def s06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     # batch read sets the nanosAsLong conf; also the static dim source
     read_table(spark, sf_dir, "events")
@@ -314,8 +312,6 @@ def s08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
     leaf = "events.parquet"
@@ -396,8 +392,6 @@ def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     read_table(spark, sf_dir, "events")
     leaf = "events.parquet"
@@ -465,8 +459,6 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
     docs = read_table(spark, sf_dir, "documents")  # sets read-time confs
     corpus_hashes = F.broadcast(
