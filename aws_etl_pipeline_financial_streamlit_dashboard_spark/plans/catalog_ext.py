@@ -1193,3 +1193,97 @@ def x63_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dup_pairs"),
         F.expr("split_lo <> split_hi").alias("is_leakage"),
     )
+
+
+# ===========================================================================
+# x64 — vocabulary build + corpus encoding
+# ===========================================================================
+
+_X64_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+               unnest(w) AS token
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    ),
+    vocab AS (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+        FROM tok
+        GROUP BY token
+        QUALIFY token_id <= 100
+    ),
+    enc AS (
+        SELECT t.doc_id, t.pos,
+               COALESCE(v.token_id, 0) AS tid
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        WHERE t.pos <= 32
+    )
+    SELECT doc_id,
+           array_to_string(list(tid ORDER BY pos), ',') AS token_ids,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x64_vocab_encode",
+    _X64_ORACLE,
+    doc="""Vocabulary build + corpus encoding — the tokenizer-adjacent
+    primitive of a training pipeline: rank the corpus's tokens by
+    frequency (count desc, token asc — a total order, so IDs are
+    deterministic), keep the top 100 as the vocab, and encode each
+    document's first 32 token positions as an ID sequence with OOV→0,
+    reporting the OOV count per document. IDs serialize as a
+    comma-joined string (exact integers; also keeps the oracle
+    comparator scalar-typed).
+
+    Scale shape: the vocab build is x22's heavy-hitter aggregate (one
+    partial-aggregating shuffle of token counts); the vocab is top-K
+    SMALL by construction, so the encode join BROADCASTS it against
+    the exploded token stream (the honest broadcast — contrast
+    x62/x63's corpus-sized maps, which must not); reassembly is one
+    per-document aggregate with a position-sorted collect bounded by
+    the 32-token truncation — the context-window bound every encoder
+    applies anyway.""",
+)
+def x64_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    # top-100 via TakeOrderedAndProject (distributed heaps), THEN the
+    # rank window on the 100 surviving rows — never an ORDER-BY-only
+    # window over the full |distinct tokens| count table
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+            .alias("token_id"),
+        )
+    )
+    enc = (
+        tok.filter(F.col("pos") <= 32)
+        .join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+        )
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("token_ids"),
+        F.expr("SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)").alias("n_oov"),
+    )
