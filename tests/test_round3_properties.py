@@ -253,3 +253,61 @@ def test_bollinger_single_row_null_bands(spark):
     row = s.collect()[0]
     assert row.sma == pytest.approx(42.5)
     assert row.ub is None
+
+
+def test_vocab_encode_short_and_oov_docs(spark):
+    """x64's encode path on hand-built docs: truncation at 32 tokens,
+    OOV→0 for tokens outside the vocab, and ID order following token
+    position."""
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha " * 40),          # truncates at 32 positions
+            (3, "zeta"),                  # likely below top-k? k=2 here
+        ],
+        "doc_id long, text string",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(2)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token")))
+            .alias("token_id"),
+        )
+    )
+    enc = (
+        tok.filter(F.col("pos") <= 32)
+        .join(F.broadcast(vocab), "token", "left")
+        .select("doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid"))
+    )
+    out = {
+        r.doc_id: (r.ids, r.n_oov)
+        for r in enc.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.expr("SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)").alias("n_oov"),
+        )
+        .collect()
+    }
+    # vocab: alpha (43 occurrences) = 1, beta = 2 (count 1, ties to
+    # beta < gamma < zeta alphabetically)
+    assert out[1] == ("1,2,1,0", 1)  # gamma is OOV
+    ids2, oov2 = out[2]
+    assert ids2 == ",".join(["1"] * 32) and oov2 == 0  # truncated at 32
+    assert out[3] == ("0", 1)  # fully OOV doc still encodes
