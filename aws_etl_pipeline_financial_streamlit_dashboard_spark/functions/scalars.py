@@ -29,18 +29,72 @@ def month_display(month: Column) -> Column:
 
 
 def ts_micros(ts: Column | str) -> Column:
-    """Epoch microseconds from either TIMESTAMP or TIMESTAMP_NTZ.
+    """Epoch microseconds of the NTZ wall clock — session-TZ-free.
 
     Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ
-    under Spark's NTZ inference, and ``unix_micros`` is tz-strict
-    (rejects NTZ). The cast is a no-op for TIMESTAMP and interprets
-    NTZ wall-clock in the session timezone (UTC here) — matching
-    DuckDB's epoch_us on naive timestamps — so one expression serves
-    both storage flavors.
+    under Spark's NTZ inference, and DuckDB's ``epoch_us`` on the same
+    naive value is pure wall-clock arithmetic. The earlier
+    ``unix_micros(CAST(ts AS TIMESTAMP))`` form matched it only while
+    the session timezone was UTC (the NTZ→LTZ cast interprets the wall
+    clock in the session zone — a shifted driver environment moved
+    every day/month bucket). This form decomposes the NTZ value itself
+    (days since epoch, hour/minute, exact decimal seconds → micros):
+    no LTZ type appears, so the result is identical under ANY session
+    timezone, and equals the old expression under UTC — no parity
+    change for existing entries. LTZ inputs first normalize to the
+    session wall clock (cast TIMESTAMP→TIMESTAMP_NTZ), preserving the
+    old UTC-session behavior for that flavor too.
     """
     if isinstance(ts, str):
         ts = F.col(ts)
-    return F.unix_micros(ts.cast("timestamp"))
+    ntz = ts.cast("timestamp_ntz")
+    return (
+        F.unix_date(ntz.cast("date")).cast("long") * F.lit(_US_PER_DAY)
+        + (F.hour(ntz) * 3600 + F.minute(ntz) * 60).cast("long")
+        * F.lit(1_000_000)
+        # date_part('SECOND') is DECIMAL(8,6) — ×1e6 is exact, and the
+        # long cast is lossless at parquet's micro precision
+        + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast("long")
+    )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def sql_day_from_us_spark(us: str) -> str:
+    """'YYYY-MM-DD' day key from non-negative epoch MICROSECONDS —
+    Spark SQL text. Pure integer + Gregorian-calendar arithmetic: no
+    timestamp type, no session timezone, no locale anywhere in the
+    chain, so the key is identical under any driver environment (the
+    ``date_format(ts, ...)`` it replaces is tz-correct only while the
+    session zone matches the oracle's naive reading — this derivation
+    removes that coupling entirely). Valid for us ≥ 0 (integer DIV
+    truncates toward zero; DuckDB's // floors — they agree on
+    non-negatives, which epoch'd market/event data always is)."""
+    return (
+        f"CAST(DATE_ADD(DATE'1970-01-01',"
+        f" CAST(({us}) DIV {_US_PER_DAY} AS INT)) AS STRING)"
+    )
+
+
+def sql_day_from_us_duckdb(us: str) -> str:
+    """DuckDB twin of :func:`sql_day_from_us_spark` (``//`` floor-div,
+    DATE + INTEGER day arithmetic, CAST DATE→VARCHAR is ISO
+    'YYYY-MM-DD' in both engines)."""
+    return (
+        f"CAST((DATE '1970-01-01' +"
+        f" CAST(({us}) // {_US_PER_DAY} AS INTEGER)) AS VARCHAR)"
+    )
+
+
+def sql_month_from_us_spark(us: str) -> str:
+    """'YYYY-MM' month key from epoch micros (prefix of the day key)."""
+    return f"SUBSTRING({sql_day_from_us_spark(us)}, 1, 7)"
+
+
+def sql_month_from_us_duckdb(us: str) -> str:
+    """DuckDB twin of :func:`sql_month_from_us_spark`."""
+    return f"SUBSTRING({sql_day_from_us_duckdb(us)}, 1, 7)"
 
 
 def safe_div(num: Column, den: Column) -> Column:

@@ -1896,7 +1896,7 @@ def q59_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
     )
-    SELECT r.rule, r.violations, b.n_rows,
+    SELECT r.rule, CAST(r.violations AS BIGINT) AS violations, b.n_rows,
            FLOOR(r.violations * 1.0 / NULLIF(b.n_rows, 0) * 1000000.0 + 0.5) / 1000000.0
                AS violation_rate
     FROM base b, orphans x,

@@ -533,7 +533,7 @@ def _drain_to_memory(df, output_mode: str, prefix: str):
            MAX(value) AS high,
            MIN(value) AS low,
            MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-           SUM(vol) AS volume,
+           CAST(SUM(vol) AS BIGINT) AS volume,
            COUNT(*) AS n_trades
     FROM r
     GROUP BY event_type, window_start
@@ -631,7 +631,7 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(value) AS high,
            MIN(value) AS low,
            MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-           SUM(vol) AS volume,
+           CAST(SUM(vol) AS BIGINT) AS volume,
            COUNT(*) AS n_trades
     FROM r, m
     WHERE w0 + INTERVAL 2 DAY <= mx
