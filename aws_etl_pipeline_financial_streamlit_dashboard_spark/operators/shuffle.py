@@ -141,9 +141,14 @@ def ntile_at_scale(
     q = "(__nt div {k})".format(k=k)
     rem = "(__nt % {k})".format(k=k)
     big = f"(({q} + 1) * {rem})"  # rows covered by the larger buckets
+    # When n < k, q = 0 and every row satisfies the THEN branch (rank ≤
+    # (q+1)·rem = n), so the ELSE divisor is never REACHED — but an
+    # ANSI-mode engine may still EVALUATE both branches eagerly, so the
+    # divisor is guarded explicitly rather than relying on lazy CASE
+    # (ADVICE r3). GREATEST(q, 1) never changes a reached result.
     bucket = (
         f"CASE WHEN __r <= {big} THEN (__r - 1) div ({q} + 1) + 1 "
-        f"ELSE {rem} + (__r - {big} - 1) div {q} + 1 END"
+        f"ELSE {rem} + (__r - {big} - 1) div GREATEST({q}, 1) + 1 END"
     )
     return (
         ranked.crossJoin(F.broadcast(total))

@@ -897,6 +897,15 @@ def x41_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_us = F.floor(
         (F.col("n").cast("double") / F.col("cnt")) * 1000000.0 + F.lit(0.5)
     ).cast("long")
+    # Skew note (VERDICT r3): `bg` is the full bigram stream and its
+    # join key is naturally hot — stop-word bigrams ("of the", "in a")
+    # follow a Zipf curve, so a handful of keys carry a large share of
+    # rows. No cap is threaded here (unlike dedup's hot_shingle_cap,
+    # which DROPS candidates, a cap would change this score's value);
+    # instead the skew is left to AQE's skew-join split, which handles
+    # a hot reduce partition without changing results, and `stats` is
+    # vocabulary-sized so at dim-table scale the join usually resolves
+    # to broadcast-hash anyway (no shuffle of `bg` at all).
     terms = (
         bg.join(stats, "bg")
         .crossJoin(F.broadcast(tot))

@@ -491,20 +491,27 @@ def _drain_to_memory(df, output_mode: str, prefix: str):
     table. One definition of the uuid/checkpoint/start/await sequence
     instead of a copy per entry."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(ckpt, "state"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        # the drained memory table is independent of the checkpoint;
+        # remove it eagerly so repeated verify/bench runs don't
+        # accumulate orphaned state dirs (ADVICE r3)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -736,15 +743,30 @@ def s14_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("value", 2).alias("sum_value"),
     )
     out = _drain_to_memory(agg, "update", "stream_update")
-    # Enforce the stated single-batch assumption instead of assuming
-    # it: update mode appends each batch's changed rows to the memory
-    # sink, so a multi-batch drain would emit intermediate running
-    # values per key and silently break the batch-equivalence oracle.
+    # Update mode appends each batch's changed rows to the memory sink;
+    # a multi-batch drain therefore leaves intermediate running values
+    # per key alongside the final ones. Instead of failing hard on any
+    # future multi-file testdata layout (ADVICE r3), degrade to the
+    # correct final state: per key, the LAST emitted row is the one
+    # with the maximal running count (n_events is strictly increasing
+    # across a key's updates), so a max-count dedup recovers exactly
+    # the batch-equivalent answer. Single-batch drains (the current
+    # layout) take the fast path untouched; the multi-batch case warns
+    # so the layout change is still visible.
     n_rows = out.count()
     n_keys = out.select("event_type").distinct().count()
     if n_rows != n_keys:
-        raise RuntimeError(
+        import warnings
+
+        warnings.warn(
             f"s14 drained in >1 micro-batch ({n_rows} update rows for "
-            f"{n_keys} keys) — the single-batch oracle assumption broke"
+            f"{n_keys} keys); deduplicating to each key's final update",
+            stacklevel=2,
+        )
+        w = "(PARTITION BY event_type ORDER BY n_events DESC)"
+        out = (
+            out.withColumn("__rn", F.expr(f"ROW_NUMBER() OVER {w}"))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
     return out

@@ -90,6 +90,40 @@ def read_csv_seed(spark: SparkSession, path: str, column: str = "ticker_name") -
     )
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source (the read direction of S5/S8 — the reference's
+    serving path reads ratio tables back from Postgres, Frontend.py:
+    28-79; symmetric to sinks.write_jdbc_overwrite).
+
+    Default is a single-connection read — correct for the dim-sized
+    serving tables the reference round-trips. For a big table pass the
+    partitioning quartet: Spark then issues ``num_partitions`` range
+    predicates on ``partition_column`` in parallel, one connection per
+    partition — the only way a JDBC scan keeps 1000 executors busy.
+    Catalyst pushes filters and column pruning into the generated SQL
+    either way (JDBCRelation handles both), so a 2-column projection
+    with a WHERE clause ships exactly that query to the database.
+    """
+    reader = spark.read
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.jdbc(url, table, properties=properties or {})
+
+
 def read_json_config(spark: SparkSession, path: str) -> dict:
     """JSON config scan (S3; TableTransform.py:16-18 equivalent).
 

@@ -75,3 +75,33 @@ def test_jdbc_num_partitions_caps_connections(spark, derby_url):
     )
     back = spark.read.jdbc(derby_url, "stock_price", properties={"driver": DRIVER})
     assert back.count() == 100
+
+
+def test_read_jdbc_round_trip_and_partitioned_scan(spark, derby_url):
+    """S5 read direction: sources.readers.read_jdbc must round-trip
+    what write_jdbc_overwrite stored, both as a single-connection read
+    and as a partitioned parallel scan (the 100 TB shape: one range
+    predicate per partition on a numeric column)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_jdbc
+
+    props = {"driver": DRIVER}
+    df = _company_frame(
+        spark, [(f"T{i:03d}", f"Co {i}", float(i)) for i in range(50)]
+    )
+    write_jdbc_overwrite(df, derby_url, "serve_ratios", properties=props)
+
+    back = read_jdbc(spark, derby_url, "serve_ratios", properties=props)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    par = read_jdbc(
+        spark,
+        derby_url,
+        "serve_ratios",
+        properties=props,
+        partition_column="employees",
+        lower_bound=0,
+        upper_bound=50,
+        num_partitions=4,
+    )
+    assert par.rdd.getNumPartitions() == 4  # one range predicate each
+    assert {tuple(r) for r in par.collect()} == {tuple(r) for r in df.collect()}

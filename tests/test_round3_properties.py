@@ -204,7 +204,12 @@ def test_hash_sample_fractions_nest(spark, sf_dir):
     )
     ids_small = {r.doc_id for r in small.select("doc_id").collect()}
     ids_large = {r.doc_id for r in large.select("doc_id").collect()}
-    assert ids_small < ids_large
+    # subset-or-equal (ADVICE r3): equality is reachable on a layout
+    # where no doc hashes into the [0.3, 0.6) band of any stratum, so
+    # strict-subset would fail spuriously; the non-trivial growth check
+    # keeps the test meaningful at current fixture sizes.
+    assert ids_small <= ids_large
+    assert len(ids_large) > len(ids_small)
 
 
 # ---------------------------------------------------------------------------
