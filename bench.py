@@ -123,6 +123,7 @@ def main() -> None:
         floors[fname] = round(best, 4)
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name].spark
@@ -135,8 +136,87 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
+            # plan-BUILD share of the fresh-pass protocol: DataFrame
+            # construction + analysis only (no job). Together with the
+            # floors this makes each query's data-dependent work a
+            # derived field: above_floor = total − build − floor_noop.
+            bbest = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir)
+                bbest = min(bbest, time.perf_counter() - t0)
+            builds[name] = round(bbest, 4)
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = repr(exc)[:200]
+
+    # Concurrent-session total: the five headline queries submitted at
+    # once from five threads (Spark's scheduler interleaves the jobs),
+    # the shape a real dashboard/warehouse session produces. Wall-clock
+    # for ALL to finish; the per-query scheduler floors overlap instead
+    # of summing, so this bounds how much of the sequential headline is
+    # harness serialization rather than engine work.
+    concurrent_total = None
+    if not errors:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run_all() -> None:
+            with ThreadPoolExecutor(max_workers=len(names)) as pool:
+                list(
+                    pool.map(
+                        lambda n: QUERIES[n].spark(spark, sf_dir).collect(),
+                        names,
+                    )
+                )
+
+        _run_all()  # warm the thread/job interleaving path
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run_all()
+            best = min(best, time.perf_counter() - t0)
+        concurrent_total = round(best, 4)
+
+    # Row-group-split experiment: the residual named in docs/PERF.md is
+    # the testdata layout — ONE row group per table file caps every
+    # scan at one task regardless of maxPartitionBytes. Re-materialize
+    # the same rows as 8 part-files per table (untimed, the load step a
+    # warehouse pays once) and run the identical protocol against that
+    # layout. Reported separately; the headline `value` above stays the
+    # raw-layout number.
+    split_timings: dict[str, float] = {}
+    if not errors and os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") == "1":
+        import tempfile
+
+        split_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"sg_split_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        marker = os.path.join(split_dir, "_SPLIT_READY")
+        if not os.path.exists(marker):
+            for f in sorted(os.listdir(sf_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                (
+                    spark.read.parquet(os.path.join(sf_dir, f))
+                    .repartition(8)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(split_dir, f))
+                )
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        for name in names:
+            fn = QUERIES[name].spark
+            try:
+                for _ in range(2):
+                    fn(spark, split_dir).collect()
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, split_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                split_timings[name] = round(best, 4)
+            except Exception as exc:
+                errors[f"split:{name}"] = repr(exc)[:200]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or sf_dir
     try:
@@ -150,7 +230,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf_value,
         "floors": floors,
+        "plan_build": builds,
     }
+    if concurrent_total is not None:
+        out["concurrent_total_sec"] = concurrent_total
+    if split_timings:
+        out["queries_split_scan"] = split_timings
+        out["split_total_sec"] = round(sum(split_timings.values()), 4)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
