@@ -68,9 +68,12 @@ def sql_day_from_us_spark(us: str) -> str:
     chain, so the key is identical under any driver environment (the
     ``date_format(ts, ...)`` it replaces is tz-correct only while the
     session zone matches the oracle's naive reading — this derivation
-    removes that coupling entirely). Valid for us ≥ 0 (integer DIV
-    truncates toward zero; DuckDB's // floors — they agree on
-    non-negatives, which epoch'd market/event data always is)."""
+    removes that coupling entirely). Both engines truncate integer
+    division toward zero (Spark DIV and DuckDB 1.x ``//`` alike:
+    -1 // 86400000000 = 0 in both), so cross-engine parity holds for
+    all us — but the day key is only calendar-correct for us ≥ 0
+    (pre-epoch values would need floor division to land on the right
+    day), and epoch'd market/event data is always non-negative."""
     return (
         f"CAST(DATE_ADD(DATE'1970-01-01',"
         f" CAST(({us}) DIV {_US_PER_DAY} AS INT)) AS STRING)"

@@ -740,48 +740,32 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 
 # ---------------------------------------------------------------------------
 # Registration-order rotation: the driver's correctness gate samples
-# ~50 of the 140 entries per round; these entries have never drawn a
-# driver row across rounds 1-3 (computed from CORRECTNESS_r01..r03).
-# In case the sampler is head-biased, surface them FIRST so each round
-# retires more of the never-checked tail (the full-catalog artifact
-# CORRECTNESS_FULL_rN.json covers everything regardless). Pure dict
-# reordering — specs, names and semantics are untouched, and entries
-# added after round 3 (absent from this list) keep registration order.
+# ~50 of the 140+ entries per round; in case the sampler is head-biased,
+# surface FIRST the entries whose driver confirmation is formally open
+# (VERDICT.md r4 item 1): q55/q56 whose only driver rows are the
+# pre-fix round-3 reds, s05 which has never been drawn in four rounds,
+# q52/q53/q57/q60 whose last driver rows predate the scalars rewrite
+# they now share, and any entries added this round. The full-catalog
+# artifact CORRECTNESS_FULL_rN.json covers everything regardless.
+# Pure dict reordering — specs, names and semantics are untouched.
 # ---------------------------------------------------------------------------
-_NEVER_DRIVER_SAMPLED_R3 = [
-    "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
-    "s04_event_type_rollup", "s06_streaming_dedup",
-    "s07_stream_static_join", "s08_foreach_batch_sink",
-    "s09_stream_stream_join", "s10_stream_stream_left_join",
-    "s11_stream_incremental_dedup", "s12_streaming_ohlc",
-    "s13_streaming_ohlc_append", "s14_update_mode_counts",
-    "q61_tick_rule_imbalance", "q62_twap", "q63_data_quality_report",
-    "q64_lead_lag_correlation",
-    "q42_salted_join", "q43_snapshot_diff", "q44_funnel_conversion",
-    "q45_cohort_retention", "q46_scd2_point_in_time",
-    "q47_windowed_percentiles", "q48_topk_per_group",
-    "q49_windowed_percentiles_approx", "q50_not_in_null_semantics",
-    "q51_multistep_funnel", "q58_custdist", "q59_ntile_quartiles",
-    "q32_generator_source", "q33_csv_seed_scan", "q34_star_join_bucketed",
-    "x20_stratified_sample", "x21_approx_percentiles", "x22_top_tokens",
-    "x23_tfidf_top_term", "x25_pii_redaction", "x26_repetition_ratio",
-    "x28_chunk_dedup", "x29_corpus_mix",
-    "x43_components_star", "x44_exact_stratified_sample",
-    "x45_asof_forward", "x46_graph_pagerank",
-    "x47_corpus_mix_deterministic", "x48_entity_match",
-    "x54_context_window_pack", "x55_hash_stratified_sample",
-    "x56_winsorize",
+_SAMPLER_FRONT_R5 = [
+    # post-fix driver rows outstanding (VERDICT r4 "What's missing" #1)
+    "q55_ohlc_candles", "q56_vwap", "s05_stateful_running_totals",
+    # last driver rows predate the shared scalars rewrite
+    "q52_daily_returns", "q53_moving_averages", "q57_drawdown",
+    "q60_rsi_indicator",
+    # new this round (never sampled by construction)
+    "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
 ]
 
 
-def _rotate_never_sampled_first() -> None:
-    front = {
-        n: QUERIES.pop(n) for n in _NEVER_DRIVER_SAMPLED_R3 if n in QUERIES
-    }
+def _rotate_front() -> None:
+    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R5 if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)
     QUERIES.update(rest)
 
 
-_rotate_never_sampled_first()
+_rotate_front()

@@ -50,9 +50,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for fld in df.schema.fields:
-        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+        if fld.name != "ts":
+            continue
+        flavor = fld.dataType.simpleString()
+        if flavor == "bigint":
+            # Legacy nanosAsLong fallback. Build TIMESTAMP_NTZ by pure
+            # arithmetic on an NTZ epoch literal — no LTZ type appears,
+            # so the wall clock is the naive UTC reading under ANY
+            # session timezone (the timestamp_micros() it replaces
+            # produced LTZ, whose later NTZ cast moved with the session
+            # zone — the latent trap this boundary now closes).
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif flavor == "timestamp":
+            # A true TIMESTAMP(LTZ) column would re-anchor to the
+            # session wall clock downstream, silently moving day/month
+            # buckets under a shifted driver timezone. The engine's
+            # day-key invariant (functions.scalars.ts_micros) assumes
+            # NTZ storage — enforce it here rather than assume it.
+            raise TypeError(
+                f"{name}.ts is TIMESTAMP(LTZ); the engine requires "
+                "TIMESTAMP_NTZ storage (isAdjustedToUTC=false) so "
+                "day/month bucket keys are session-timezone-invariant"
             )
     _TABLE_CACHE[key] = df
     return df
@@ -115,6 +139,22 @@ def read_jdbc(
     """
     reader = spark.read
     if partition_column is not None:
+        missing = [
+            arg
+            for arg, val in (
+                ("lower_bound", lower_bound),
+                ("upper_bound", upper_bound),
+            )
+            if val is None
+        ]
+        if missing:
+            # Without this, None stringifies into the JDBC options
+            # ('lowerBound'='None') and fails far from the call site
+            # with an opaque number-parse error.
+            raise ValueError(
+                "read_jdbc: partition_column=%r requires %s"
+                % (partition_column, " and ".join(missing))
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

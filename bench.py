@@ -187,9 +187,21 @@ def main() -> None:
     if not errors and os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") == "1":
         import tempfile
 
+        # Cache key = content fingerprint of the source parquet files
+        # (path + mtime + size), not just the sf_dir basename —
+        # regenerated testdata or a different path with the same
+        # basename must rebuild, never silently reuse stale rows.
+        import hashlib
+
+        fp = hashlib.sha256()
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, f))
+                fp.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
         split_dir = os.path.join(
             tempfile.gettempdir(),
-            f"sg_split_{os.path.basename(sf_dir.rstrip('/'))}",
+            "sg_split_%s_%s"
+            % (os.path.basename(sf_dir.rstrip("/")), fp.hexdigest()[:12]),
         )
         marker = os.path.join(split_dir, "_SPLIT_READY")
         if not os.path.exists(marker):
