@@ -61,6 +61,37 @@ def ts_micros(ts: Column | str) -> Column:
 _US_PER_DAY = 86_400_000_000
 
 
+def event_time(ts: Column | str) -> Column:
+    """Session-TZ-invariant event-time column for streaming watermarks.
+
+    Watermarks are tz-strict (they require TIMESTAMP, the LTZ flavor),
+    but a plain ``ts.cast("timestamp")`` interprets the NTZ wall clock
+    in the SESSION zone — a shifted driver timezone then moves every
+    instant, every tumbling-window bucket boundary, and every emitted
+    epoch value. This form pins the instant to the naive-as-UTC
+    reading under ANY session timezone: :func:`ts_micros` decomposes
+    the NTZ wall clock by pure arithmetic, ``timestamp_micros`` turns
+    those micros into an absolute instant. Equal to the plain cast
+    under a UTC session — no parity change for existing entries.
+    """
+    return F.timestamp_micros(ts_micros(ts))
+
+
+def ntz_of_instant(ts: Column) -> Column:
+    """TIMESTAMP(LTZ) instant → its UTC wall clock as TIMESTAMP_NTZ.
+
+    The session-TZ-free inverse of :func:`event_time`: ``unix_micros``
+    reads the absolute instant (no zone involved), and adding it to an
+    NTZ epoch literal is pure arithmetic. Use it to RENDER streaming
+    window boundaries (``date_format`` on NTZ is wall-clock-only; on
+    LTZ it goes through the session zone)."""
+    return F.timestamp_add(
+        "MICROSECOND",
+        F.unix_micros(ts),
+        F.expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'"),
+    )
+
+
 def sql_day_from_us_spark(us: str) -> str:
     """'YYYY-MM-DD' day key from non-negative epoch MICROSECONDS —
     Spark SQL text. Pure integer + Gregorian-calendar arithmetic: no

@@ -17,9 +17,12 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import r
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
     dec_sum,
+    event_time,
+    ntz_of_instant,
     sql_dec_sum,
     sql_stable_avg,
     stable_avg,
+    ts_micros,
 )
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -330,7 +333,7 @@ def s09_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("event_id").alias(f"{tag}_event_id"),
                 F.col("user_id").alias(f"{tag}_user_id"),
-                F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+                event_time("ts").alias(f"{tag}_ts"),
             )
             .withWatermark(f"{tag}_ts", "2 hours")
         )
@@ -410,7 +413,7 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("event_id").alias(f"{tag}_event_id"),
                 F.col("user_id").alias(f"{tag}_user_id"),
-                F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+                event_time("ts").alias(f"{tag}_ts"),
             )
             .withWatermark(f"{tag}_ts", "2 hours")
         )
@@ -578,8 +581,11 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(glob)
         .select(
             "event_type",
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            # session-TZ-invariant instant + micros (scalars.event_time:
+            # a plain NTZ->LTZ cast would move bucket boundaries and
+            # emitted values under a shifted driver timezone)
+            event_time("ts").alias("ts"),
+            ts_micros("ts").alias("us"),
             "event_id",
             "value",
             F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
@@ -600,7 +606,11 @@ def s12_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            # render via the NTZ wall clock (date_format on LTZ would
+            # re-route through the session zone)
+            F.date_format(ntz_of_instant(F.col("w.start")), _TS_FMT).alias(
+                "window_start"
+            ),
             "open",
             "high",
             "low",
@@ -673,8 +683,11 @@ def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(glob)
         .select(
             "event_type",
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            # session-TZ-invariant instant + micros (scalars.event_time:
+            # a plain NTZ->LTZ cast would move bucket boundaries and
+            # emitted values under a shifted driver timezone)
+            event_time("ts").alias("ts"),
+            ts_micros("ts").alias("us"),
             "event_id",
             "value",
             F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
@@ -693,7 +706,11 @@ def s13_streaming_ohlc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            # render via the NTZ wall clock (date_format on LTZ would
+            # re-route through the session zone)
+            F.date_format(ntz_of_instant(F.col("w.start")), _TS_FMT).alias(
+                "window_start"
+            ),
             "open",
             "high",
             "low",

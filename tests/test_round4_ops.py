@@ -86,6 +86,15 @@ _TZ_SENSITIVE = [
     "q61_tick_rule_imbalance",
     "q62_twap",
     "q64_lead_lag_correlation",
+    # Streaming entries that bucket or emit event time through the
+    # watermark path (VERDICT r4 item 5): these run REAL streaming
+    # queries, where a plain NTZ->LTZ cast would move window
+    # boundaries and epoch outputs with the session zone —
+    # scalars.event_time / ntz_of_instant pin them.
+    "s09_stream_stream_join",
+    "s10_stream_stream_left_join",
+    "s12_streaming_ohlc",
+    "s13_streaming_ohlc_append",
 ]
 
 
