@@ -736,6 +736,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
     catalog_llm,
     catalog_more,
     catalog_streaming,
+    catalog_web,
 )
 
 # ---------------------------------------------------------------------------
@@ -753,8 +754,8 @@ _SAMPLER_FRONT_R5 = [
     # post-fix driver rows outstanding (VERDICT r4 "What's missing" #1)
     "q55_ohlc_candles", "q56_vwap", "s05_stateful_running_totals",
     # last driver rows predate the shared scalars rewrite
-    "q52_daily_returns", "q53_moving_averages", "q57_drawdown",
-    "q60_rsi_indicator",
+    "q52_max_drawdown", "q53_ewma_smoothing", "q57_returns_volatility",
+    "q60_bollinger_bands",
     # new this round (never sampled by construction)
     "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
 ]

@@ -1,0 +1,168 @@
+"""Web-crawl curation catalog entries (x65-x67, VERDICT r4 item 6).
+
+URL canonicalization → host-level aggregation → per-host crawl-budget
+sampling: the corpus-curation front end a crawl-fed training pipeline
+runs before dedup (operators/web.py holds the shared SQL builders and
+the canonicalization contract). The reference has no crawl surface —
+these extend the LLM-data-pipeline family the same way the dedup/ANN
+entries do.
+
+All three are full value-hash oracle entries: the Spark side and the
+DuckDB oracle render the SAME pinned SQL text (dialect split only on
+DuckDB's 'g' regexp flag), so parity holds by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
+    CRAWL_RANK_SQL,
+    sql_canon_parts,
+    sql_raw_url,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+_RAW = sql_raw_url()
+_SPARK_PARTS = sql_canon_parts("raw_url", "spark")
+_DUCK_PARTS = sql_canon_parts("raw_url", "duckdb")
+
+
+def _canon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, source, lang, n_chars, raw_url, url, host,
+    domain): two narrow codegen projections, zero shuffle."""
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.expr(_RAW).alias("raw_url"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "raw_url",
+            F.expr(_SPARK_PARTS["url"]).alias("url"),
+            F.expr(_SPARK_PARTS["host"]).alias("host"),
+            F.expr(_SPARK_PARTS["domain"]).alias("domain"),
+        )
+    )
+
+
+_DUCK_CANON_CTE = f"""
+    WITH raw AS (
+        SELECT doc_id, source, lang, n_chars, {_RAW} AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, lang, n_chars, raw_url,
+               {_DUCK_PARTS["url"]} AS url,
+               {_DUCK_PARTS["host"]} AS host,
+               {_DUCK_PARTS["domain"]} AS domain
+        FROM raw
+    )
+"""
+
+
+@register(
+    "x65_url_canonicalize",
+    _DUCK_CANON_CTE
+    + """
+    SELECT doc_id, raw_url, url, host, domain FROM canon
+    """,
+    doc="""URL canonicalization (operators/web.py contract: lowercase
+    scheme/host, strip default ports + fragments + tracking params,
+    preserve remaining param order). The raw URL is synthesized
+    deterministically per document so every rule has covered inputs —
+    mixed-case schemes, www prefixes, :80/:443/:8080 ports, leading
+    and trailing utm_/gclid params, fragments. 100 TB: narrow
+    whole-stage-codegen string chain, NO shuffle — canonicalization
+    cost is pure scan-side CPU, exactly where a 1000-executor crawl
+    pipeline wants it.""",
+)
+def x65_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _canon_docs(spark, sf_dir).select(
+        "doc_id", "raw_url", "url", "host", "domain"
+    )
+
+
+@register(
+    "x66_host_aggregation",
+    _DUCK_CANON_CTE
+    + """
+    SELECT host, domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_distinct_urls,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM canon
+    GROUP BY host, domain
+    """,
+    doc="""Host-level crawl rollup over canonical URLs: per-host page
+    and distinct-URL counts, language spread, and total corpus bytes —
+    the table a crawl scheduler prioritizes from. Grouping by (host,
+    domain) is one hash-shuffle on the host key; COUNT(DISTINCT)
+    expands in Catalyst's two-phase distinct aggregate, partial
+    aggregation collapses the per-host fan-in map-side. total_chars
+    stays BIGINT (no HUGEINT in the oracle — sf0.01 total chars is far
+    under 2^63).""",
+)
+def x66_host_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _canon_docs(spark, sf_dir)
+        .groupBy("host", "domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("url").alias("n_distinct_urls"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_BUDGET = 20  # pages per host — the crawl-politeness cap
+# (below the per-host URL count at every test SF, so the budget
+# actually prunes — a cap the data never reaches tests nothing)
+
+
+@register(
+    "x67_crawl_budget",
+    _DUCK_CANON_CTE
+    + f"""
+    SELECT doc_id, url, host, crawl_rank FROM (
+        SELECT doc_id, url, host,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host
+                   ORDER BY {CRAWL_RANK_SQL}, doc_id
+               ) AS crawl_rank
+        FROM canon
+    ) ranked
+    WHERE crawl_rank <= {_BUDGET}
+    """,
+    doc="""Per-host crawl-budget sampling: keep at most {b} pages per
+    host, chosen by a deterministic Knuth-hash rank over doc_id (no
+    RNG state — re-runs and engines agree bit-for-bit; doc_id
+    tiebreak pins hash collisions). This is the hot-host mitigation
+    itself: a crawl frontier's giant hosts are capped to the budget
+    BEFORE any downstream per-host state can skew. One shuffle on the
+    host key for the partitioned window (never the single-partition
+    global-window trap); at 100 TB swap ROW_NUMBER for a bounded
+    per-partition top-K accumulate if |host| × budget rows still
+    overwhelm a partition — same semantics, no rank materialization.
+    """.format(b=_BUDGET),
+)
+def x67_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("host").orderBy(F.expr(CRAWL_RANK_SQL), F.col("doc_id"))
+    return (
+        _canon_docs(spark, sf_dir)
+        .select("doc_id", "url", "host")
+        .withColumn("crawl_rank", F.row_number().over(w))
+        .filter(F.col("crawl_rank") <= _BUDGET)
+    )

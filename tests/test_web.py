@@ -1,0 +1,81 @@
+"""Web-crawl curation family (x65-x67): canonicalization rules,
+plan shape, and budget-sampling invariants (VERDICT r4 item 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
+    sql_canon_parts,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_web import (
+    _BUDGET,
+)
+
+
+# Rule-level cases: each exercises one canonicalization contract line
+# (operators/web.py docstring).
+_CASES = [
+    # lowercase scheme+host, strip default https port, strip fragment,
+    # strip leading utm_ param
+    (
+        "HTTPS://WWW.Foo.Example.COM:443/docs/1/item?utm_source=x&id=5#frag",
+        "https://www.foo.example.com/docs/1/item?id=5",
+    ),
+    # default http port stripped; non-tracking params keep their order
+    (
+        "HTTP://a.b:80/p?b=2&a=1",
+        "http://a.b/p?b=2&a=1",
+    ),
+    # non-default port kept
+    ("http://a.b:8080/p", "http://a.b:8080/p"),
+    # all params tracking -> no '?' at all
+    ("http://a.b/p?utm_campaign=z&gclid=1", "http://a.b/p"),
+    # tracking param in the middle
+    ("http://a.b/p?id=1&fbclid=xx&q=2", "http://a.b/p?id=1&q=2"),
+    # no query, no port, already canonical
+    ("https://a.b/p", "https://a.b/p"),
+]
+
+
+@pytest.mark.parametrize("raw,want", _CASES)
+def test_canonicalization_rules(spark, raw, want):
+    url_sql = sql_canon_parts(f"'{raw}'", "spark")["url"]
+    got = spark.sql(f"SELECT {url_sql} AS u").collect()[0].u
+    assert got == want
+
+
+def test_canonicalize_plan_has_no_shuffle(spark, sf_dir):
+    """x65 is a narrow projection chain: canonicalization must not
+    exchange (the 100 TB contract — scan-side CPU only)."""
+    df = QUERIES["x65_url_canonicalize"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_crawl_budget_invariants(spark, sf_dir):
+    """Budget cap binds per host; selection is deterministic; selected
+    rows are a subset of the canonical corpus."""
+    df = QUERIES["x67_crawl_budget"].spark(spark, sf_dir)
+    rows = df.collect()
+    per_host: dict[str, int] = {}
+    for r in rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        assert 1 <= r.crawl_rank <= _BUDGET
+    assert max(per_host.values()) <= _BUDGET
+    # the cap must actually prune at test scale (a budget the data
+    # never reaches tests nothing)
+    total = QUERIES["x65_url_canonicalize"].spark(spark, sf_dir).count()
+    assert len(rows) < total
+    # determinism: re-run selects the identical set
+    again = {(r.doc_id, r.crawl_rank) for r in df.collect()}
+    assert again == {(r.doc_id, r.crawl_rank) for r in rows}
+
+
+def test_host_aggregation_consistent_with_urls(spark, sf_dir):
+    """x66 host totals must re-add to the x65 corpus size."""
+    agg = QUERIES["x66_host_aggregation"].spark(spark, sf_dir)
+    n_urls = agg.agg(F.sum("n_urls")).collect()[0][0]
+    assert n_urls == QUERIES["x65_url_canonicalize"].spark(spark, sf_dir).count()
