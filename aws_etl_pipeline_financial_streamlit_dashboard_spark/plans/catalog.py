@@ -82,6 +82,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# ---------------------------------------------------------------------------
+# Headline queries build via ONE spark.sql() call over sg_-prefixed
+# temp views: the Column-DSL form cost 0.09-0.12 s of py4j round trips
+# per plan build (measured, ~0.45 s of the 2.2 s sequential bench
+# headline — VERDICT r4 item 3), a single SQL parse costs ~0.01 s.
+# View registration is metadata, not query work (the bench-protocol
+# analog of a warehouse's catalog), so it is cached per (application,
+# sf_dir); each spark.sql() still builds a FRESH plan with fresh RDDs,
+# so no shuffle-stage reuse leaks into timings. The sg_ prefix keeps
+# these views out of the way of user/test views named after the raw
+# tables.
+# ---------------------------------------------------------------------------
+_VIEW_REG: dict[str, str] = {}
+_HEADLINE_TABLES = ("customer", "nation", "region", "orders", "lineitem")
+
+
+def _sgv(spark: SparkSession, sf_dir: str) -> None:
+    app = spark.sparkContext.applicationId
+    if _VIEW_REG.get(app) != sf_dir:
+        for t in _HEADLINE_TABLES:
+            read_table(spark, sf_dir, t).createOrReplaceTempView(f"sg_{t}")
+        _VIEW_REG[app] = sf_dir
+
+
+def _dbl(sql: str) -> str:
+    """SQL-text twin of :func:`dexpr` (CAST AS DOUBLE — Spark parses
+    the literal 100.0 as DECIMAL(4,1), DuckDB as DOUBLE)."""
+    return f"CAST(({sql}) AS DOUBLE)"
+
+
 # ===========================================================================
 # Projections / filters (SURVEY.md §2.2)
 # ===========================================================================
@@ -306,33 +336,35 @@ _FLAGSHIP_ORACLE = f"""
     headline=True,
 )
 def q07_flagship_industry_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    # Aggregates as single F.expr strings: the sql_* twins emit
-    # engine-portable SQL that Spark parses too, so one py4j round trip
-    # per aggregate replaces the ~6 Column-DSL calls each fixed-point
-    # aggregate would cost at plan-BUILD time (measured ~0.2 s/pass on
-    # this query), and both engines compile the same expression text.
-    order_stats = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.expr("COUNT(*)").alias("order_cnt"),
-            dexpr(sql_dec_sum("o_totalprice", 2)).alias("spend"),
-            F.expr("MAX(o_totalprice)").alias("max_order"),
-        )
+    # One spark.sql() build (see _sgv note) — the SAME portable sql_*
+    # aggregate text the oracle runs, the same plan the Column-DSL form
+    # produced: BROADCAST(n) replaces F.broadcast(nation); order_stats
+    # partial-aggregates map-side before its shuffle.
+    _sgv(spark, sf_dir)
+    return spark.sql(_Q07_SPARK_SQL)
+
+
+_Q07_SPARK_SQL = f"""
+    WITH order_stats AS (
+        SELECT o_custkey,
+               COUNT(*) AS order_cnt,
+               {_dbl(sql_dec_sum('o_totalprice', 2))} AS spend,
+               MAX(o_totalprice) AS max_order
+        FROM sg_orders GROUP BY o_custkey
     )
-    joined = customer.join(
-        nation, customer.c_nationkey == nation.n_nationkey, "left"
-    ).join(order_stats, customer.c_custkey == order_stats.o_custkey, "left")
-    return joined.groupBy(F.col("n_name").alias("segment_nation")).agg(
-        F.expr("COUNT(*)").alias("n_customers"),
-        dexpr(sql_stable_avg("c_acctbal", 2)).alias("avg_acctbal"),
-        dexpr(sql_stable_avg("order_cnt", 6)).alias("avg_order_cnt"),
-        dexpr(sql_stable_avg("spend", 2)).alias("avg_spend"),
-        dexpr(sql_stable_avg("max_order", 2)).alias("avg_max_order"),
-        dexpr(sql_dec_sum("spend", 2)).alias("total_spend"),
-    )
+    SELECT /*+ BROADCAST(n) */
+           n.n_name AS segment_nation,
+           COUNT(*) AS n_customers,
+           {_dbl(sql_stable_avg('c.c_acctbal', 2))} AS avg_acctbal,
+           {_dbl(sql_stable_avg('os.order_cnt', 6))} AS avg_order_cnt,
+           {_dbl(sql_stable_avg('os.spend', 2))} AS avg_spend,
+           {_dbl(sql_stable_avg('os.max_order', 2))} AS avg_max_order,
+           {_dbl(sql_dec_sum('os.spend', 2))} AS total_spend
+    FROM sg_customer c
+    LEFT JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN order_stats os ON c.c_custkey = os.o_custkey
+    GROUP BY n.n_name
+"""
 
 
 @register(
@@ -359,19 +391,22 @@ def q07_flagship_industry_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q08_monthly_avg_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grouped = (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.trunc("o_orderdate", "MM").alias("__m"))
-        .agg(
-            stable_avg("o_totalprice", 2).alias("avg_price"),
-            F.count("*").alias("n_orders"),
-        )
+    # One spark.sql() build (see _sgv note); same plan as the
+    # Column-DSL form (trunc-to-month group key, format after agg).
+    _sgv(spark, sf_dir)
+    return spark.sql(_Q08_SPARK_SQL)
+
+
+_Q08_SPARK_SQL = f"""
+    SELECT date_format(__m, 'yyyy-MM') AS month, avg_price, n_orders
+    FROM (
+        SELECT trunc(o_orderdate, 'MM') AS __m,
+               {_dbl(sql_stable_avg('o_totalprice', 2))} AS avg_price,
+               COUNT(*) AS n_orders
+        FROM sg_orders GROUP BY trunc(o_orderdate, 'MM')
     )
-    return grouped.select(
-        F.date_format("__m", "yyyy-MM").alias("month"),
-        "avg_price",
-        "n_orders",
-    ).orderBy("month")
+    ORDER BY month
+"""
 
 
 @register(
@@ -646,36 +681,38 @@ def q15_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    region = F.broadcast(_t(spark, sf_dir, "region"))
-    # Per-orderkey partial rollup: per-row fixed-point quantization
-    # (same as dec_sum), but the hi/lo long sums stay SPLIT so the
-    # final aggregate can re-sum them exactly across orderkeys.
-    e = "(l_extendedprice * (1 - l_discount))"
-    ord_rev = li.groupBy("l_orderkey").agg(
-        F.expr(f"SUM(CAST(FLOOR({e}) AS BIGINT))").alias("rev_hi"),
-        F.expr(
-            f"SUM(CAST(FLOOR(({e} - FLOOR({e})) * 1000000.0 + 0.5) AS BIGINT))"
-        ).alias("rev_lo"),
-        F.expr("COUNT(*)").alias("n_li"),
+    # One spark.sql() build (see _sgv note). Hints carry the pins the
+    # Column-DSL form expressed: SHUFFLE_HASH(o) is the fact-fact join
+    # pin, BROADCAST(n)/(r) the explicit dim broadcasts (customer stays
+    # size-policy). Per-orderkey rollup keeps the hi/lo long sums SPLIT
+    # so the final aggregate re-sums them exactly across orderkeys.
+    _sgv(spark, sf_dir)
+    return spark.sql(_Q16_SPARK_SQL)
+
+
+_Q16_E = "(l_extendedprice * (1 - l_discount))"
+_Q16_TOTAL = "(CAST(SUM(rev_hi) AS DOUBLE) + CAST(SUM(rev_lo) AS DOUBLE) / 1000000.0)"
+_Q16_SPARK_SQL = f"""
+    WITH ord_rev AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR({_Q16_E}) AS BIGINT)) AS rev_hi,
+               SUM(CAST(FLOOR(({_Q16_E} - FLOOR({_Q16_E})) * 1000000.0 + 0.5)
+                   AS BIGINT)) AS rev_lo,
+               COUNT(*) AS n_li
+        FROM sg_lineitem GROUP BY l_orderkey
     )
-    joined = (
-        ord_rev.join(orders.hint("shuffle_hash"), ord_rev.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-    )
-    total = "(CAST(SUM(rev_hi) AS DOUBLE) + CAST(SUM(rev_lo) AS DOUBLE) / 1000000.0)"
-    return joined.groupBy(
-        F.col("r_name").alias("region_name"),
-        F.date_format("o_orderdate", "yyyy").alias("order_year"),
-    ).agg(
-        F.expr(f"CAST(FLOOR({total} * 100.0 + 0.5) / 100.0 AS DOUBLE)").alias("revenue"),
-        F.expr("SUM(n_li)").alias("n_lineitems"),
-    )
+    SELECT /*+ SHUFFLE_HASH(o), BROADCAST(n), BROADCAST(r) */
+           r.r_name AS region_name,
+           date_format(o.o_orderdate, 'yyyy') AS order_year,
+           CAST(FLOOR({_Q16_TOTAL} * 100.0 + 0.5) / 100.0 AS DOUBLE) AS revenue,
+           SUM(n_li) AS n_lineitems
+    FROM ord_rev v
+    JOIN sg_orders o ON v.l_orderkey = o.o_orderkey
+    JOIN sg_customer c ON o.o_custkey = c.c_custkey
+    JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+    JOIN sg_region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, date_format(o.o_orderdate, 'yyyy')
+"""
 
 
 @register(
@@ -708,25 +745,30 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    # One F.expr per aggregate (same portable SQL the oracle runs) —
-    # the Column-DSL form cost ~0.2 s of py4j round trips per
-    # plan-build on this 8-aggregate list; see q07 note.
-    dp = "l_extendedprice * (1 - l_discount)"
-    return (
-        li.filter(F.expr("l_shipdate <= CAST('2001-06-01' AS TIMESTAMP)"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dexpr(sql_dec_sum("l_quantity", 2)).alias("sum_qty"),
-            dexpr(sql_dec_sum("l_extendedprice", 2)).alias("sum_base_price"),
-            dexpr(sql_dec_sum(dp, 2)).alias("sum_disc_price"),
-            dexpr(sql_dec_sum(f"{dp} * (1 + l_tax)", 2)).alias("sum_charge"),
-            dexpr(sql_stable_avg("l_quantity", 6)).alias("avg_qty"),
-            dexpr(sql_stable_avg("l_extendedprice", 2)).alias("avg_price"),
-            dexpr(sql_stable_avg("l_discount", 6)).alias("avg_disc"),
-            F.expr("COUNT(*)").alias("count_order"),
-        )
-    )
+    # One spark.sql() build (see _sgv note) — same portable sql_*
+    # aggregate text the oracle runs. The shipdate literal is
+    # TIMESTAMP_NTZ so the predicate compares NTZ-to-NTZ (session-
+    # timezone-invariant; the earlier LTZ cast coerced through the
+    # session zone).
+    _sgv(spark, sf_dir)
+    return spark.sql(_Q17_SPARK_SQL)
+
+
+_Q17_DP = "l_extendedprice * (1 - l_discount)"
+_Q17_SPARK_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dbl(sql_dec_sum('l_quantity', 2))} AS sum_qty,
+           {_dbl(sql_dec_sum('l_extendedprice', 2))} AS sum_base_price,
+           {_dbl(sql_dec_sum(_Q17_DP, 2))} AS sum_disc_price,
+           {_dbl(sql_dec_sum(f'{_Q17_DP} * (1 + l_tax)', 2))} AS sum_charge,
+           {_dbl(sql_stable_avg('l_quantity', 6))} AS avg_qty,
+           {_dbl(sql_stable_avg('l_extendedprice', 2))} AS avg_price,
+           {_dbl(sql_stable_avg('l_discount', 6))} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM sg_lineitem
+    WHERE l_shipdate <= CAST('2001-06-01' AS TIMESTAMP_NTZ)
+    GROUP BY l_returnflag, l_linestatus
+"""
 
 
 # Extension + streaming catalog entries register on import.

@@ -1200,6 +1200,9 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
     li_t, od_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    cache_key = (spark.sparkContext.applicationId, li_t, od_t)
+    if cache_key in _BUCKETED_READY:
+        return li_t, od_t
     if not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(od_t):
         # a previous SESSION may have left the managed-table directory
         # behind while this session's in-memory catalog has no entry —
@@ -1227,7 +1230,13 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             8,
             ["o_orderkey"],
         )
+    _BUCKETED_READY.add(cache_key)
     return li_t, od_t
+
+
+# (application, table names) pairs already confirmed this session —
+# skips the two tableExists catalog round trips on every plan build.
+_BUCKETED_READY: set[tuple[str, str, str]] = set()
 
 
 @register(
@@ -1246,33 +1255,35 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     headline=True,
 )
 def q34_star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import dec_sum
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+        sql_dec_sum,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        _dbl,
+        _sgv,
+    )
 
     li_t, od_t = _bucketed_fact_tables(spark, sf_dir)
-    li, orders = spark.table(li_t), spark.table(od_t)
-    customer = F.broadcast(read_table(spark, sf_dir, "customer"))
-    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
-    region = F.broadcast(read_table(spark, sf_dir, "region"))
-    # merge hint: at toy scale the orders side fits the broadcast
-    # threshold, which would silently bypass the bucketed path this
-    # entry demonstrates; at 100 TB neither fact side broadcasts and
-    # sort-merge-on-buckets IS the plan, so pin it deterministically.
-    return (
-        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region_name"),
-            F.date_format("o_orderdate", "yyyy").alias("order_year"),
-        )
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
-            F.count("*").alias("n_lineitems"),
-        )
-    )
+    _sgv(spark, sf_dir)
+    # One spark.sql() build (see catalog._sgv note). MERGE(o) pins the
+    # bucketed sort-merge path: at toy scale the orders side fits the
+    # broadcast threshold, which would silently bypass the bucketed
+    # join this entry demonstrates; at 100 TB neither fact side
+    # broadcasts and sort-merge-on-buckets IS the plan.
+    return spark.sql(f"""
+        SELECT /*+ MERGE(o), BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+               r.r_name AS region_name,
+               date_format(o.o_orderdate, 'yyyy') AS order_year,
+               {_dbl(sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2))}
+                   AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM {li_t} l
+        JOIN {od_t} o ON l.l_orderkey = o.o_orderkey
+        JOIN sg_customer c ON o.o_custkey = c.c_custkey
+        JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN sg_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, date_format(o.o_orderdate, 'yyyy')
+    """)
 
 
 # ===========================================================================

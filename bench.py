@@ -235,6 +235,14 @@ def main() -> None:
         sf_value: float | str = float(sf_label)
     except ValueError:
         sf_value = sf_label
+    # Derived field (VERDICT r4 item 8): per-query data-dependent work
+    # after subtracting the measured plan-build share and the scheduler
+    # /collect floor — the number comparable against a single-process
+    # engine at toy scale, emitted so no reader re-does the subtraction.
+    above_floor = {
+        name: round(max(0.0, t - builds.get(name, 0.0) - floors["floor_noop"]), 4)
+        for name, t in timings.items()
+    }
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
@@ -243,6 +251,7 @@ def main() -> None:
         "sf": sf_value,
         "floors": floors,
         "plan_build": builds,
+        "above_floor": above_floor,
     }
     if concurrent_total is not None:
         out["concurrent_total_sec"] = concurrent_total
