@@ -800,6 +800,7 @@ _SAMPLER_FRONT_R5 = [
     "q60_bollinger_bands",
     # new this round (never sampled by construction)
     "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
+    "x68_orc_roundtrip", "x69_cluster_representative",
 ]
 
 

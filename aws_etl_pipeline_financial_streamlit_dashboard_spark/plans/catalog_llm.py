@@ -1911,3 +1911,87 @@ def x56_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi"
         ).alias("clipped"),
     )
+
+
+# ===========================================================================
+# Dedup-cluster representative selection (round 5)
+# ===========================================================================
+
+# The closure CTEs of the components oracle (everything before its
+# final SELECT), reused so x69's oracle resolves the SAME clusters the
+# engine does — implementation-independent, like x43's sharing.
+_CLOSURE_CTES = _cm._COMPONENTS_ORACLE.rpartition("SELECT node")[0]
+
+_X69_ORACLE = _CLOSURE_CTES + """
+    , comp AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.component_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY d.n_chars DESC, d.doc_id ASC
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT component_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+           n_members
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "x69_cluster_representative",
+    _X69_ORACLE,
+    doc="""Best-copy selection per dedup cluster: x18's connected
+    components (n-gram Jaccard edges → min-label closure) joined back
+    to the corpus, keeping the HIGHEST-QUALITY member of each cluster
+    (quality = n_chars here, doc_id ascending as the deterministic
+    tiebreak) — the realistic 'keep one per cluster' policy (a corpus
+    keeps the best copy, not an arbitrary canonical id; contrast x18's
+    is_canonical = min-id). Spark side avoids the oracle's per-cluster
+    sort entirely: ONE hash aggregate with a struct-extreme
+    (max(n_chars, -doc_id, doc_id)) — mergeable state, partial agg
+    map-side, no window, no per-cluster buffering; the shape that
+    holds when one near-dup cluster has 10⁷ members at 100 TB. Oracle:
+    the shared recursive-CTE closure + a ranked window — same
+    clusters, same representative, by construction.""",
+)
+def x69_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("q"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    return labeled.groupBy("component_id").agg(
+        best.getField("d").alias("rep_doc_id"),
+        best.getField("q").alias("rep_n_chars"),
+        F.count("*").alias("n_members"),
+    )

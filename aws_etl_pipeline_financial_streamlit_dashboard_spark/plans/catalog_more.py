@@ -1976,3 +1976,56 @@ def q63_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 1000000.0 AS DOUBLE)"
         ).alias("violation_rate"),
     )
+
+
+# ===========================================================================
+# Format coverage: ORC round-trip (round 5)
+# ===========================================================================
+
+# (application, sf_dir) -> ORC directory already materialized this
+# session: the write is the pay-once load step, not per-query work.
+_ORC_READY: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "x68_orc_roundtrip",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="""ORC sink + source round-trip (format-coverage extension of
+    S1/S6): the documents table lands in zstd ORC via
+    sinks.write_orc_overwrite (once per session — the pay-once load
+    step), is read back with readers.read_orc, and aggregated. The
+    oracle computes the identical aggregate from the parquet
+    originals, so the round-trip is VALUE-checked, not just
+    row-counted — any encoding/decoding drift in either direction
+    would flip the hash. Spark's ORC scan exposes the same
+    pushdown/pruning surface as parquet, so every plan property the
+    engine pins for parquet holds on an ORC lake too.""",
+)
+def x68_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_orc
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.sinks import (
+        write_orc_overwrite,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ORC_READY.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_orc_")
+        write_orc_overwrite(read_table(spark, sf_dir, "documents"), path)
+        _ORC_READY[key] = path
+    return (
+        read_orc(spark, path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -164,6 +164,13 @@ def read_jdbc(
     return reader.jdbc(url, table, properties=properties or {})
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC directory scan (format-coverage twin of S1): same Catalyst
+    pushdown surface as parquet (filters, column pruning, partition
+    pruning) — a query touching 2 columns scans 2 columns."""
+    return spark.read.orc(path)
+
+
 def read_json_config(spark: SparkSession, path: str) -> dict:
     """JSON config scan (S3; TableTransform.py:16-18 equivalent).
 

@@ -37,6 +37,23 @@ def write_parquet_overwrite(
     writer.parquet(path)
 
 
+def write_orc_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (format-coverage extension of S6/S7): the other
+    columnar interchange format a lake-house feeds from. Spark's ORC
+    support is built-in and symmetric with parquet — predicate pushdown,
+    column pruning, and partition pruning all apply; ``overwrite``
+    keeps the reference's delete-then-write idempotence (cleaning.py:
+    103-107 analog). Zstd compression to match the parquet sink."""
+    writer = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jdbc_overwrite(
     df: DataFrame,
     url: str,
