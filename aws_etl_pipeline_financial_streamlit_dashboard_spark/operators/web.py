@@ -112,7 +112,10 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
         f"CONCAT({scheme}, '://', {host}, {port_part}, {path},"
         f" CASE WHEN {query} = '' THEN '' ELSE CONCAT('?', {query}) END)"
     )
-    domain = f"REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+)$', 1)"
+    # [.] not \. — Spark's SQL string literal unescapes the backslash
+    # (the regex would become '.', any-char) while DuckDB passes it
+    # through; the bracket class is identical in both dialects.
+    domain = f"REGEXP_EXTRACT({host}, '([^.]+[.][^.]+)$', 1)"
     return {
         "scheme": scheme,
         "host": host,

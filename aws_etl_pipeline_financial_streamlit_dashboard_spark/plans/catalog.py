@@ -20,6 +20,7 @@ Conventions (hash-stability across engines):
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -94,16 +95,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # these views out of the way of user/test views named after the raw
 # tables.
 # ---------------------------------------------------------------------------
-_VIEW_REG: dict[str, str] = {}
+# Keyed by the SparkSession OBJECT (weakly, so dead sessions drop
+# out): temp views live in the per-session catalog, so an
+# applicationId key would wrongly skip registration for a second
+# session (spark.newSession()) in the same application.
+_VIEW_REG: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 _HEADLINE_TABLES = ("customer", "nation", "region", "orders", "lineitem")
 
 
 def _sgv(spark: SparkSession, sf_dir: str) -> None:
-    app = spark.sparkContext.applicationId
-    if _VIEW_REG.get(app) != sf_dir:
+    if _VIEW_REG.get(spark) != sf_dir:
         for t in _HEADLINE_TABLES:
             read_table(spark, sf_dir, t).createOrReplaceTempView(f"sg_{t}")
-        _VIEW_REG[app] = sf_dir
+        _VIEW_REG[spark] = sf_dir
 
 
 def _dbl(sql: str) -> str:

@@ -2018,7 +2018,13 @@ def x68_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _ORC_READY.get(key)
     if path is None:
+        import atexit
+        import shutil
+
         path = tempfile.mkdtemp(prefix="sg_orc_")
+        # the dir holds a full documents copy — reclaim it on process
+        # exit (one copy per session would otherwise accumulate in /tmp)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         write_orc_overwrite(read_table(spark, sf_dir, "documents"), path)
         _ORC_READY[key] = path
     return (

@@ -22,10 +22,18 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.schemas import TESTDAT
 # schema inference + py4j round trips) costs ~0.1 s per call; a
 # metastore-backed engine resolves each table once and reuses the
 # relation, so this reader does too. DataFrames are immutable plan
-# objects — reuse across queries is safe. Keyed by Spark application id
-# so a restarted session never sees stale JVM references; the testdata
-# tables themselves are immutable by driver contract.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# objects — reuse across queries is safe. Keyed WEAKLY by the
+# SparkSession object (not applicationId): a DataFrame belongs to the
+# session that built it — under an applicationId key a second session
+# (spark.newSession()) would receive another session's DataFrames,
+# whose temp-view registrations land in the WRONG session catalog.
+# Dead sessions drop out of the weak dict; the testdata tables
+# themselves are immutable by driver contract.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,8 +48,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     longs and is converted here to a proper timestamp (truncation to
     micros matches DuckDB's ns→us conversion).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_CACHE[spark] = per_session
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -78,7 +90,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "TIMESTAMP_NTZ storage (isAdjustedToUTC=false) so "
                 "day/month bucket keys are session-timezone-invariant"
             )
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

@@ -187,10 +187,11 @@ def main() -> None:
     if not errors and os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") == "1":
         import tempfile
 
-        # Cache key = content fingerprint of the source parquet files
-        # (path + mtime + size), not just the sf_dir basename —
-        # regenerated testdata or a different path with the same
-        # basename must rebuild, never silently reuse stale rows.
+        # Stale-cache guard: the marker file stores a content
+        # fingerprint of the source parquet (path + mtime + size);
+        # regenerated testdata rebuilds IN PLACE under the stable
+        # per-basename dir (a fingerprint-suffixed dir name would
+        # orphan a full dataset copy in /tmp per regeneration).
         import hashlib
 
         fp = hashlib.sha256()
@@ -198,13 +199,19 @@ def main() -> None:
             if f.endswith(".parquet"):
                 st = os.stat(os.path.join(sf_dir, f))
                 fp.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+        fingerprint = fp.hexdigest()
         split_dir = os.path.join(
             tempfile.gettempdir(),
-            "sg_split_%s_%s"
-            % (os.path.basename(sf_dir.rstrip("/")), fp.hexdigest()[:12]),
+            f"sg_split_{os.path.basename(sf_dir.rstrip('/'))}",
         )
         marker = os.path.join(split_dir, "_SPLIT_READY")
-        if not os.path.exists(marker):
+        stale = True
+        try:
+            with open(marker) as fh:
+                stale = fh.read().strip() != fingerprint
+        except OSError:
+            pass
+        if stale:
             for f in sorted(os.listdir(sf_dir)):
                 if not f.endswith(".parquet"):
                     continue
@@ -215,7 +222,7 @@ def main() -> None:
                     .parquet(os.path.join(split_dir, f))
                 )
             with open(marker, "w") as fh:
-                fh.write("ok\n")
+                fh.write(fingerprint + "\n")
         for name in names:
             fn = QUERIES[name].spark
             try:
