@@ -98,7 +98,10 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
     pathq = f"SUBSTRING({rest}, LENGTH({hostport}) + 1)"
     path = f"SPLIT_PART({pathq}, '?', 1)"
     rawq = f"SPLIT_PART({pathq}, '?', 2)"
-    # strip tracking params, then tidy separators the removal leaves
+    # Strip tracking params (the pattern consumes its own leading '&',
+    # so the removal itself never doubles separators), then normalize
+    # PRE-EXISTING malformed '&&' runs — crawled query strings contain
+    # them — and trim boundary separators.
     stripped = _rr_g(rawq, TRACKING_PARAM_REGEX, "", engine)
     collapsed = _rr_g(stripped, "&&+", "&", engine)
     query = f"TRIM(BOTH '&' FROM {collapsed})"

@@ -1917,12 +1917,10 @@ def x56_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup-cluster representative selection (round 5)
 # ===========================================================================
 
-# The closure CTEs of the components oracle (everything before its
-# final SELECT), reused so x69's oracle resolves the SAME clusters the
-# engine does — implementation-independent, like x43's sharing.
-_CLOSURE_CTES = _cm._COMPONENTS_ORACLE.rpartition("SELECT node")[0]
-
-_X69_ORACLE = _CLOSURE_CTES + """
+# The shared closure CTEs (catalog_more._COMPONENTS_CTES), reused so
+# x69's oracle resolves the SAME clusters the engine does —
+# implementation-independent, like x43's oracle sharing.
+_X69_ORACLE = _cm._COMPONENTS_CTES + """
     , comp AS (
         SELECT node AS doc_id, MIN(label) AS component_id
         FROM reach GROUP BY node

@@ -701,7 +701,11 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_ORACLE = r"""
+# The recursive closure CTEs alone, shared verbatim by every oracle
+# that resolves the same clusters (x18/x43 components, x69's
+# representative selection in catalog_llm) — compose from this named
+# constant, never by string surgery on a finished oracle.
+_COMPONENTS_CTES = r"""
     WITH RECURSIVE w AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents
@@ -730,6 +734,9 @@ _COMPONENTS_ORACLE = r"""
         UNION
         SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
     )
+"""
+
+_COMPONENTS_ORACLE = _COMPONENTS_CTES + """
     SELECT node AS doc_id,
            MIN(label) AS component_id,
            node = MIN(label) AS is_canonical

@@ -22,18 +22,17 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.schemas import TESTDAT
 # schema inference + py4j round trips) costs ~0.1 s per call; a
 # metastore-backed engine resolves each table once and reuses the
 # relation, so this reader does too. DataFrames are immutable plan
-# objects — reuse across queries is safe. Keyed WEAKLY by the
-# SparkSession object (not applicationId): a DataFrame belongs to the
-# session that built it — under an applicationId key a second session
+# objects — reuse across queries is safe. Keyed by the SparkSession
+# OBJECT (not applicationId): a DataFrame belongs to the session that
+# built it — under an applicationId key a second session
 # (spark.newSession()) would receive another session's DataFrames,
 # whose temp-view registrations land in the WRONG session catalog.
-# Dead sessions drop out of the weak dict; the testdata tables
-# themselves are immutable by driver contract.
-import weakref
-
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# Bounded LRU (a weak dict cannot evict here: cached DataFrames hold a
+# strong reference back to their session, so the weakref would never
+# die): at most _TABLE_CACHE_SESSIONS sessions stay cached; evicting
+# the oldest releases its DataFrames and with them the session.
+_TABLE_CACHE: dict[SparkSession, dict[tuple[str, str], DataFrame]] = {}
+_TABLE_CACHE_SESSIONS = 4
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,6 +51,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if per_session is None:
         per_session = {}
         _TABLE_CACHE[spark] = per_session
+        while len(_TABLE_CACHE) > _TABLE_CACHE_SESSIONS:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

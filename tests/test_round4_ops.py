@@ -9,6 +9,7 @@ verify skill previously documented as machine luck.
 from __future__ import annotations
 
 import os
+import re
 
 import duckdb
 import pytest
@@ -154,7 +155,17 @@ def test_correlation_joins_run_on_aggregates_only(spark, sf_dir, name):
     # so only assert broadcast when the fixture is actually under the
     # session's broadcast threshold (it is at test scale).
     assert "Join" in plan
-    threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    # Tolerate Spark's byte-suffixed conf forms ('64MB', '10485760b'):
+    # an unparseable threshold skips the size-policy assert rather than
+    # erroring the test.
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        threshold = int(raw)
+    except ValueError:
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
+        if not m:
+            return
+        threshold = int(m.group(1)) * 1024 ** " kmgt".index(m.group(2) or " ")
     fixture_bytes = sum(
         os.path.getsize(os.path.join(sf_dir, f))
         for f in os.listdir(sf_dir)

@@ -37,6 +37,11 @@ _CASES = [
     ("http://a.b/p?id=1&fbclid=xx&q=2", "http://a.b/p?id=1&q=2"),
     # no query, no port, already canonical
     ("https://a.b/p", "https://a.b/p"),
+    # pre-existing malformed '&&' runs normalize to single separators
+    # (crawled query strings contain them; the tracking-strip itself
+    # never produces doubles — this is input repair, not cleanup of
+    # our own removal)
+    ("http://a.b/p?x=1&&y=2&&&z=3", "http://a.b/p?x=1&y=2&z=3"),
 ]
 
 
