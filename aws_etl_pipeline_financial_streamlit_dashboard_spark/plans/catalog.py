@@ -807,6 +807,7 @@ _SAMPLER_FRONT_R5 = [
     # new this round (never sampled by construction)
     "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
     "x68_orc_roundtrip", "x69_cluster_representative",
+    "x70_robots_filter", "x71_bpe_pair_counts",
 ]
 
 

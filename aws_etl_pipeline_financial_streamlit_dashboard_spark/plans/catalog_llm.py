@@ -1993,3 +1993,71 @@ def x69_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("q").alias("rep_n_chars"),
         F.count("*").alias("n_members"),
     )
+
+
+# ===========================================================================
+# BPE merge-candidate pair counting (round 5)
+# ===========================================================================
+
+
+@register(
+    "x71_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest([w[i] || ' ' || w[i+1]
+                       FOR i IN range(1, GREATEST(len(w) - 1, 0) + 1)]) AS pair
+        FROM toks
+    ),
+    counted AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT)
+               AS merge_rank
+    FROM counted
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+    doc="""The merge-candidate step of BPE tokenizer training: count
+    every ADJACENT token pair across the corpus (multiplicity kept —
+    unlike the dedup shingles, which list_distinct per doc) and rank
+    the top 20 by frequency with a deterministic (count DESC, pair
+    ASC) tiebreak — the pair a BPE trainer would merge next, iterated.
+    Spark side: shifted slice + zip_with builds each document's pair
+    list in ONE codegen array walk (never per-index element_at in a
+    HOF — the interpreted re-walk trap), explode feeds a hash
+    aggregate whose partial (map-side) phase collapses each
+    partition's pairs before the only full shuffle, which carries
+    (pair, partial_count) — vocabulary-scale, not corpus-scale. The
+    top-20 is TakeOrdered (no global sort materialization). At 100 TB
+    this is exactly the distributed first half of tokenizer training;
+    the merge loop re-runs it on the re-paired corpus.""",
+)
+def x71_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(split(trim(text), '\\\\s+'), 1,"
+                "       GREATEST(size(split(trim(text), '\\\\s+')) - 1, 0)),"
+                " slice(split(trim(text), '\\\\s+'), 2,"
+                "       GREATEST(size(split(trim(text), '\\\\s+')) - 1, 0)),"
+                " (a, b) -> CONCAT(a, ' ', b))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    return (
+        counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+        .withColumn(
+            "merge_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            ),
+        )
+        .select("pair", "cnt", F.col("merge_rank").cast("long").alias("merge_rank"))
+    )

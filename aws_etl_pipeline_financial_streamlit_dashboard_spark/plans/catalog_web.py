@@ -166,3 +166,64 @@ def x67_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crawl_rank", F.row_number().over(w))
         .filter(F.col("crawl_rank") <= _BUDGET)
     )
+
+
+# ===========================================================================
+# Robots-style per-host URL filtering (completes the crawl family)
+# ===========================================================================
+
+# Deterministic per-host disallow rules, derived from the host string
+# with arithmetic both engines share verbatim (no engine hash()):
+# two disallowed path prefixes per host.
+_RULE_D1 = "(LENGTH(host) * 131 + 7) % 10"
+_RULE_D2 = "(LENGTH(host) * 37 + 3) % 10"
+
+
+@register(
+    "x70_robots_filter",
+    _DUCK_CANON_CTE
+    + f"""
+    , hosts AS (SELECT DISTINCT host FROM canon),
+    rules AS (
+        SELECT host, CONCAT('/docs/', {_RULE_D1}) AS dis FROM hosts
+        UNION ALL
+        SELECT host, CONCAT('/docs/', {_RULE_D2}) AS dis FROM hosts
+    )
+    SELECT c.doc_id, c.host, c.url
+    FROM canon c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rules r
+        WHERE r.host = c.host
+          AND {_DUCK_PARTS["path"].replace("raw_url", "c.raw_url")}
+              LIKE CONCAT(r.dis, '%')
+    )
+    """,
+    doc="""Robots-style crawl filtering: per-host disallow rules (two
+    deterministic path prefixes per host, standing in for a fetched
+    robots.txt rule list) anti-joined against the canonical URL set —
+    the compliance gate between frontier and fetcher. The rule table
+    is |hosts|-sized, so the anti-join BROADCASTS it and the URL
+    probe side never shuffles — at 100 TB the filter itself is
+    scan-side, the only shape a frontier-sized rule set allows (the
+    one exchange here builds the demo rule table by DISTINCT over
+    hosts; a real pipeline reads robots rules as a dim table and pays
+    none). Prefix matching via startswith/LIKE 'prefix%' keeps the
+    comparison in whole-stage codegen in both engines.""",
+)
+def x70_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _canon_docs(spark, sf_dir).select(
+        "doc_id",
+        "host",
+        "url",
+        F.expr(_SPARK_PARTS["path"]).alias("__path"),
+    )
+    hosts = canon.select("host").distinct()
+    rules = hosts.selectExpr("host", f"CONCAT('/docs/', {_RULE_D1}) AS dis").unionAll(
+        hosts.selectExpr("host", f"CONCAT('/docs/', {_RULE_D2}) AS dis")
+    )
+    allowed = canon.join(
+        F.broadcast(rules),
+        (canon.host == rules.host) & canon["__path"].startswith(rules.dis),
+        "left_anti",
+    )
+    return allowed.select("doc_id", "host", "url")

@@ -84,3 +84,46 @@ def test_host_aggregation_consistent_with_urls(spark, sf_dir):
     agg = QUERIES["x66_host_aggregation"].spark(spark, sf_dir)
     n_urls = agg.agg(F.sum("n_urls")).collect()[0][0]
     assert n_urls == QUERIES["x65_url_canonicalize"].spark(spark, sf_dir).count()
+
+
+def test_robots_filter_probe_side_broadcast(spark, sf_dir):
+    """x70's anti-join must broadcast the rule side — the URL probe
+    stream never shuffle-exchanges for the join itself (the only
+    shuffle allowed is the demo rule table's host DISTINCT)."""
+    df = QUERIES["x70_robots_filter"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the probe side must not be exchanged: every shuffle in the plan
+    # belongs to the rules subtree (host distinct), bounded at 2
+    # (partial + final distinct)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_robots_filter_actually_prunes(spark, sf_dir):
+    total = QUERIES["x65_url_canonicalize"].spark(spark, sf_dir).count()
+    allowed = QUERIES["x70_robots_filter"].spark(spark, sf_dir).count()
+    assert 0 < allowed < total
+
+
+def test_bpe_pairs_keep_multiplicity(spark, sf_dir):
+    """The pair counts must reflect every adjacent occurrence — a
+    per-doc distinct (the dedup shingle behavior) would undercount."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    top = QUERIES["x71_bpe_pair_counts"].spark(spark, sf_dir).collect()
+    assert len(top) == 20
+    assert top[0].merge_rank == 1
+    # counts strictly ordered with deterministic tiebreak
+    ranks = [(r.cnt, r.pair) for r in sorted(top, key=lambda r: r.merge_rank)]
+    assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+    # spot-check multiplicity: recount the top pair with plain python
+    pair = top[0].pair
+    a, b = pair.split(" ", 1)
+    docs = read_table(spark, sf_dir, "documents").select("text").collect()
+    expect = 0
+    for row in docs:
+        toks = row.text.strip().split()
+        expect += sum(
+            1 for i in range(len(toks) - 1) if toks[i] == a and toks[i + 1] == b
+        )
+    assert expect == top[0].cnt
