@@ -808,6 +808,7 @@ _SAMPLER_FRONT_R5 = [
     "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
     "x68_orc_roundtrip", "x69_cluster_representative",
     "x70_robots_filter", "x71_bpe_pair_counts",
+    "s15_streaming_session_window",
 ]
 
 

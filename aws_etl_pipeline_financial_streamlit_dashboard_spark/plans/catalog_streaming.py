@@ -787,3 +787,81 @@ def s14_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn")
         )
     return out
+
+
+@register(
+    "s15_streaming_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM events),
+    closed AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start_ts,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           STRFTIME(session_start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events
+    FROM closed, m
+    WHERE last_ts + INTERVAL '30 minutes' + INTERVAL '1 hour' <= mx
+    """,
+    doc="""s03's session windows as a REAL streaming query in APPEND
+    mode — the production shape: merged per-user sessions (30-minute
+    inactivity gap) are emitted exactly once, when the watermark
+    passes the session's end (last event + gap), and their state is
+    EVICTED. The oracle encodes the eviction boundary the same way
+    s13 does: a session appears iff last_ts + gap + delay ≤ max ts
+    (30 min gap + 1 h watermark delay), so the still-open tail
+    sessions are correctly ABSENT — checked, not assumed. Session
+    state at scale is one (user, open-session accumulator) entry
+    within the watermark horizon; event time goes through
+    scalars.event_time, so buckets are session-timezone-invariant
+    like the rest of the streaming family.""",
+)
+def s15_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "events")  # sets raw-read confs if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(glob)
+        .select("user_id", event_time("ts").alias("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    sess = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(ntz_of_instant(F.col("w.start")), _TS_FMT).alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _drain_to_memory(sess, "append", "stream_session")

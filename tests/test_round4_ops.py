@@ -96,6 +96,7 @@ _TZ_SENSITIVE = [
     "s10_stream_stream_left_join",
     "s12_streaming_ohlc",
     "s13_streaming_ohlc_append",
+    "s15_streaming_session_window",
 ]
 
 
