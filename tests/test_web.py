@@ -127,3 +127,20 @@ def test_bpe_pairs_keep_multiplicity(spark, sf_dir):
             1 for i in range(len(toks) - 1) if toks[i] == a and toks[i + 1] == b
         )
     assert expect == top[0].cnt
+
+
+def test_canonicalization_is_idempotent(spark, sf_dir):
+    """canon(canon(u)) == canon(u) for the whole corpus — the fixpoint
+    property that makes canonical URLs safe as dedup keys (a second
+    normalization pass anywhere in a pipeline must be a no-op)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
+        sql_canon_parts,
+    )
+
+    once = QUERIES["x65_url_canonicalize"].spark(spark, sf_dir).select("url")
+    twice = once.select(
+        "url",
+        F.expr(sql_canon_parts("url", "spark")["url"]).alias("url2"),
+    )
+    diverged = twice.filter(F.col("url") != F.col("url2")).count()
+    assert diverged == 0
