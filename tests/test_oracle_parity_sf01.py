@@ -46,6 +46,17 @@ SENSITIVE = [
     "x31_hash_split",
     "x42_deterministic_shuffle",
     "x55_hash_stratified_sample",
+    # round 5: the crawl family's pinned scalar chains (string-heavy
+    # derivations where a dialect divergence would compound with
+    # corpus size), the ORC round-trip, the multiplicity-keeping BPE
+    # counts, and the streaming session-window eviction boundary.
+    "x65_url_canonicalize",
+    "x66_host_aggregation",
+    "x67_crawl_budget",
+    "x68_orc_roundtrip",
+    "x70_robots_filter",
+    "x71_bpe_pair_counts",
+    "s15_streaming_session_window",
 ]
 
 
