@@ -107,12 +107,15 @@ def x65_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Host-level crawl rollup over canonical URLs: per-host page
     and distinct-URL counts, language spread, and total corpus bytes —
-    the table a crawl scheduler prioritizes from. Grouping by (host,
-    domain) is one hash-shuffle on the host key; COUNT(DISTINCT)
-    expands in Catalyst's two-phase distinct aggregate, partial
-    aggregation collapses the per-host fan-in map-side. total_chars
-    stays BIGINT (no HUGEINT in the oracle — sf0.01 total chars is far
-    under 2^63).""",
+    the table a crawl scheduler prioritizes from. The two
+    COUNT(DISTINCT) columns make this Catalyst's two-phase distinct
+    aggregate: an Expand keyed on (host, domain, distinct-value)
+    shuffles first, the final rollup on the group key shuffles second
+    — TWO exchanges total (plan-verified), the inherent price of
+    exact multi-distinct; at 100 TB swap to approx_count_distinct for
+    the one-exchange sketch form. Partial aggregation still collapses
+    the per-host fan-in map-side in both phases. total_chars stays
+    BIGINT (no HUGEINT in the oracle).""",
 )
 def x66_host_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
