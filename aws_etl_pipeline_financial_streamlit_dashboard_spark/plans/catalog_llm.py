@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+    ntz_of_instant,
     ts_micros,
     dec_sum,
     round_half_up as rhu,
@@ -1674,10 +1675,16 @@ _Q47_ORACLE = f"""
 )
 def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+        "event_type", "value", "ts"
     )
-    bucket = F.timestamp_micros(
-        (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+    # Bucket on TZ-free epoch micros; RENDER via the NTZ wall clock —
+    # date_format on the LTZ timestamp_micros value would re-route the
+    # bucket label through the session zone (caught by the full-catalog
+    # shifted-TZ sweep under Asia/Kolkata: every w_start moved +5:30).
+    bucket = ntz_of_instant(
+        F.timestamp_micros(
+            (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+        )
     )
     grouped = ev.groupBy(
         F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
@@ -1710,10 +1717,16 @@ def q47_windowed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49_windowed_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "value", F.col("ts").cast("timestamp").alias("ts")
+        "event_type", "value", "ts"
     )
-    bucket = F.timestamp_micros(
-        (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+    # Bucket on TZ-free epoch micros; RENDER via the NTZ wall clock —
+    # date_format on the LTZ timestamp_micros value would re-route the
+    # bucket label through the session zone (caught by the full-catalog
+    # shifted-TZ sweep under Asia/Kolkata: every w_start moved +5:30).
+    bucket = ntz_of_instant(
+        F.timestamp_micros(
+            (ts_micros("ts") / 21_600_000_000).cast("long") * 21_600_000_000
+        )
     )
     return ev.groupBy(
         F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("w_start"),

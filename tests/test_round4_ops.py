@@ -87,6 +87,10 @@ _TZ_SENSITIVE = [
     "q61_tick_rule_imbalance",
     "q62_twap",
     "q64_lead_lag_correlation",
+    # 6-hour bucket labels rendered from an arithmetic LTZ value —
+    # caught rendering through the session zone by the round-5
+    # full-catalog shifted-TZ sweep (Asia/Kolkata, +5:30)
+    "q47_windowed_percentiles",
     # Streaming entries that bucket or emit event time through the
     # watermark path (VERDICT r4 item 5): these run REAL streaming
     # queries, where a plain NTZ->LTZ cast would move window
