@@ -809,6 +809,7 @@ _SAMPLER_FRONT_R5 = [
     "x68_orc_roundtrip", "x69_cluster_representative",
     "x70_robots_filter", "x71_bpe_pair_counts",
     "s15_streaming_session_window",
+    "q65_rsi", "q66_market_beta", "q67_pairs_spread_zscore",
 ]
 
 

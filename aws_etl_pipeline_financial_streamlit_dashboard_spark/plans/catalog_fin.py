@@ -943,3 +943,380 @@ def q64_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.expr(f"CAST(({corr}) AS DOUBLE)").alias("lead_corr"),
     )
+
+
+# ===========================================================================
+# q65 — RSI-14 (Cutler's simple-average relative strength index)
+# ===========================================================================
+
+# Prices quantize to integer centis ONCE; tick-over-tick diffs are then
+# exact int64, gains/losses split by sign (comparisons only), and the
+# 14-diff rolling sums are exact int64 window sums (centis ≤ ~6e4 →
+# Σ|d| over 14 rows ≤ ~1e6, vast int64 headroom). The RSI finish
+# 100 − 100/(1 + G/L) is a pinned scalar chain with the conventional
+# edge pins: L = 0 ∧ G > 0 → 100 (pure up-moves), G = L = 0 → 50
+# (flat), warm-up rows (< 14 observed diffs) → NULL.
+_RSI_C = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+_RSI_FRAME = (
+    "(PARTITION BY event_type ORDER BY us, event_id"
+    " ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+)
+_RSI_OUT = (
+    "CASE WHEN n_d < 14 THEN NULL"
+    "     WHEN l14 = 0 AND g14 = 0 THEN 50.0"
+    "     WHEN l14 = 0 THEN 100.0"
+    "     ELSE FLOOR((100.0 - 100.0 / (1.0 + CAST(g14 AS DOUBLE)"
+    " / CAST(l14 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 END"
+)
+
+_RSI_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id,
+               {_RSI_C} AS c
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, us, event_id, c,
+               c - lag(c) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS dc
+        FROM t
+    ),
+    g AS (
+        SELECT event_type, us, event_id, c,
+               COUNT(dc) OVER {_RSI_FRAME} AS n_d,
+               SUM(CASE WHEN dc > 0 THEN dc ELSE 0 END) OVER {_RSI_FRAME} AS g14,
+               SUM(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER {_RSI_FRAME} AS l14
+        FROM d
+    )
+    SELECT event_type, event_id, us,
+           FLOOR(CAST(c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS price,
+           n_d,
+           {_RSI_OUT} AS rsi14
+    FROM g
+"""
+
+
+@register(
+    "q65_rsi",
+    _RSI_ORACLE,
+    doc="""RSI-14 (Cutler's simple-average form) per symbol over the
+    tick series: split each tick-over-tick move into gain/loss, sum
+    each over the trailing 14 moves, RSI = 100 − 100/(1 + G/L) — the
+    overbought/oversold oscillator drawn under every dashboard price
+    chart (the reference's Frontend stops at the raw monthly series;
+    q53/q60 are the smoothing line and bands, this is the oscillator).
+    Cutler's simple-average variant is chosen over Wilder's because
+    Wilder's recursive smoothing is inherently sequential; the
+    simple-average form is a pure ROWS-frame window — embarrassingly
+    parallel per symbol.
+
+    Parity: centis once, exact int64 diffs/sums, pinned scalar finish
+    with edge pins (L=0∧G>0 → 100, G=L=0 → 50, n<14 → NULL warm-up).
+    Spark plan: ONE shuffle keyed event_type feeding two chained
+    Window operators in the same stage (lag needs 1 row of state, the
+    rolling frame 14) — no group buffering, no second exchange. At
+    100 TB: per-symbol windows inside hash partitions, state is O(14)
+    per symbol.""",
+)
+def q65_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.expr(_RSI_C).alias("c"),
+    )
+    d = t.withColumn(
+        "dc",
+        F.expr(
+            "c - lag(c) OVER (PARTITION BY event_type ORDER BY us, event_id)"
+        ),
+    )
+    g = d.select(
+        "event_type",
+        "us",
+        "event_id",
+        "c",
+        F.expr(f"COUNT(dc) OVER {_RSI_FRAME}").alias("n_d"),
+        F.expr(
+            f"SUM(CASE WHEN dc > 0 THEN dc ELSE 0 END) OVER {_RSI_FRAME}"
+        ).alias("g14"),
+        F.expr(
+            f"SUM(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER {_RSI_FRAME}"
+        ).alias("l14"),
+    )
+    return g.select(
+        "event_type",
+        "event_id",
+        "us",
+        F.expr(
+            "CAST(FLOOR(CAST(c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0"
+            " AS DOUBLE)"
+        ).alias("price"),
+        "n_d",
+        F.expr(f"CAST(({_RSI_OUT}) AS DOUBLE)").alias("rsi14"),
+    )
+
+
+# ===========================================================================
+# q66 — market beta/alpha (OLS on daily returns vs equal-weight index)
+# ===========================================================================
+
+# Shared daily-close derivation for q66/q67: price quantizes to integer
+# centis once, the day's close is the value at the (us, event_id)-last
+# tick (comparisons only — bit-exact in any engine). The ORACLE takes
+# the portable ROW_NUMBER form; the Spark side uses the q55 max-struct
+# aggregate (same result, partial-aggregating single shuffle instead of
+# a full per-partition window sort).
+_CLOSE_C = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+
+
+def _daily_close_cte(day_expr: str) -> str:
+    return f"""
+    t AS (
+        SELECT event_type, {day_expr} AS day,
+               epoch_us(ts) AS us, event_id, {_CLOSE_C} AS c
+        FROM events
+    ),
+    rnk AS (
+        SELECT event_type, day, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM t
+    ),
+    dc AS (
+        SELECT event_type, day, c AS close_c FROM rnk WHERE rn = 1
+    )"""
+
+
+def _daily_close_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.expr(_CLOSE_C).alias("c"),
+    ).withColumn("day", F.expr(sql_day_from_us_spark("us")))
+    return t.groupBy("event_type", "day").agg(
+        F.max(F.struct("us", "event_id", "c")).getField("c").alias("close_c")
+    )
+
+
+# Daily return in integer basis points from exact close centis: the
+# division/quantization is a pinned per-row scalar chain, clamped
+# ±1000% as the q57 bad-tick guard (bounds every later product at
+# ≤1e10 — int64-exact regression sums at any horizon).
+_RET_BP_FROM_CLOSE = (
+    "CAST(FLOOR(LEAST(GREATEST((CAST(close_c AS DOUBLE)"
+    " / CAST(NULLIF(lag(close_c) OVER (PARTITION BY event_type"
+    " ORDER BY day), 0) AS DOUBLE) - 1.0), -10.0), 10.0)"
+    " * 10000.0 + 0.5) AS BIGINT)"
+)
+
+_BETA_NUM = (
+    "(n_days * sxy - sx * sy)"
+)
+_BETA_DEN = "(n_days * sxx - sx * sx)"
+_BETA_RAW = (
+    f"(CAST({_BETA_NUM} AS DOUBLE) / CAST(NULLIF({_BETA_DEN}, 0) AS DOUBLE))"
+)
+_Q66_OUT = {
+    "beta": f"FLOOR({_BETA_RAW} * 1000000.0 + 0.5) / 1000000.0",
+    "alpha_bp": (
+        f"FLOOR((CAST(sy AS DOUBLE) - {_BETA_RAW} * CAST(sx AS DOUBLE))"
+        " / CAST(n_days AS DOUBLE) * 100.0 + 0.5) / 100.0"
+    ),
+}
+
+_BETA_ORACLE = rf"""
+    WITH {_daily_close_cte(sql_day_from_us_duckdb('epoch_us(ts)'))},
+    rets AS (
+        SELECT event_type, day, {_RET_BP_FROM_CLOSE} AS r_bp
+        FROM dc
+    ),
+    mkt AS (
+        SELECT day,
+               CAST(FLOOR(CAST(SUM(r_bp) AS DOUBLE)
+                          / CAST(COUNT(r_bp) AS DOUBLE) + 0.5) AS BIGINT)
+                   AS m_bp
+        FROM rets WHERE r_bp IS NOT NULL
+        GROUP BY day
+    ),
+    j AS (
+        SELECT r.event_type, m.m_bp AS x, r.r_bp AS y
+        FROM rets r JOIN mkt m ON r.day = m.day
+        WHERE r.r_bp IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM j GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {_Q66_OUT['beta']} AS beta,
+           {_Q66_OUT['alpha_bp']} AS alpha_bp
+    FROM g
+"""
+
+
+@register(
+    "q66_market_beta",
+    _BETA_ORACLE,
+    doc="""Market beta and alpha per symbol: OLS regression of each
+    symbol's daily close-over-close returns against the equal-weight
+    market return of the same day (the index includes the symbol
+    itself — the standard equal-weight-universe convention) — the CAPM
+    exposure/excess decomposition beside q54's correlation matrix.
+
+    Parity: close centis are comparison-exact, returns quantize to
+    clamped integer basis points per row (pinned scalar chain), the
+    per-day market mean re-quantizes to integer bp, and ALL regression
+    moments (Σx, Σy, Σxy, Σx²) are exact int64 sums — order-free; the
+    β/α finish is one pinned double chain (β unrounded feeds α, both
+    HALF_UP-displayed). Spark plan: daily-close partial-agg shuffle
+    (symbol, day) → 1-row-state lag window per symbol → tiny per-day
+    market agg broadcast-joined back → final per-symbol agg of four
+    int64 moments. At 100 TB the fact-scale stages are the first two
+    (one shuffle each); mkt is |days| rows — always broadcastable.""",
+)
+def q66_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dc = _daily_close_spark(spark, sf_dir)
+    rets = dc.select(
+        "event_type", "day", F.expr(_RET_BP_FROM_CLOSE).alias("r_bp")
+    )
+    mkt = (
+        rets.filter(F.col("r_bp").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(r_bp) AS DOUBLE)"
+                " / CAST(COUNT(r_bp) AS DOUBLE) + 0.5) AS BIGINT)"
+            ).alias("m_bp")
+        )
+    )
+    j = (
+        rets.filter(F.col("r_bp").isNotNull())
+        .join(F.broadcast(mkt), "day")
+        .select("event_type", F.col("m_bp").alias("x"), F.col("r_bp").alias("y"))
+    )
+    g = j.groupBy("event_type").agg(
+        F.expr("COUNT(*)").alias("n_days"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(y)").alias("sy"),
+        F.expr("SUM(x * y)").alias("sxy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        F.expr(f"CAST(({_Q66_OUT['beta']}) AS DOUBLE)").alias("beta"),
+        F.expr(f"CAST(({_Q66_OUT['alpha_bp']}) AS DOUBLE)").alias("alpha_bp"),
+    )
+
+
+# ===========================================================================
+# q67 — pairs-trading spread z-score (rolling exact moments per pair)
+# ===========================================================================
+
+_PAIR_WIN = (
+    "(PARTITION BY sym_a, sym_b ORDER BY day"
+    " ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+)
+# q60's exact-moment shape on the integer spread: Σs and Σs² are exact
+# int64 inside the 20-day frame, the z finish is a pinned chain, NULL
+# while warming up (< 20 days) or when the spread is constant (σ = 0).
+_PAIR_SD = (
+    "SQRT((CAST(n_w AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n_w AS DOUBLE) * CAST(n_w - 1 AS DOUBLE)))"
+)
+_PAIR_Z = (
+    "CASE WHEN n_w < 20 THEN NULL"
+    f"     WHEN {_PAIR_SD} = 0.0 THEN NULL"
+    "     ELSE FLOOR((CAST(spread_c AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))"
+    f" / {_PAIR_SD}"
+    " * 10000.0 + 0.5) / 10000.0 END"
+)
+
+_PAIRS_ORACLE = rf"""
+    WITH {_daily_close_cte(sql_day_from_us_duckdb('epoch_us(ts)'))},
+    p AS (
+        SELECT a.day, a.event_type AS sym_a, b.event_type AS sym_b,
+               a.close_c - b.close_c AS spread_c
+        FROM dc a JOIN dc b
+          ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    s AS (
+        SELECT sym_a, sym_b, day, spread_c,
+               COUNT(*) OVER {_PAIR_WIN} AS n_w,
+               SUM(spread_c) OVER {_PAIR_WIN} AS s1,
+               SUM(spread_c * spread_c) OVER {_PAIR_WIN} AS s2
+        FROM p
+    )
+    SELECT sym_a, sym_b, day,
+           FLOOR(CAST(spread_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+               AS spread,
+           n_w,
+           {_PAIR_Z} AS zscore20
+    FROM s
+"""
+
+
+@register(
+    "q67_pairs_spread_zscore",
+    _PAIRS_ORACLE,
+    doc="""Pairs-trading signal: for every unordered symbol pair, the
+    daily close spread and its 20-day rolling z-score — the classic
+    stat-arb entry/exit trigger (|z| > 2 ≈ stretched spread). Builds
+    on the shared exact daily-close derivation (q66's CTE).
+
+    Parity: the spread is a difference of exact centis (int64), the
+    rolling moments are exact int64 frame sums (q60's strategy), and
+    the z finish is one pinned scalar chain with NULL pins for warm-up
+    (< 20 days) and constant spreads (σ = 0). Spark plan: daily-close
+    partial-agg shuffle, then the pair self-join keyed on day (|dc| =
+    |symbols|·|days| — the join input is already aggregate-scale, NOT
+    tick-scale), then one window shuffle keyed (sym_a, sym_b). The
+    pair universe is the dashboard's watchlist: |symbols|² grows as
+    the square of a SMALL dimension (5 symbols → 10 pairs; even 1000
+    symbols → ~500 k pair-days/day — trivially shuffleable); the
+    100 TB tick volume only ever passes through the FIRST stage.""",
+)
+def q67_pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dc = _daily_close_spark(spark, sf_dir)
+    a = dc.select(
+        F.col("day"),
+        F.col("event_type").alias("sym_a"),
+        F.col("close_c").alias("c_a"),
+    )
+    b = dc.select(
+        F.col("day"),
+        F.col("event_type").alias("sym_b"),
+        F.col("close_c").alias("c_b"),
+    )
+    p = (
+        a.join(b, "day")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .select("sym_a", "sym_b", "day", (F.col("c_a") - F.col("c_b")).alias("spread_c"))
+    )
+    s = p.select(
+        "sym_a",
+        "sym_b",
+        "day",
+        "spread_c",
+        F.expr(f"COUNT(*) OVER {_PAIR_WIN}").alias("n_w"),
+        F.expr(f"SUM(spread_c) OVER {_PAIR_WIN}").alias("s1"),
+        F.expr(f"SUM(spread_c * spread_c) OVER {_PAIR_WIN}").alias("s2"),
+    )
+    return s.select(
+        "sym_a",
+        "sym_b",
+        "day",
+        F.expr(
+            "CAST(FLOOR(CAST(spread_c AS DOUBLE) / 100.0 * 100.0 + 0.5)"
+            " / 100.0 AS DOUBLE)"
+        ).alias("spread"),
+        "n_w",
+        F.expr(f"CAST(({_PAIR_Z}) AS DOUBLE)").alias("zscore20"),
+    )

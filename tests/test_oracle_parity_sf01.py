@@ -57,6 +57,13 @@ SENSITIVE = [
     "x70_robots_filter",
     "x71_bpe_pair_counts",
     "s15_streaming_session_window",
+    # round 5 additions, second batch: rolling exact-moment windows
+    # (RSI gains/losses, pair-spread Σ/Σ²) and the regression-moment
+    # sums behind beta/alpha — each rests on an int64-headroom bound
+    # that only row count can stress.
+    "q65_rsi",
+    "q66_market_beta",
+    "q67_pairs_spread_zscore",
 ]
 
 
