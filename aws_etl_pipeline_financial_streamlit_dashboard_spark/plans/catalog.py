@@ -810,6 +810,9 @@ _SAMPLER_FRONT_R5 = [
     "x70_robots_filter", "x71_bpe_pair_counts",
     "s15_streaming_session_window",
     "q65_rsi", "q66_market_beta", "q67_pairs_spread_zscore",
+    "q68_recursive_hierarchy", "x72_ann_recall_eval",
+    "x73_token_budget_mix", "x74_matryoshka_recall",
+    "s16_streaming_upsert",
 ]
 
 

@@ -1287,3 +1287,254 @@ def x64_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_ids"),
         F.expr("SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)").alias("n_oov"),
     )
+
+
+# ===========================================================================
+# x72 — ANN recall@k evaluation (deterministic LSH vs exact ground truth)
+# ===========================================================================
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approx neighbor set against the exact
+    ground truth: |approx ∩ exact| / k as an integer percent (both
+    sets are deterministic, so the recall itself hash-checks). Every
+    ground-truth query appears in the output — zero-candidate queries
+    score 0 rather than vanish."""
+    inter = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__n_exact"))
+        .join(
+            inter.groupBy("query_id").agg(F.count("*").alias("__h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("__h"), F.lit(0)) * (100 // k)).alias("recall_pct"),
+        )
+    )
+
+
+
+def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
+                n_planes: int = 4, n_tables: int = 8) -> str:
+    vm = S.duckdb_vm_sql("embedding", dim)
+    bcols = ",\n           ".join(
+        f"{S.duckdb_bucket_sql(t, n_planes, dim)} AS b{t}"
+        for t in range(n_tables)
+    )
+    collide = " OR ".join(f"c.b{t} = qb.b{t}" for t in range(n_tables))
+    cos_ap = S.duckdb_cosine_sql("e.embedding", "q.embedding")
+    cos_ex = S.duckdb_cosine_sql("e.embedding", "exq.qv")
+    return f"""
+    WITH vm AS (SELECT vec_id, {vm} AS xm FROM embeddings),
+    b AS (SELECT vec_id,
+           {bcols}
+          FROM vm),
+    qb AS (SELECT * FROM b WHERE vec_id % {mod} = 1),
+    cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM b c, qb
+             WHERE c.vec_id <> qb.vec_id AND ({collide})),
+    ap AS (SELECT cand.query_id, cand.neighbor_id, {cos_ap} AS cosine_sim
+           FROM cand
+           JOIN embeddings e ON e.vec_id = cand.neighbor_id
+           JOIN embeddings q ON q.vec_id = cand.query_id),
+    apr AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM ap),
+    approx AS (SELECT query_id, neighbor_id FROM apr WHERE rn <= {k}),
+    exq AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {mod} = 1),
+    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
+                   {cos_ex} AS cosine_sim
+            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
+    exr AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM exs),
+    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k})
+    SELECT ex.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           COUNT(a.neighbor_id) * {100 // k} AS recall_pct
+    FROM exact ex
+    LEFT JOIN approx a
+      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register(
+    "x72_ann_recall_eval",
+    _x72_oracle(),
+    doc="""ANN index-quality evaluation: recall@10 of the deterministic
+    hyperplane-LSH index against the exact brute-force ground truth,
+    per query (every 29th vector) — the acceptance gate every
+    approximate-similarity deployment runs before trusting an index,
+    here as a first-class catalog operator with a FULL value-hash
+    oracle (both the index and the ground truth are the repo's
+    deterministic twins, so even the recall numbers are bit-exact).
+
+    Spark plan is the SCALE form of the LSH probe: instead of x59's
+    single-query broadcast, the bucket table explodes to (table,
+    bucket) keys and queries join candidates on bucket EQUALITY — the
+    banded equi-join that shuffles each table's buckets once,
+    never comparing across buckets (all-pairs never materializes).
+    Ground truth reuses knn_join_brute_force's skew-safe two-phase
+    top-k; the final recall join probes |Q|·k rows. At 100 TB you
+    run exactly this on a SAMPLE of queries (the mod predicate IS the
+    sampler) — recall estimation cost scales with |Q|·(bucket
+    occupancy), not corpus².""",
+)
+def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
+    mod, k, dim, n_planes, n_tables = 29, 10, 64, 4, 8
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_q = F.col("vec_id") % mod == 1
+    queries = emb.filter(is_q)
+
+    exact = S.knn_join_brute_force(queries, fan_out(emb), k=k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+
+    # the bucket table feeds BOTH probe sides (queries and corpus);
+    # checkpoint it so the explode + 32-conditional-sum aggregate runs
+    # once, not once per fork (q54's rationale — at corpus scale this
+    # is the entry's heaviest narrow stage)
+    bt = S.hyperplane_bucket_table_int(emb, dim, n_planes, n_tables).localCheckpoint(
+        eager=True
+    )
+    ex = bt.select("id", F.posexplode("__buckets").alias("t", "b"))
+    qe = ex.filter(F.col("id") % mod == 1).select(
+        F.col("id").alias("query_id"), "t", "b"
+    )
+    cand = (
+        ex.select(F.col("id").alias("neighbor_id"), "t", "b")
+        .join(qe, ["t", "b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = S.with_l2_norm(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        ),
+        "__qvec",
+        dim,
+        "__qnrm",
+    )
+    cv = S.with_l2_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cvec")
+        ),
+        "__cvec",
+        dim,
+        "__cnrm",
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            rhu(S.cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    approx = grouped_topk(
+        sims,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k,
+        rank_col="__rn",
+    ).select("query_id", "neighbor_id")
+
+    return _recall_vs_exact(exact, approx, k)
+
+
+# ===========================================================================
+# x74 — embedding-dimension truncation eval (matryoshka recall)
+# ===========================================================================
+
+
+def _x74_oracle(mod: int = 29, k: int = 10, dim: int = 64,
+                trunc: int = 16) -> str:
+    cos_full = S.duckdb_cosine_sql("e.embedding", "exq.qv")
+    cos_tr = S.duckdb_cosine_sql("e.emb_t", "tq.qv")
+    return f"""
+    WITH tr AS (SELECT vec_id, embedding,
+                       list_slice(embedding, 1, {trunc}) AS emb_t
+                FROM embeddings),
+    exq AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {mod} = 1),
+    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
+                   {cos_full} AS cosine_sim
+            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
+    exr AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM exs),
+    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k}),
+    tq AS (SELECT vec_id AS query_id, emb_t AS qv
+           FROM tr WHERE vec_id % {mod} = 1),
+    ts AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
+                  {cos_tr} AS cosine_sim
+           FROM tr e, tq WHERE e.vec_id <> tq.query_id),
+    trk AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM ts),
+    trunc_k AS (SELECT query_id, neighbor_id FROM trk WHERE rn <= {k})
+    SELECT ex.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           COUNT(a.neighbor_id) * {100 // k} AS recall_pct
+    FROM exact ex
+    LEFT JOIN trunc_k a
+      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register(
+    "x74_matryoshka_recall",
+    _x74_oracle(),
+    doc="""Embedding-dimension truncation evaluation (the matryoshka
+    question): recall@10 of exact cosine search over the FIRST 16 of
+    64 dimensions against full-dimension ground truth, per sampled
+    query — the measurement that decides whether a cheaper prefix
+    index is good enough before anyone builds it. Complements x72:
+    there the index is approximate and the vectors exact; here the
+    index is exact and the VECTORS are lossy.
+
+    Both neighbor sets come from the same pinned brute-force kernel
+    (rounded cosine + id tiebreak → engine-stable sets), the truncated
+    side over a narrow slice() projection — at 100 TB the 4× smaller
+    vectors are the point: the probe scan moves a quarter of the
+    bytes, and this entry prices exactly what that saves in recall.
+    Plan shape is x72's tail: two skew-safe top-k joins probed into a
+    |Q|·k recall join.""",
+)
+def x74_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    mod, k, dim, trunc = 29, 10, 64, 16
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, trunc).alias("embedding")
+    )
+    exact = S.knn_join_brute_force(
+        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
+    ).select("query_id", "neighbor_id")
+    approx = S.knn_join_brute_force(
+        tr.filter(F.col("vec_id") % mod == 1), fan_out(tr), k=k, dim=trunc
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, approx, k)

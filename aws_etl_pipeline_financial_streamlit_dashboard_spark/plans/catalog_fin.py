@@ -1095,8 +1095,17 @@ def _daily_close_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr(_CLOSE_C).alias("c"),
     ).withColumn("day", F.expr(sql_day_from_us_spark("us")))
-    return t.groupBy("event_type", "day").agg(
-        F.max(F.struct("us", "event_id", "c")).getField("c").alias("close_c")
+    return (
+        t.groupBy("event_type", "day")
+        .agg(
+            F.max(F.struct("us", "event_id", "c")).getField("c").alias("close_c")
+        )
+        # |symbols|x|days| rows; both q66 (rets -> mkt + j) and q67
+        # (pair self-join) fork this aggregate — without the
+        # checkpoint each fork re-runs the tick-scale scan+agg
+        # (projection aliases defeat ReuseExchange; the q54/q64
+        # rationale verbatim)
+        .localCheckpoint(eager=True)
     )
 
 

@@ -2074,3 +2074,101 @@ def x71_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pair", "cnt", F.col("merge_rank").cast("long").alias("merge_rank"))
     )
+
+
+# ===========================================================================
+# x73 — temperature-balanced token-budget corpus mix
+# ===========================================================================
+
+# Per-source token budget B_s = floor(sqrt(T_s)) * 32 where T_s is the
+# source's exact total whitespace-token count: the sqrt is the
+# temperature-style rebalancing (big sources are downsampled
+# super-linearly, small sources kept nearly whole — the multilingual
+# sampling shape from public LM data recipes). SQRT is IEEE correctly
+# rounded in both engines on an exact integer input → B_s is
+# deterministic; 32 scales the budget so it genuinely prunes at every
+# test SF. Docs fill the budget in deterministic Knuth-hash order
+# (x67's no-RNG-state discipline; doc_id tiebreak pins collisions),
+# and the first doc per source is always kept so no source is emptied.
+_X73_HASH = "(doc_id * 2654435761) % 4294967296"
+_X73_BUDGET = "CAST(FLOOR(SQRT(CAST(total_toks AS DOUBLE)) * 32.0) AS BIGINT)"
+_X73_WIN = f"(PARTITION BY source ORDER BY {_X73_HASH}, doc_id)"
+
+_X73_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+               END AS n_toks
+        FROM documents
+    ),
+    s AS (
+        SELECT source AS src, CAST(SUM(n_toks) AS BIGINT) AS total_toks
+        FROM d GROUP BY source
+    ),
+    r AS (
+        SELECT d.doc_id, d.source, d.n_toks, {_X73_BUDGET} AS budget_toks,
+               ROW_NUMBER() OVER {_X73_WIN} AS rn,
+               SUM(d.n_toks) OVER (PARTITION BY d.source
+                                   ORDER BY {_X73_HASH}, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cum_toks
+        FROM d JOIN s ON d.source = s.src
+    )
+    SELECT source, doc_id, n_toks, cum_toks, budget_toks
+    FROM r
+    WHERE cum_toks <= budget_toks OR rn = 1
+"""
+
+
+@register(
+    "x73_token_budget_mix",
+    _X73_ORACLE,
+    doc="""Temperature-balanced corpus mixing by TOKEN budget: each
+    source's sampling budget is floor(sqrt(total_tokens))·32 — the
+    sqrt-temperature rebalancing of public LM data recipes — and docs
+    fill it in deterministic hash order until the running token count
+    crosses the budget (first doc per source always kept). x29/x47 mix
+    by document FRACTIONS; x67 caps by row COUNT per host; this is the
+    third axis a real pretraining mix needs: token-weighted budgets
+    with sub-linear scaling across sources.
+
+    Parity: token counts are exact integers, T_s an exact int64 sum,
+    sqrt correctly rounded on exact input (pinned scalar), the running
+    sum an exact int64 window accumulation, and the keep predicate
+    pure integer comparison. Spark plan: one partial-agg shuffle for
+    per-source totals (|sources| rows — broadcast back), one window
+    shuffle on source for rank+cumsum in a single Window operator
+    (same spec), filter narrow. At 100 TB the source key is
+    hot-by-construction (few sources × many docs) — the mitigation is
+    the budget itself at the consumer side plus sub-bucketing the
+    cumsum by hash range if a single source's partition overflows
+    (docs/SCALE.md hot-key row).""",
+)
+def x73_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+    s = d.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
+    r = (
+        d.join(F.broadcast(s), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.expr(_X73_BUDGET).alias("budget_toks"),
+            F.expr(f"ROW_NUMBER() OVER {_X73_WIN}").alias("rn"),
+            F.expr(
+                f"SUM(n_toks) OVER (PARTITION BY source"
+                f" ORDER BY {_X73_HASH}, doc_id"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ).alias("cum_toks"),
+        )
+    )
+    return r.filter(
+        (F.col("cum_toks") <= F.col("budget_toks")) | (F.col("rn") == 1)
+    ).select("source", "doc_id", "n_toks", "cum_toks", "budget_toks")

@@ -2042,3 +2042,52 @@ def x68_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ===========================================================================
+# q68 — recursive CTE hierarchy walk (WITH RECURSIVE)
+# ===========================================================================
+
+# One pinned template; the dialect split is integer division (Spark
+# DIV / DuckDB //) and the string type name (STRING / VARCHAR) — both
+# truncate toward zero on non-negative keys, and int→string casts are
+# plain decimal in both engines.
+_Q68_TEMPLATE = """
+    WITH RECURSIVE h(custkey, root, depth, path) AS (
+        SELECT c_custkey, c_custkey, 0, CAST(c_custkey AS {str_t})
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, h.root, h.depth + 1,
+               CONCAT(h.path, '/', CAST(c.c_custkey AS {str_t}))
+        FROM customer c JOIN h ON c.c_custkey {idiv} 10 = h.custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT custkey, root, depth, path FROM h
+"""
+
+
+@register(
+    "q68_recursive_hierarchy",
+    _Q68_TEMPLATE.format(str_t="VARCHAR", idiv="//"),
+    doc="""Recursive CTE (WITH RECURSIVE, Spark 4's iterative CTE
+    execution): walk the decimal-trie hierarchy parent = custkey DIV
+    10 from the single-digit roots, materializing each node's root,
+    depth and full root-to-node path — the org-chart / BOM-explosion /
+    category-tree query shape that needed driver-side loops before
+    Spark 4 (x43's components solve the UNDIRECTED variant; this is
+    the rooted DIRECTED walk with per-level path accumulation).
+
+    Parity: the recursion is structurally identical in both engines
+    (seed UNION ALL step, joined against the base table each level);
+    every output is an integer or a decimal-digit string — no
+    arithmetic to diverge. Termination is structural: child keys
+    strictly exceed parent keys, so depth is bounded by the key's
+    digit count (log10 N levels). Spark executes each level as one
+    join keyed on the parent — at 100 TB that is O(log10 N) shuffles
+    of the frontier only (same per-round shape as x43's star steps),
+    with the base table's join side partition-pruned by the frontier
+    keys under AQE; no driver-side iteration, no collect.""",
+)
+def q68_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q68_TEMPLATE.format(str_t="STRING", idiv="DIV"))

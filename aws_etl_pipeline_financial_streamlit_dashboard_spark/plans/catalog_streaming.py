@@ -865,3 +865,65 @@ def s15_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(sess, "append", "stream_session")
+
+
+# ===========================================================================
+# s16 — streaming keyed upsert (SCD1 MERGE via foreachBatch)
+# ===========================================================================
+
+
+@register(
+    "s16_streaming_upsert",
+    """
+    WITH r AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn
+        FROM events
+    )
+    SELECT user_id, us AS last_us, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="""Streaming SCD1 keyed upsert: a serving table of each user's
+    LATEST event, seeded from history (event_id % 3 = 0) and then
+    maintained by a REAL foreachBatch streaming merge over the
+    remaining events (streaming/jobs.run_foreach_batch_upsert) —
+    the change-data-capture consumer q41/q46 (batch SCD2) imply but
+    streaming previously lacked. Each micro-batch merges into a
+    versioned parquet snapshot chain by one argmax-struct hash
+    aggregate (last-write-wins on the (us, event_id) exchange
+    sequence); the chain never overwrites the snapshot it reads and
+    redelivered batches rewrite their own version idempotently — the
+    Delta-MERGE semantics on plain parquet.
+
+    The oracle is the batch argmax over ALL events: seed ∪ stream
+    covers every event exactly once and argmax is associative, so the
+    maintained table must equal it row-for-row (raw values — bit-exact,
+    full value-hash check). At 100 TB: per-batch cost is |batch| +
+    |target| through one partial-aggregating shuffle; the versioned
+    snapshots give per-batch isolation and a trivial rollback point.""",
+)
+def s16_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_foreach_batch_upsert,
+    )
+
+    rows = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    seed = rows.filter(F.col("event_id") % 3 == 0)
+    streamed = rows.filter(F.col("event_id") % 3 != 0)
+    final = run_foreach_batch_upsert(spark, seed, streamed, prefix="s16")
+    return final.select(
+        "user_id",
+        F.col("us").alias("last_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -234,3 +234,85 @@ def run_foreach_batch_ingest(
         .awaitTermination()
     )
     return spark.read.parquet(os.path.join(dst, "batch_id=*"))
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    seed_df: DataFrame,
+    stream_rows_df: DataFrame,
+    prefix: str = "upsert",
+) -> DataFrame:
+    """Streaming keyed upsert (SCD1 MERGE) via ``foreachBatch``: each
+    micro-batch merges into a persistent target by last-write-wins on
+    (us, event_id) per user_id — the pattern for maintaining a serving
+    table from a change stream when the sink has no native MERGE
+    (plain parquet, JDBC without upsert, search indexes).
+
+    The target is a chain of VERSIONED snapshot directories
+    (``target_v{n}``): each batch reads the latest snapshot, merges,
+    and writes the next — never overwriting the directory it is
+    reading (lazy scan + in-place overwrite corrupts), and leaving
+    each batch's result as an immutable snapshot (consumers get
+    snapshot isolation per batch; a redelivered batch rewrites its own
+    version id idempotently). The merge itself is one argmax-struct
+    hash aggregate — partial-aggregating, shuffle carries one struct
+    per key per partition. At scale the snapshot chain is what Delta's
+    transaction log systematizes; the operator semantics are
+    identical.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=f"{prefix}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def keyed(df: DataFrame) -> DataFrame:
+        # last-write-wins reduction to one row per key: argmax over the
+        # (us, event_id) total order via struct comparison — associative,
+        # so target_vN = keyed(seed ∪ batches 0..N-1) at every version
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("us", "event_id", "event_type", "value")
+                ).alias("__m")
+            )
+            .select(
+                "user_id",
+                F.col("__m.us").alias("us"),
+                F.col("__m.event_id").alias("event_id"),
+                F.col("__m.event_type").alias("event_type"),
+                F.col("__m.value").alias("value"),
+            )
+        )
+
+    # the target invariant (one row per key) holds from v0 on — a
+    # zero-batch stream still yields a valid keyed serving table
+    keyed(seed_df).write.mode("overwrite").parquet(
+        os.path.join(root, "target_v0")
+    )
+    src_dir = os.path.join(root, "src")
+    stream_rows_df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    state = {"v": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(os.path.join(root, f"target_v{state['v']}"))
+        merged = keyed(cur.unionByName(batch_df))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"target_v{state['v'] + 1}")
+        )
+        state["v"] += 1
+
+    stream = spark.readStream.schema(stream_rows_df.schema).parquet(src_dir)
+    ckpt = os.path.join(root, "ckpt")
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(os.path.join(root, f"target_v{state['v']}"))

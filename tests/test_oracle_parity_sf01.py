@@ -64,6 +64,10 @@ SENSITIVE = [
     "q65_rsi",
     "q66_market_beta",
     "q67_pairs_spread_zscore",
+    # exact int64 token cumsums and the banded-LSH recall join at
+    # 4-10x the doc/vector counts
+    "x73_token_budget_mix",
+    "x72_ann_recall_eval",
 ]
 
 
