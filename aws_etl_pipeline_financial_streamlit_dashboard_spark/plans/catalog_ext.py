@@ -1312,7 +1312,14 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             F.coalesce(F.col("__h"), F.lit(0)).alias("n_hits"),
-            (F.coalesce(F.col("__h"), F.lit(0)) * (100 // k)).alias("recall_pct"),
+            # denominator is the query's ACTUAL ground-truth size (= k
+            # whenever the corpus has k neighbors), HALF_UP to integer
+            # percent — correct for any k, including ones that don't
+            # divide 100
+            F.expr(
+                "CAST(FLOOR(100.0 * COALESCE(__h, 0) / __n_exact + 0.5)"
+                " AS BIGINT)"
+            ).alias("recall_pct"),
         )
     )
 
@@ -1360,7 +1367,8 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k})
     SELECT ex.query_id,
            COUNT(a.neighbor_id) AS n_hits,
-           COUNT(a.neighbor_id) * {100 // k} AS recall_pct
+           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
+                AS BIGINT) AS recall_pct
     FROM exact ex
     LEFT JOIN approx a
       ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
@@ -1496,7 +1504,8 @@ def _x74_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     trunc_k AS (SELECT query_id, neighbor_id FROM trk WHERE rn <= {k})
     SELECT ex.query_id,
            COUNT(a.neighbor_id) AS n_hits,
-           COUNT(a.neighbor_id) * {100 // k} AS recall_pct
+           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
+                AS BIGINT) AS recall_pct
     FROM exact ex
     LEFT JOIN trunc_k a
       ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id

@@ -989,7 +989,7 @@ _RSI_ORACLE = rf"""
         FROM d
     )
     SELECT event_type, event_id, us,
-           FLOOR(CAST(c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS price,
+           CAST(c AS DOUBLE) / 100.0 AS price,
            n_d,
            {_RSI_OUT} AS rsi14
     FROM g
@@ -1048,10 +1048,7 @@ def q65_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "us",
-        F.expr(
-            "CAST(FLOOR(CAST(c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0"
-            " AS DOUBLE)"
-        ).alias("price"),
+        F.expr("CAST(c AS DOUBLE) / 100.0").alias("price"),
         "n_d",
         F.expr(f"CAST(({_RSI_OUT}) AS DOUBLE)").alias("rsi14"),
     )
@@ -1264,8 +1261,7 @@ _PAIRS_ORACLE = rf"""
         FROM p
     )
     SELECT sym_a, sym_b, day,
-           FLOOR(CAST(spread_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
-               AS spread,
+           CAST(spread_c AS DOUBLE) / 100.0 AS spread,
            n_w,
            {_PAIR_Z} AS zscore20
     FROM s
@@ -1322,10 +1318,7 @@ def q67_pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sym_a",
         "sym_b",
         "day",
-        F.expr(
-            "CAST(FLOOR(CAST(spread_c AS DOUBLE) / 100.0 * 100.0 + 0.5)"
-            " / 100.0 AS DOUBLE)"
-        ).alias("spread"),
+        F.expr("CAST(spread_c AS DOUBLE) / 100.0").alias("spread"),
         "n_w",
         F.expr(f"CAST(({_PAIR_Z}) AS DOUBLE)").alias("zscore20"),
     )

@@ -2090,7 +2090,9 @@ def x71_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test SF. Docs fill the budget in deterministic Knuth-hash order
 # (x67's no-RNG-state discipline; doc_id tiebreak pins collisions),
 # and the first doc per source is always kept so no source is emptied.
-_X73_HASH = "(doc_id * 2654435761) % 4294967296"
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
+    CRAWL_RANK_SQL as _X73_HASH,  # ONE Knuth-hash definition (web.py) shared with x67
+)
 _X73_BUDGET = "CAST(FLOOR(SQRT(CAST(total_toks AS DOUBLE)) * 32.0) AS BIGINT)"
 _X73_WIN = f"(PARTITION BY source ORDER BY {_X73_HASH}, doc_id)"
 
@@ -2115,7 +2117,8 @@ _X73_ORACLE = rf"""
                                             AND CURRENT ROW) AS cum_toks
         FROM d JOIN s ON d.source = s.src
     )
-    SELECT source, doc_id, n_toks, cum_toks, budget_toks
+    SELECT source, doc_id, n_toks,
+           CAST(cum_toks AS BIGINT) AS cum_toks, budget_toks
     FROM r
     WHERE cum_toks <= budget_toks OR rn = 1
 """
@@ -2148,10 +2151,18 @@ _X73_ORACLE = rf"""
 def x73_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
 
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        )
+        # d forks into the per-source totals AND the join back; the
+        # checkpoint materializes the regex tokenization — the entry's
+        # heaviest narrow stage — once instead of once per fork (the
+        # q54/q66 rationale; the materialized rows carry no text)
+        .localCheckpoint(eager=True)
     )
     s = d.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
     r = (

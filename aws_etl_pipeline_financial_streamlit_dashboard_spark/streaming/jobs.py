@@ -299,12 +299,19 @@ def run_foreach_batch_upsert(
     state = {"v": 0}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cur = spark.read.parquet(os.path.join(root, f"target_v{state['v']}"))
+        # version ids are keyed on the engine's batch_id, not a local
+        # counter: batch N always reads target_v{N} and writes
+        # target_v{N+1}, so a batch REDELIVERED after a failure re-reads
+        # the same input snapshot and rewrites the same output version —
+        # idempotent even across a driver restart that would reset any
+        # driver-local state (micro-batch ids are sequential per
+        # checkpoint, so the chain has no holes)
+        cur = spark.read.parquet(os.path.join(root, f"target_v{batch_id}"))
         merged = keyed(cur.unionByName(batch_df))
         merged.write.mode("overwrite").parquet(
-            os.path.join(root, f"target_v{state['v'] + 1}")
+            os.path.join(root, f"target_v{batch_id + 1}")
         )
-        state["v"] += 1
+        state["v"] = max(state["v"], batch_id + 1)
 
     stream = spark.readStream.schema(stream_rows_df.schema).parquet(src_dir)
     ckpt = os.path.join(root, "ckpt")
