@@ -66,3 +66,61 @@ def bucketed_range_join(
         )
         .drop(_BUCKET)
     )
+
+
+_IVL_BLOCK = "__ivl_block"
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    block_size: int,
+) -> DataFrame:
+    """Inner-join pairs whose half-open NON-NEGATIVE integer intervals
+    ``[left_lo, left_hi)`` and ``[right_lo, right_hi)`` overlap and
+    whose ``on`` keys match — the two-interval sibling of
+    :func:`bucketed_range_join` (whose right side is a point). Column
+    sets must be disjoint apart from ``on``. Empty intervals
+    (``hi <= lo``) are dropped on both sides: they cannot overlap
+    anything, and pruning them keeps the block ``sequence`` ascending.
+
+    Each interval explodes into the ``block_size``-wide cells it
+    spans (``width DIV block + 1`` rows), cells equi-join as part of
+    the key, the exact overlap predicate runs within a cell, and a
+    pair is emitted ONLY in the cell containing the overlap's start
+    (``GREATEST(lo_l, lo_r) DIV block`` — a cell both sides span by
+    construction), so no distinct pass is needed. Shuffle volume is
+    ordinary equi-join economics — Σ(width)/block + |rows| per side —
+    and AQE can split a hot cell like any hot hash key. Intervals must
+    be non-negative: integer DIV truncates toward zero, so a negative
+    ``lo`` would land in the wrong cell.
+    """
+    on = list(on)
+    block = int(block_size)
+    if block <= 0:
+        raise ValueError(f"block_size must be positive, got {block_size}")
+
+    def cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.filter(F.expr(f"({hi}) > ({lo})")).withColumn(
+            _IVL_BLOCK,
+            F.explode(
+                F.expr(f"sequence(({lo}) DIV {block}, (({hi}) - 1) DIV {block})")
+            ),
+        )
+
+    anchor = F.expr(f"GREATEST({left_lo}, {right_lo}) DIV {block}")
+    return (
+        cells(left, left_lo, left_hi)
+        .join(cells(right, right_lo, right_hi), [*on, _IVL_BLOCK])
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            & (F.col(_IVL_BLOCK) == anchor)
+        )
+        .drop(_IVL_BLOCK)
+    )

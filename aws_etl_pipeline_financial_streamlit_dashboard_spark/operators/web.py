@@ -135,3 +135,56 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
 # 2654435761 stays far under 2^63; both engines' % agrees on
 # non-negatives).
 CRAWL_RANK_SQL = "(doc_id * 2654435761) % 4294967296"
+
+
+def sql_html_doc() -> str:
+    """Deterministic synthetic HTML page per document row (shared
+    dialect) — the raw-fetch analog of :func:`sql_raw_url`, since the
+    testdata has no markup column. References ``doc_id`` and ``text``.
+    Variant axes keyed on doc_id residues so every extraction rule has
+    covered inputs: %7 drops the <title> element entirely (the no-match
+    path), %4 sets the anchor count 0-3 (the zero-repeat path), %5
+    varies the link host.
+    """
+    title = (
+        "CASE WHEN doc_id % 7 = 0 THEN ''"
+        " ELSE CONCAT('<title>', TRIM(SUBSTR(COALESCE(text, ''), 1, 24)),"
+        " '</title>') END"
+    )
+    link = (
+        "CONCAT('<a href=\"https://h', doc_id % 5, '.example/p\">x</a>')"
+    )
+    return (
+        f"CONCAT('<html><head>', {title}, '</head><body><p>',"
+        f" SUBSTR(COALESCE(text, ''), 1, 200), '</p>',"
+        f" REPEAT({link}, CAST(doc_id % 4 AS INT)), '</body></html>')"
+    )
+
+
+def sql_html_fields(h: str, engine: str) -> dict[str, str]:
+    """Extraction SQL over an HTML string expression ``h``: ``title``
+    (NULL when the element is absent — both engines return '' on a
+    REGEXP_EXTRACT miss, normalized through NULLIF), ``n_links``
+    (anchor count via length arithmetic, no regex), ``body_len``
+    (characters after stripping every tag) and ``markup_pct``
+    (HALF_UP integer percent of markup overhead). Dialect splits:
+    DuckDB's 'g' flag on the global strip, and integer division
+    (Spark DIV vs DuckDB //, equal on these non-negative operands).
+    """
+    div = "//" if engine == "duckdb" else "DIV"
+    body = _rr_g(h, "<[^>]*>", "", engine)
+    return {
+        "title": (
+            f"NULLIF(REGEXP_EXTRACT({h}, '<title>([^<]*)</title>', 1), '')"
+        ),
+        "n_links": (
+            f"CAST((LENGTH({h}) - LENGTH(REPLACE({h}, '<a href', '')))"
+            f" {div} 7 AS BIGINT)"
+        ),
+        "body_len": f"CAST(LENGTH({body}) AS BIGINT)",
+        "markup_pct": (
+            f"CAST(FLOOR(CAST(100 AS DOUBLE)"
+            f" * (LENGTH({h}) - LENGTH({body})) / LENGTH({h}) + 0.5)"
+            f" AS BIGINT)"
+        ),
+    }

@@ -813,6 +813,8 @@ _SAMPLER_FRONT_R5 = [
     "q68_recursive_hierarchy", "x72_ann_recall_eval",
     "x73_token_budget_mix", "x74_matryoshka_recall",
     "s16_streaming_upsert",
+    "q69_fifo_lot_matching", "x75_weighted_systematic_sample",
+    "x76_html_field_extract",
 ]
 
 

@@ -1322,3 +1322,162 @@ def q67_pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_w",
         F.expr(f"CAST(({_PAIR_Z}) AS DOUBLE)").alias("zscore20"),
     )
+
+
+# ===========================================================================
+# q69 — FIFO lot matching (realized PnL per buy/sell lot pair)
+# ===========================================================================
+
+# FIFO trade matching as an INTERVAL-OVERLAP join: per (symbol, side),
+# each lot owns the half-open cumulative-quantity interval
+# [cumsum - qty, cumsum) in exchange-sequence order, and FIFO assigns
+# sell lot S to buy lot B exactly where their intervals overlap —
+# matched qty = the overlap width. No iteration, no per-symbol state:
+# two window cumsums and one interval join reproduce the sequential
+# queue semantics exactly. Side is derived from event_id parity
+# (deterministic synthetic trade direction, x65's synthesize-in-query
+# discipline); qty = 0 rows carry no interval and are filtered.
+#
+# Parity: price quantizes to integer micro-units per row (HALF_UP on
+# identical doubles — IEEE-deterministic), quantities and cumsums are
+# exact int64 (window sums BIGINT-cast in the oracle: DuckDB types
+# SUM(BIGINT) as HUGEINT, the r3 fetch-path class), and matched
+# qty / PnL are pure integer arithmetic on those — bit-exact.
+_Q69_PRICE_U = "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
+_Q69_CUM = """SUM(qty) OVER (PARTITION BY event_type, side
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)"""
+_Q69_MATCH = "LEAST(b_hi, s_hi) - GREATEST(b_lo, s_lo)"
+
+_FIFO_ORACLE = rf"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id,
+               {_Q69_PRICE_U} AS price_u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+               CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END AS side
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, side, event_id, price_u, qty,
+               CAST({_Q69_CUM} AS BIGINT) AS hi
+        FROM e WHERE qty > 0
+    ),
+    i AS (
+        SELECT event_type, side, event_id, price_u, hi - qty AS lo, hi
+        FROM c
+    ),
+    b AS (
+        SELECT event_type, event_id AS buy_id, price_u AS buy_u,
+               lo AS b_lo, hi AS b_hi
+        FROM i WHERE side = 'B'
+    ),
+    s AS (
+        SELECT event_type AS s_event_type, event_id AS sell_id,
+               price_u AS sell_u, lo AS s_lo, hi AS s_hi
+        FROM i WHERE side = 'S'
+    )
+    SELECT b.event_type, buy_id, sell_id,
+           CAST({_Q69_MATCH} AS BIGINT) AS matched_qty,
+           CAST(({_Q69_MATCH}) * (sell_u - buy_u) AS BIGINT) AS pnl_micro
+    FROM b JOIN s
+      ON b.event_type = s.s_event_type AND b_lo < s_hi AND s_lo < b_hi
+"""
+
+
+@register(
+    "q69_fifo_lot_matching",
+    _FIFO_ORACLE,
+    doc="""FIFO trade-lot matching: which sell lots consumed which buy
+    lots, with per-pair matched quantity and realized PnL — the
+    position-accounting operator every trading back end needs and no
+    engine ships built-in. The classic sequential-queue semantics is
+    reproduced closed-form: per (symbol, side), window-cumsum each
+    lot's quantity into a half-open interval on the cumulative axis;
+    FIFO pairs are exactly the interval OVERLAPS (matched qty = the
+    overlap width), so the whole computation is two window shuffles
+    and one join — no iteration or per-symbol driver state.
+
+    The Spark join is operators.rangejoin.interval_overlap_join: both
+    sides explode into 256-unit cells of the cumulative axis
+    (lot widths are O(100) units → ≤2 cells each), cells equi-join as
+    part of the (symbol, cell) key, the exact overlap predicate runs
+    within a cell, and each pair is emitted only in the cell holding
+    GREATEST(b_lo, s_lo) — no distinct pass. The oracle states the
+    same pairs as a plain inequality join (DuckDB's IEJoin plans it
+    natively). The buy/sell fork costs nothing extra: side is a window
+    PARTITION key, so Catalyst pushes each branch's side filter below
+    the window and into its scan (verified in the executed plan —
+    each side scans and window-shuffles only its own parity half).
+
+    At 100 TB: shuffle volume is Σ(qty)/256 + |trades| rows hashed on
+    (symbol, cell) — FIFO intervals are disjoint per (symbol, side),
+    so cell population is bounded by 256/median-lot + 2 per side and
+    output is O(|trades|) pairs (the overlap chains advance
+    diagonally); a hot symbol splits across its cells instead of
+    landing on one key, which is the reason to prefer this to the
+    per-symbol nested loop a raw non-equi join degenerates to.
+    Parity: per-row HALF_UP micro-quantized prices, exact int64
+    cumsums (BIGINT-cast in the oracle — the HUGEINT fetch-path
+    class), pure integer match/PnL outputs.""",
+)
+def q69_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    e = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            ts_micros("ts").alias("us"),
+            "event_id",
+            F.expr(_Q69_PRICE_U).alias("price_u"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+            F.expr("CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END").alias(
+                "side"
+            ),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    iv = e.select(
+        "event_type",
+        "side",
+        "event_id",
+        "price_u",
+        "qty",
+        F.expr(_Q69_CUM).alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("qty"))
+    b = iv.filter(F.col("side") == "B").select(
+        "event_type",
+        F.col("event_id").alias("buy_id"),
+        F.col("price_u").alias("buy_u"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    s = iv.filter(F.col("side") == "S").select(
+        "event_type",
+        F.col("event_id").alias("sell_id"),
+        F.col("price_u").alias("sell_u"),
+        F.col("lo").alias("s_lo"),
+        F.col("hi").alias("s_hi"),
+    )
+    pairs = interval_overlap_join(
+        b,
+        s,
+        on=["event_type"],
+        left_lo="b_lo",
+        left_hi="b_hi",
+        right_lo="s_lo",
+        right_hi="s_hi",
+        block_size=256,
+    )
+    return pairs.select(
+        "event_type",
+        "buy_id",
+        "sell_id",
+        F.expr(f"CAST({_Q69_MATCH} AS BIGINT)").alias("matched_qty"),
+        F.expr(
+            f"CAST(({_Q69_MATCH}) * (sell_u - buy_u) AS BIGINT)"
+        ).alias("pnl_micro"),
+    )

@@ -2183,3 +2183,110 @@ def x73_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(
         (F.col("cum_toks") <= F.col("budget_toks")) | (F.col("rn") == 1)
     ).select("source", "doc_id", "n_toks", "cum_toks", "budget_toks")
+
+
+# ===========================================================================
+# x75 — deterministic WEIGHTED systematic sampling (token-mass strata)
+# ===========================================================================
+
+# The third sampling axis: x44/x55 draw UNIFORM per-stratum samples and
+# x73 fills a token BUDGET greedily; x75 draws docs with probability
+# proportional to token mass — the "importance sampling by size" step
+# a mixing pipeline uses when it wants k representative docs per source
+# whose selection chance tracks their training-token contribution.
+# Classic systematic (Madow) sampling made deterministic: order each
+# source by the Knuth hash, walk the cumulative weight axis, and pick
+# every doc whose cumsum crosses one of k equally-spaced thresholds.
+# Pure integer arithmetic — the crossing test compares
+# (cum*k) DIV total against ((cum-w)*k) DIV total, so there is no
+# float step size, no RNG state, and division truncation agrees across
+# engines (Spark DIV and DuckDB // both truncate toward zero;
+# operands are non-negative here).
+_X75_K = 8
+# weight = n_toks + 1: strictly positive so every doc advances the
+# cumulative axis and the walk cannot stall on empty docs
+_X75_W_DUCK = """CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+               END + 1"""
+_X75_CUM = f"""SUM(w_toks) OVER (PARTITION BY source
+                                 ORDER BY {_X73_HASH}, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)"""
+_X75_TOT = "SUM(w_toks) OVER (PARTITION BY source)"
+
+
+def _x75_pick(div: str) -> str:
+    k = _X75_K
+    return (
+        f"(cum_toks * {k}) {div} total_toks"
+        f" > ((cum_toks - w_toks) * {k}) {div} total_toks"
+    )
+
+
+_X75_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, source, {_X75_W_DUCK} AS w_toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, w_toks,
+               CAST({_X75_CUM} AS BIGINT) AS cum_toks,
+               CAST({_X75_TOT} AS BIGINT) AS total_toks
+        FROM d
+    )
+    SELECT source, doc_id, w_toks, cum_toks,
+           (cum_toks * {_X75_K}) // total_toks AS step_idx
+    FROM c
+    WHERE {_x75_pick('//')}
+"""
+
+
+@register(
+    "x75_weighted_systematic_sample",
+    _X75_ORACLE,
+    doc="""Per-source weighted systematic sample: k=8 docs per source
+    drawn with probability proportional to token mass, deterministic.
+    Docs are laid on the cumulative-weight axis in Knuth-hash order
+    (CRAWL_RANK_SQL — the same no-RNG-state discipline as x42/x55/x67)
+    and a doc is selected iff its weight interval crosses one of the k
+    equally-spaced thresholds — so large docs are proportionally more
+    likely to be hit, at most k docs are drawn per source, and a doc
+    heavier than total/k is always drawn (the PPS guarantee). The
+    crossing test is exact int64: (cum·k) DIV total changes value
+    within the doc's interval. Oracle runs the identical arithmetic
+    with DuckDB's // (both engines truncate toward zero on the
+    non-negative operands; window sums BIGINT-cast against the HUGEINT
+    fetch-path class).
+
+    Spark plan: ONE hash-shuffle on source feeding both window specs
+    (running cumsum and per-source total share the partitioning), then
+    a narrow integer filter — no join, no second shuffle. At 100 TB
+    the source key is hot-by-construction (docs/SCALE.md row): the
+    mitigation is that the window carries only (doc_id, source, w)
+    longs — text never shuffles — plus hash-range sub-bucketing the
+    cumsum if one source overflows a partition.""",
+)
+def x75_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (token_count(F.col("text")).cast("bigint") + 1).alias("w_toks"),
+    )
+    c = d.select(
+        "source",
+        "doc_id",
+        "w_toks",
+        F.expr(_X75_CUM).alias("cum_toks"),
+        F.expr(_X75_TOT).alias("total_toks"),
+    )
+    return c.filter(F.expr(_x75_pick("DIV"))).select(
+        "source",
+        "doc_id",
+        "w_toks",
+        "cum_toks",
+        F.expr(f"(cum_toks * {_X75_K}) DIV total_toks").alias("step_idx"),
+    )

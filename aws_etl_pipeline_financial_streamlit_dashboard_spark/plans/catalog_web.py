@@ -230,3 +230,68 @@ def x70_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return allowed.select("doc_id", "host", "url")
+
+
+# ===========================================================================
+# x76 — HTML field extraction (title / links / boilerplate-stripped body)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (  # noqa: E402
+    sql_html_doc,
+    sql_html_fields,
+)
+
+_HTML = sql_html_doc()
+_SPARK_FIELDS = sql_html_fields("html", "spark")
+_DUCK_FIELDS = sql_html_fields("html", "duckdb")
+
+_X76_ORACLE = rf"""
+    WITH h AS (
+        SELECT doc_id, source, {_HTML} AS html FROM documents
+    )
+    SELECT doc_id, source,
+           {_DUCK_FIELDS['title']} AS title,
+           {_DUCK_FIELDS['n_links']} AS n_links,
+           {_DUCK_FIELDS['body_len']} AS body_len,
+           {_DUCK_FIELDS['markup_pct']} AS markup_pct
+    FROM h
+"""
+
+
+@register(
+    "x76_html_field_extract",
+    _X76_ORACLE,
+    doc="""HTML field extraction — the step between x70's fetch gate
+    and x65's URL canonicalization in a crawl pipeline: per page, the
+    <title> (NULL when absent: both engines return '' on a regex miss,
+    normalized via NULLIF), the anchor count (length arithmetic on a
+    literal marker — no regex needed to count), the
+    boilerplate-stripped body length, and the markup-overhead percent.
+    The page markup is synthesized deterministically per doc
+    (sql_html_doc — the family's synthesize-in-query discipline, so
+    the no-title and zero-link paths have covered inputs), and every
+    extraction is ONE pinned SQL template rendered for both engines;
+    dialect splits are DuckDB's 'g' regexp flag and // vs DIV.
+
+    Spark plan: a single narrow whole-stage-codegen projection — zero
+    shuffle, zero UDFs (the tag-strip regex and length arithmetic are
+    JVM-side). At 100 TB this is the shape that matters: HTML-to-text
+    runs scan-side on every fetched page, so anything but a pushdown-
+    friendly narrow stage (a Python UDF, a shuffle) multiplies the
+    corpus pass cost; the markup_pct output is the quality signal a
+    curation gate would filter on (pure-markup pages score high and
+    drop).""",
+)
+def x76_html_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(_HTML).alias("html"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_SPARK_FIELDS["title"]).alias("title"),
+            F.expr(_SPARK_FIELDS["n_links"]).alias("n_links"),
+            F.expr(_SPARK_FIELDS["body_len"]).alias("body_len"),
+            F.expr(_SPARK_FIELDS["markup_pct"]).alias("markup_pct"),
+        )
+    )

@@ -68,6 +68,13 @@ SENSITIVE = [
     # 4-10x the doc/vector counts
     "x73_token_budget_mix",
     "x72_ann_recall_eval",
+    # round 5, third batch: FIFO interval matching (97k pairs at sf0.1
+    # — the cumsum/cell arithmetic at two orders more intervals),
+    # weighted systematic thresholds (integer-division crossings over
+    # much larger token totals), and the HTML extraction scalar chain
+    "q69_fifo_lot_matching",
+    "x75_weighted_systematic_sample",
+    "x76_html_field_extract",
 ]
 
 

@@ -55,3 +55,72 @@ def test_no_duplicate_pairs_from_bucket_explosion(spark):
         left, right, on=["k"], left_ts="ts", right_ts="r_ts", window_seconds=3600
     )
     assert out.count() == 1
+
+
+def test_interval_overlap_join_semantics(spark):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # block_size=10; intervals chosen to cover: same-cell overlap,
+    # multi-shared-cell overlap (pair must appear ONCE), touching
+    # endpoints (half-open: no overlap), disjoint, cross-key, and an
+    # empty interval (dropped).
+    left = spark.createDataFrame(
+        [
+            (1, "A", 0, 25),    # spans cells 0-2
+            (2, "A", 30, 31),   # single unit
+            (3, "B", 0, 10),    # other key
+            (4, "A", 40, 40),   # empty: hi == lo -> dropped
+        ],
+        "l_id long, k string, lo long, hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "A", 5, 22),    # overlaps l1 in cells 0..2 -> once
+            (11, "A", 25, 35),   # touches l1 at 25 (half-open: NO), overlaps l2
+            (12, "A", 31, 40),   # touches l2 at 31: NO
+            (13, "B", 9, 12),    # overlaps l3 only (cross-key isolation)
+            (14, "A", 38, 45),   # covers l4's empty point: NO (empty dropped)
+        ],
+        "r_id long, k string, r_lo long, r_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, on=["k"],
+        left_lo="lo", left_hi="hi", right_lo="r_lo", right_hi="r_hi",
+        block_size=10,
+    )
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == [(1, 10), (2, 11), (3, 13)]
+
+
+def test_interval_overlap_join_multi_cell_pair_emitted_once(spark):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # both intervals span the same 5 cells -> candidate pair appears in
+    # 5 cells; the GREATEST-anchor condition must emit it exactly once
+    left = spark.createDataFrame([(1, 0, 50)], "l_id long, lo long, hi long")
+    right = spark.createDataFrame([(2, 3, 48)], "r_id long, r_lo long, r_hi long")
+    out = interval_overlap_join(
+        left, right, on=[], left_lo="lo", left_hi="hi",
+        right_lo="r_lo", right_hi="r_hi", block_size=10,
+    )
+    assert out.count() == 1
+
+
+def test_interval_overlap_join_rejects_bad_block(spark):
+    import pytest
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    df = spark.range(1).selectExpr("id", "id AS lo", "id + 1 AS hi")
+    with pytest.raises(ValueError, match="block_size"):
+        interval_overlap_join(
+            df, df.selectExpr("id AS r_id", "lo AS r_lo", "hi AS r_hi"),
+            on=[], left_lo="lo", left_hi="hi",
+            right_lo="r_lo", right_hi="r_hi", block_size=0,
+        )

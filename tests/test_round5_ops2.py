@@ -145,3 +145,144 @@ def test_streaming_upsert_is_keyed_and_idempotent(spark, sf_dir):
     # converges to the identical serving table
     b = _run(spark, sf_dir, "s16_streaming_upsert").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# q69 — FIFO lot matching invariants
+# ---------------------------------------------------------------------------
+
+
+def test_fifo_conserves_matched_quantity(spark, sf_dir):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    pairs = _run(spark, sf_dir, "q69_fifo_lot_matching").cache()
+    try:
+        # every pair is unique and carries positive quantity
+        n = pairs.count()
+        assert n > 0
+        assert pairs.select("buy_id", "sell_id").distinct().count() == n
+        assert pairs.filter(F.col("matched_qty") < 1).count() == 0
+
+        # conservation: per symbol, total matched = min(Σ buys, Σ sells)
+        # — the FIFO queue drains exactly the smaller side
+        e = (
+            read_table(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+                F.expr(
+                    "CASE WHEN event_id % 2 = 0 THEN 'B' ELSE 'S' END"
+                ).alias("side"),
+            )
+            .filter(F.col("qty") > 0)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.when(F.col("side") == "B", F.col("qty"))).alias("bq"),
+                F.sum(F.when(F.col("side") == "S", F.col("qty"))).alias("sq"),
+            )
+            .select("event_type", F.least("bq", "sq").alias("expected"))
+        )
+        got = pairs.groupBy("event_type").agg(
+            F.sum("matched_qty").alias("matched")
+        )
+        diff = got.join(e, "event_type").filter(
+            F.col("matched") != F.col("expected")
+        )
+        assert diff.count() == 0
+
+        # no buy lot over-consumed: Σ matched per buy ≤ the lot's qty
+        lots = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.expr("event_id % 2 = 0"))
+            .select(
+                F.col("event_id").alias("buy_id"),
+                F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+            )
+        )
+        over = (
+            pairs.groupBy("buy_id")
+            .agg(F.sum("matched_qty").alias("m"))
+            .join(lots, "buy_id")
+            .filter(F.col("m") > F.col("qty"))
+        )
+        assert over.count() == 0
+    finally:
+        pairs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# x75 — weighted systematic sampling invariants
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_at_most_k_per_source_and_deterministic(spark, sf_dir):
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    out = _run(spark, sf_dir, "x75_weighted_systematic_sample")
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert per, "sample is empty"
+    # Madow sampling draws at MOST k per source (exactly k unless one
+    # doc straddles multiple thresholds), and never zero: the last
+    # doc's cumsum always crosses threshold k
+    assert all(1 <= r["n"] <= 8 for r in per)
+    # every source with documents is represented
+    n_sources = (
+        read_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(per) == n_sources
+    # deterministic: a fresh plan returns the identical pick set
+    again = _run(spark, sf_dir, "x75_weighted_systematic_sample")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_sample_guarantees_heavy_doc(spark):
+    """A doc heavier than total/k must ALWAYS be drawn (PPS property)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import catalog_llm as L
+
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * (2000 if i == 17 else 3)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    docs.createOrReplaceTempView("__x75_docs")
+    # run the same pinned expressions directly over the fixture
+    d = docs.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) + 1 AS w_toks",
+    )
+    c = d.selectExpr(
+        "source",
+        "doc_id",
+        "w_toks",
+        f"CAST({L._X75_CUM} AS BIGINT) AS cum_toks",
+        f"CAST({L._X75_TOT} AS BIGINT) AS total_toks",
+    )
+    picked = c.filter(F.expr(L._x75_pick("DIV")))
+    assert picked.filter(F.col("doc_id") == 17).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# x76 — HTML extraction invariants
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_fields_track_synthesis_axes(spark, sf_dir):
+    df = _run(spark, sf_dir, "x76_html_field_extract").cache()
+    try:
+        # the %7 axis: title is NULL exactly where the element is absent
+        assert df.filter(
+            (F.col("doc_id") % 7 == 0) & F.col("title").isNotNull()
+        ).count() == 0
+        assert df.filter(
+            (F.col("doc_id") % 7 != 0) & F.col("title").isNull()
+        ).count() == 0
+        # the %4 axis: anchor count equals the synthesized repeat count
+        assert df.filter(F.col("n_links") != F.col("doc_id") % 4).count() == 0
+        # stripped body is non-empty and markup_pct is a valid percent
+        assert df.filter(F.col("body_len") <= 0).count() == 0
+        assert df.filter(
+            (F.col("markup_pct") < 0) | (F.col("markup_pct") > 100)
+        ).count() == 0
+    finally:
+        df.unpersist()
