@@ -35,6 +35,18 @@ def token_count(text: Column) -> Column:
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
 
 
+def sql_token_count_duck(col: str) -> str:
+    """DuckDB oracle twin of :func:`token_count` — THE single SQL
+    rendering of the whitespace tokenization rule (x73/x75 oracles
+    inline it; keeping one definition prevents the rule drifting
+    between entries)."""
+    return (
+        f"CASE WHEN TRIM({col}) = '' THEN 0"
+        f" ELSE LEN(regexp_split_to_array(TRIM({col}), '\\s+'))"
+        f" END"
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: split on word/non-word boundaries the way
     byte-pair tokenizers fragment text (letters+digits runs vs punct),

@@ -145,18 +145,26 @@ def sql_html_doc() -> str:
     covered inputs: %7 drops the <title> element entirely (the no-match
     path), %4 sets the anchor count 0-3 (the zero-repeat path), %5
     varies the link host.
+
+    The embedded text is angle-bracket-SANITIZED and the title content
+    is prefixed so it is never empty: a real fetch escapes entities, and
+    here it guarantees the page's only markup is the markup this
+    builder wrote — so the extraction invariants (title NULL iff the
+    element is absent, anchor count == the %4 axis) hold for ANY
+    document text the driver regenerates, not just the current corpus.
     """
+    clean = "REPLACE(REPLACE(COALESCE(text, ''), '<', ' '), '>', ' ')"
     title = (
         "CASE WHEN doc_id % 7 = 0 THEN ''"
-        " ELSE CONCAT('<title>', TRIM(SUBSTR(COALESCE(text, ''), 1, 24)),"
-        " '</title>') END"
+        " ELSE CONCAT('<title>doc ', doc_id, ' ',"
+        f" TRIM(SUBSTR({clean}, 1, 24)), '</title>') END"
     )
     link = (
         "CONCAT('<a href=\"https://h', doc_id % 5, '.example/p\">x</a>')"
     )
     return (
         f"CONCAT('<html><head>', {title}, '</head><body><p>',"
-        f" SUBSTR(COALESCE(text, ''), 1, 200), '</p>',"
+        f" SUBSTR({clean}, 1, 200), '</p>',"
         f" REPEAT({link}, CAST(doc_id % 4 AS INT)), '</body></html>')"
     )
 

@@ -2093,15 +2093,16 @@ def x71_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
     CRAWL_RANK_SQL as _X73_HASH,  # ONE Knuth-hash definition (web.py) shared with x67
 )
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+    sql_token_count_duck as _TOKS_DUCK,  # ONE oracle rendering of token_count
+)
+
 _X73_BUDGET = "CAST(FLOOR(SQRT(CAST(total_toks AS DOUBLE)) * 32.0) AS BIGINT)"
 _X73_WIN = f"(PARTITION BY source ORDER BY {_X73_HASH}, doc_id)"
 
 _X73_ORACLE = rf"""
     WITH d AS (
-        SELECT doc_id, source,
-               CASE WHEN TRIM(text) = '' THEN 0
-                    ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
-               END AS n_toks
+        SELECT doc_id, source, {_TOKS_DUCK('text')} AS n_toks
         FROM documents
     ),
     s AS (
@@ -2205,9 +2206,7 @@ def x73_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X75_K = 8
 # weight = n_toks + 1: strictly positive so every doc advances the
 # cumulative axis and the walk cannot stall on empty docs
-_X75_W_DUCK = """CASE WHEN TRIM(text) = '' THEN 0
-                    ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
-               END + 1"""
+_X75_W_DUCK = f"{_TOKS_DUCK('text')} + 1"
 _X75_CUM = f"""SUM(w_toks) OVER (PARTITION BY source
                                  ORDER BY {_X73_HASH}, doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING

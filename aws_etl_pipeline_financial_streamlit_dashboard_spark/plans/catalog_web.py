@@ -21,6 +21,8 @@ from pyspark.sql.window import Window
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
     CRAWL_RANK_SQL,
     sql_canon_parts,
+    sql_html_doc,
+    sql_html_fields,
     sql_raw_url,
 )
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
@@ -235,11 +237,6 @@ def x70_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # x76 — HTML field extraction (title / links / boilerplate-stripped body)
 # ===========================================================================
-
-from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (  # noqa: E402
-    sql_html_doc,
-    sql_html_fields,
-)
 
 _HTML = sql_html_doc()
 _SPARK_FIELDS = sql_html_fields("html", "spark")

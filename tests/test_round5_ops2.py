@@ -240,16 +240,17 @@ def test_weighted_sample_guarantees_heavy_doc(spark):
     """A doc heavier than total/k must ALWAYS be drawn (PPS property)."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import catalog_llm as L
 
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
+
     docs = spark.createDataFrame(
         [(i, "s", "w " * (2000 if i == 17 else 3)) for i in range(40)],
         "doc_id long, source string, text string",
     )
-    docs.createOrReplaceTempView("__x75_docs")
-    # run the same pinned expressions directly over the fixture
-    d = docs.selectExpr(
+    # run the production expressions directly over the fixture
+    d = docs.select(
         "doc_id",
         "source",
-        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) + 1 AS w_toks",
+        (token_count(F.col("text")).cast("bigint") + 1).alias("w_toks"),
     )
     c = d.selectExpr(
         "source",
