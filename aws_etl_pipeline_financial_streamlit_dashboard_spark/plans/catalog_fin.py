@@ -1481,3 +1481,124 @@ def q69_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({_Q69_MATCH}) * (sell_u - buy_u) AS BIGINT)"
         ).alias("pnl_micro"),
     )
+
+
+# ===========================================================================
+# q70 — SMA crossover signals (golden / death cross)
+# ===========================================================================
+
+# The crossing test needs NO division at all: fast-SMA > slow-SMA
+# ⟺ f_sum·s_n > s_sum·f_n by cross-multiplication, and both sides are
+# exact int64 (close centis ≤ 5e4, frame sums ≤ 20·5e4, products
+# ≤ 2e7 — five orders under the bound). The signal is a sign CHANGE:
+# LAG of the per-day state, emitted only where both today's and
+# yesterday's slow window are fully warm.
+_Q70_F_WIN = """(PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+_Q70_S_WIN = """(PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"""
+_Q70_LAG_WIN = "(PARTITION BY event_type ORDER BY day)"
+_Q70_STATE = """CASE WHEN f_sum * s_n > s_sum * f_n THEN 1
+                    WHEN f_sum * s_n < s_sum * f_n THEN -1
+                    ELSE 0 END"""
+
+_SMA_CROSS_ORACLE = rf"""
+    WITH {_daily_close_cte(sql_day_from_us_duckdb('epoch_us(ts)'))},
+    w AS (
+        SELECT event_type, day,
+               CAST(SUM(close_c) OVER {_Q70_F_WIN} AS BIGINT) AS f_sum,
+               CAST(COUNT(*) OVER {_Q70_F_WIN} AS BIGINT) AS f_n,
+               CAST(SUM(close_c) OVER {_Q70_S_WIN} AS BIGINT) AS s_sum,
+               CAST(COUNT(*) OVER {_Q70_S_WIN} AS BIGINT) AS s_n
+        FROM dc
+    ),
+    st AS (
+        SELECT event_type, day, f_sum, s_sum, f_n, s_n,
+               {_Q70_STATE} AS state
+        FROM w
+    ),
+    lg AS (
+        SELECT event_type, day, f_sum, s_sum, s_n, state,
+               LAG(state) OVER {_Q70_LAG_WIN} AS prev_state,
+               LAG(s_n) OVER {_Q70_LAG_WIN} AS prev_n
+        FROM st
+    )
+    SELECT event_type, day, f_sum, s_sum,
+           CASE WHEN state = 1 THEN 'golden' ELSE 'death' END AS signal
+    FROM lg
+    WHERE s_n = 20 AND prev_n = 20
+      AND ((state = 1 AND prev_state <= 0)
+           OR (state = -1 AND prev_state >= 0))
+"""
+
+
+@register(
+    "q70_sma_crossover",
+    _SMA_CROSS_ORACLE,
+    doc="""Moving-average crossover signals: the days where the 5-day
+    SMA of the daily close crosses above (golden cross) or below
+    (death cross) the 20-day SMA — the entry/exit trigger the
+    indicator tier (q53 EWMA, q60 Bollinger, q65 RSI) feeds into.
+    Entirely division-free: SMA comparison by int64
+    cross-multiplication (f_sum·s_n vs s_sum·f_n on exact close
+    centis), crossing = sign change of that state via LAG, emitted
+    only where today's AND yesterday's slow window are fully warm
+    (20 rows), so no partial-window false signals. A tie day
+    (state 0) resolves to whichever side the state leaves it on —
+    documented, deterministic.
+
+    Spark plan: the shared checkpointed daily-close aggregate
+    (_daily_close_spark: one partial-agg tick shuffle to
+    |symbols|×|days| rows), then ONE window exchange on event_type
+    evaluates both ROWS frames and the LAG in the same sort order —
+    three specs, one shuffle, O(1) state per row (20 lag slots). All
+    outputs are exact integers or literals; the oracle BIGINT-casts
+    its window sums (the HUGEINT fetch-path class). At 100 TB the
+    window key is a symbol — the catalog's documented hot-window
+    class, O(1)-per-row state (docs/SCALE.md).""",
+)
+def q70_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dc = _daily_close_spark(spark, sf_dir)
+    w = dc.select(
+        "event_type",
+        "day",
+        F.expr(f"CAST(SUM(close_c) OVER {_Q70_F_WIN} AS BIGINT)").alias("f_sum"),
+        F.expr(f"CAST(COUNT(*) OVER {_Q70_F_WIN} AS BIGINT)").alias("f_n"),
+        F.expr(f"CAST(SUM(close_c) OVER {_Q70_S_WIN} AS BIGINT)").alias("s_sum"),
+        F.expr(f"CAST(COUNT(*) OVER {_Q70_S_WIN} AS BIGINT)").alias("s_n"),
+    )
+    st = w.select(
+        "event_type",
+        "day",
+        "f_sum",
+        "s_sum",
+        "f_n",
+        "s_n",
+        F.expr(_Q70_STATE).alias("state"),
+    )
+    lg = st.select(
+        "event_type",
+        "day",
+        "f_sum",
+        "s_sum",
+        "s_n",
+        "state",
+        F.expr(f"LAG(state) OVER {_Q70_LAG_WIN}").alias("prev_state"),
+        F.expr(f"LAG(s_n) OVER {_Q70_LAG_WIN}").alias("prev_n"),
+    )
+    return lg.filter(
+        (F.col("s_n") == 20)
+        & (F.col("prev_n") == 20)
+        & (
+            ((F.col("state") == 1) & (F.col("prev_state") <= 0))
+            | ((F.col("state") == -1) & (F.col("prev_state") >= 0))
+        )
+    ).select(
+        "event_type",
+        "day",
+        "f_sum",
+        "s_sum",
+        F.expr("CASE WHEN state = 1 THEN 'golden' ELSE 'death' END").alias(
+            "signal"
+        ),
+    )

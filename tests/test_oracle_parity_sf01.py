@@ -75,6 +75,7 @@ SENSITIVE = [
     "q69_fifo_lot_matching",
     "x75_weighted_systematic_sample",
     "x76_html_field_extract",
+    "q70_sma_crossover",
 ]
 
 

@@ -153,7 +153,6 @@ def test_streaming_upsert_is_keyed_and_idempotent(spark, sf_dir):
 
 
 def test_fifo_conserves_matched_quantity(spark, sf_dir):
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
 
     pairs = _run(spark, sf_dir, "q69_fifo_lot_matching").cache()
@@ -285,5 +284,36 @@ def test_html_extract_fields_track_synthesis_axes(spark, sf_dir):
         assert df.filter(
             (F.col("markup_pct") < 0) | (F.col("markup_pct") > 100)
         ).count() == 0
+    finally:
+        df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# q70 — SMA crossover invariants
+# ---------------------------------------------------------------------------
+
+
+def test_sma_crossover_signals_self_consistent(spark, sf_dir):
+    df = _run(spark, sf_dir, "q70_sma_crossover").cache()
+    try:
+        assert df.count() > 0
+        # one signal per (symbol, day)
+        assert (
+            df.select("event_type", "day").distinct().count() == df.count()
+        )
+        # on warm rows f_n = 5 and s_n = 20 by construction, so the
+        # emitted label must agree with the cross-multiplied state
+        bad = df.filter(
+            (
+                (F.col("signal") == "golden")
+                & (F.col("f_sum") * 20 <= F.col("s_sum") * 5)
+            )
+            | (
+                (F.col("signal") == "death")
+                & (F.col("f_sum") * 20 >= F.col("s_sum") * 5)
+            )
+        )
+        assert bad.count() == 0
+        assert df.filter(~F.col("signal").isin("golden", "death")).count() == 0
     finally:
         df.unpersist()
