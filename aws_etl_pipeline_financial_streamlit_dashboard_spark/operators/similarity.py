@@ -931,3 +931,53 @@ def lsh_pairs_oracle_sql(
              JOIN src eb ON eb.{id_col} = cand.id_b)
     SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= {threshold}
     """
+
+
+def sql_dequantize_int8(
+    dim: int, engine: str, vec_col: str = "embedding"
+) -> dict[str, str]:
+    """Shared-template SQL for symmetric int8 de/re-quantization —
+    the round-trip :func:`quantize_int8_audit` audits, as a VECTOR so
+    a search kernel can consume it. Returns ``scale`` (per-vector
+    max|v|/127, computed over ``vec_col``) and ``deq`` (the
+    dequantized array ``q_i · scale``, referencing ``__scale``). One
+    Python chain renders both engines (0- vs 1-based indexing and
+    Spark's D-suffixed double literals are the only splits), so every
+    float op happens in the same order and parity is exact."""
+    if engine == "duckdb":
+        v = lambda i: f"cast({vec_col}[{i + 1}] as double)"  # noqa: E731
+        z, sfx = "0.0", ""
+        wrap = lambda es: "[" + ", ".join(es) + "]"  # noqa: E731
+    else:
+        v = lambda i: f"cast(get({vec_col}, {i}) as double)"  # noqa: E731
+        z, sfx = "0.0D", "D"
+        wrap = lambda es: "array(" + ", ".join(es) + ")"  # noqa: E731
+    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
+    qi = lambda i: (  # noqa: E731
+        f"(case when __scale = {z} then {z} else "
+        f"greatest(least(floor({v(i)} / __scale + 0.5{sfx}), 127.0{sfx}),"
+        f" -127.0{sfx}) end)"
+    )
+    return {
+        "scale": f"{absmax} / 127.0{sfx}",
+        "deq": wrap([f"({qi(i)} * __scale)" for i in range(dim)]),
+    }
+
+
+def dequantize_int8(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) with the int8 quantize→dequantize round trip applied —
+    what a serving index actually searches after 4× compression. Two
+    narrow projections (scale, then the dim-unrolled array); Catalyst's
+    GetArrayItem-over-CreateArray simplification lets a downstream
+    unrolled kernel consume elements without materializing the array."""
+    parts = sql_dequantize_int8(dim, "spark", vec_col)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(parts["scale"]).alias("__scale"),
+    ).select(id_col, F.expr(parts["deq"]).alias(vec_col))

@@ -814,7 +814,7 @@ _SAMPLER_FRONT_R5 = [
     "x73_token_budget_mix", "x74_matryoshka_recall",
     "s16_streaming_upsert",
     "q69_fifo_lot_matching", "x75_weighted_systematic_sample",
-    "x76_html_field_extract", "q70_sma_crossover",
+    "x76_html_field_extract", "q70_sma_crossover", "x77_int8_recall",
 ]
 
 

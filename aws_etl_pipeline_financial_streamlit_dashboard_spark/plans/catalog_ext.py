@@ -1547,3 +1547,88 @@ def x74_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.filter(F.col("vec_id") % mod == 1), fan_out(tr), k=k, dim=trunc
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, approx, k)
+
+
+# ===========================================================================
+# x77 — int8 quantization recall eval (completes the index-eval triad)
+# ===========================================================================
+
+
+def _x77_oracle(mod: int = 29, k: int = 10, dim: int = 64) -> str:
+    parts = S.sql_dequantize_int8(dim, "duckdb")
+    cos_full = S.duckdb_cosine_sql("e.embedding", "exq.qv")
+    cos_q = S.duckdb_cosine_sql("e.deq", "dq.qv")
+    return f"""
+    WITH sc AS (SELECT vec_id, embedding, {parts['scale']} AS __scale
+                FROM embeddings),
+    dqv AS (SELECT vec_id, {parts['deq']} AS deq FROM sc),
+    exq AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {mod} = 1),
+    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
+                   {cos_full} AS cosine_sim
+            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
+    exr AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM exs),
+    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k}),
+    dq AS (SELECT vec_id AS query_id, deq AS qv
+           FROM dqv WHERE vec_id % {mod} = 1),
+    qs AS (SELECT dq.query_id, e.vec_id AS neighbor_id,
+                  {cos_q} AS cosine_sim
+           FROM dqv e, dq WHERE e.vec_id <> dq.query_id),
+    qrk AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM qs),
+    q_k AS (SELECT query_id, neighbor_id FROM qrk WHERE rn <= {k})
+    SELECT ex.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
+                AS BIGINT) AS recall_pct
+    FROM exact ex
+    LEFT JOIN q_k a
+      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register(
+    "x77_int8_recall",
+    _x77_oracle(),
+    doc="""Int8-quantization recall eval — the third leg of the
+    index-eval triad: x72 prices an approximate INDEX (LSH), x74
+    prices lossy DIMENSIONS (matryoshka truncation), x77 prices lossy
+    PRECISION: recall@10 of exact cosine search over the int8
+    quantize→dequantize round trip (x39's audited compression, as the
+    vectors a 4×-compressed serving index actually searches) against
+    float ground truth, per sampled query.
+
+    Both neighbor sets come from the same pinned brute-force kernel
+    (rounded cosine + id tiebreak); the dequantized vectors are ONE
+    shared dim-unrolled expression chain rendered for both engines
+    (sql_dequantize_int8 — floor/greatest/least/mult on per-row
+    values, IEEE-deterministic), so even the lossy side is bit-exact
+    across engines. Spark side stays codegen: the dequantized array is
+    a narrow projection whose elements the unrolled kernel consumes
+    via Catalyst's GetArrayItem-over-CreateArray simplification — no
+    HOF walks, no UDFs, and the only shuffles are the kernel's
+    skew-safe two-phase top-k. At 100 TB the eval runs on a sampled
+    query set by construction (mod-hash sampling), so cost scales with
+    |Q|·|corpus|, the same economics as x72/x74.""",
+)
+def x77_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    mod, k, dim = 29, 10, 64
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dq = S.dequantize_int8(emb, dim)
+    exact = S.knn_join_brute_force(
+        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
+    ).select("query_id", "neighbor_id")
+    approx = S.knn_join_brute_force(
+        dq.filter(F.col("vec_id") % mod == 1), fan_out(dq), k=k, dim=dim
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, approx, k)

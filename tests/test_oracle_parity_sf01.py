@@ -76,6 +76,7 @@ SENSITIVE = [
     "x75_weighted_systematic_sample",
     "x76_html_field_extract",
     "q70_sma_crossover",
+    "x77_int8_recall",
 ]
 
 

@@ -103,7 +103,10 @@ def test_recursive_hierarchy_depth_is_digit_count(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("name", ["x72_ann_recall_eval", "x74_matryoshka_recall"])
+@pytest.mark.parametrize(
+    "name",
+    ["x72_ann_recall_eval", "x74_matryoshka_recall", "x77_int8_recall"],
+)
 def test_recall_entries_cover_all_queries_with_bounded_recall(
     spark, sf_dir, name
 ):
