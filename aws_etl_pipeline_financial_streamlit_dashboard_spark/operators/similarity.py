@@ -636,24 +636,22 @@ def quantize_int8_audit(
     generates the SAME explicit expression chain for DuckDB, so float
     accumulation order is identical by construction and parity is
     exact."""
-    v = lambda i: f"cast(get({vec_col}, {i}) as double)"  # noqa: E731
-    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
-    qi = lambda i: (  # noqa: E731
-        f"(case when __scale = 0.0D then 0.0D else "
-        f"greatest(least(floor({v(i)} / __scale + 0.5D), 127.0D), -127.0D) end)"
-    )
+    c = _int8_chain(dim, "spark", vec_col)
+    v, qi, sfx = c["v"], c["qi"], c["sfx"]
     err = lambda i: f"abs({v(i)} - {qi(i)} * __scale)"  # noqa: E731
-    q_sum = "cast(0.0D + " + " + ".join(qi(i) for i in range(dim)) + " as bigint)"
+    q_sum = (
+        f"cast(0.0{sfx} + " + " + ".join(qi(i) for i in range(dim)) + " as bigint)"
+    )
     n_sat = (
         "cast(0 + "
-        + " + ".join(f"(case when abs({qi(i)}) >= 127.0D then 1 else 0 end)" for i in range(dim))
+        + " + ".join(f"(case when abs({qi(i)}) >= 127.0{sfx} then 1 else 0 end)" for i in range(dim))
         + " as int)"
     )
     max_err = "greatest(" + ",".join(err(i) for i in range(dim)) + ")"
-    sum_err = "(0.0D + " + " + ".join(err(i) for i in range(dim)) + ")"
+    sum_err = f"(0.0{sfx} + " + " + ".join(err(i) for i in range(dim)) + ")"
     return (
         embeddings.select(
-            F.col(id_col), F.col(vec_col), F.expr(absmax + " / 127.0D").alias("__scale")
+            F.col(id_col), F.col(vec_col), F.expr(c["scale"]).alias("__scale")
         )
         .select(
             id_col,
@@ -672,12 +670,8 @@ def quantize_int8_oracle_sql(
     """DuckDB twin of :func:`quantize_int8_audit`: the same explicit
     dim-unrolled expression chain (1-based ``[]`` indexing instead of
     0-based ``get``), so every float op happens in the same order."""
-    v = lambda i: f"cast({vec_col}[{i + 1}] as double)"  # noqa: E731
-    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
-    qi = lambda i: (  # noqa: E731
-        f"(case when __scale = 0.0 then 0.0 else "
-        f"greatest(least(floor({v(i)} / __scale + 0.5), 127.0), -127.0) end)"
-    )
+    c = _int8_chain(dim, "duckdb", vec_col)
+    v, qi = c["v"], c["qi"]
     err = lambda i: f"abs({v(i)} - {qi(i)} * __scale)"  # noqa: E731
     q_sum = "cast(0.0 + " + " + ".join(qi(i) for i in range(dim)) + " as bigint)"
     n_sat = (
@@ -690,7 +684,7 @@ def quantize_int8_oracle_sql(
     rq6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
     return f"""
     WITH s AS (
-        SELECT {id_col}, {vec_col}, {absmax} / 127.0 AS __scale
+        SELECT {id_col}, {vec_col}, {c["scale"]} AS __scale
         FROM {table}
     )
     SELECT {id_col},
@@ -933,6 +927,30 @@ def lsh_pairs_oracle_sql(
     """
 
 
+def _int8_chain(dim: int, engine: str, vec_col: str = "embedding") -> dict:
+    """THE single definition of the symmetric int8 quantization
+    expression chain, rendered per engine: ``v(i)`` element access
+    (0-based ``get`` vs 1-based ``[]``), ``qi(i)`` the clamp-floor
+    quantized code (referencing ``__scale``), ``scale`` = max|v|/127,
+    plus the ``z``/``sfx`` literal dialect bits. quantize_int8_audit,
+    quantize_int8_oracle_sql and sql_dequantize_int8 all render from
+    here, so the scheme cannot drift between the audit (x39) and the
+    recall eval (x77)."""
+    if engine == "duckdb":
+        v = lambda i: f"cast({vec_col}[{i + 1}] as double)"  # noqa: E731
+        z, sfx = "0.0", ""
+    else:
+        v = lambda i: f"cast(get({vec_col}, {i}) as double)"  # noqa: E731
+        z, sfx = "0.0D", "D"
+    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
+    qi = lambda i: (  # noqa: E731
+        f"(case when __scale = {z} then {z} else "
+        f"greatest(least(floor({v(i)} / __scale + 0.5{sfx}), 127.0{sfx}),"
+        f" -127.0{sfx}) end)"
+    )
+    return {"v": v, "qi": qi, "scale": f"{absmax} / 127.0{sfx}", "z": z, "sfx": sfx}
+
+
 def sql_dequantize_int8(
     dim: int, engine: str, vec_col: str = "embedding"
 ) -> dict[str, str]:
@@ -941,27 +959,17 @@ def sql_dequantize_int8(
     a search kernel can consume it. Returns ``scale`` (per-vector
     max|v|/127, computed over ``vec_col``) and ``deq`` (the
     dequantized array ``q_i · scale``, referencing ``__scale``). One
-    Python chain renders both engines (0- vs 1-based indexing and
-    Spark's D-suffixed double literals are the only splits), so every
-    float op happens in the same order and parity is exact."""
-    if engine == "duckdb":
-        v = lambda i: f"cast({vec_col}[{i + 1}] as double)"  # noqa: E731
-        z, sfx = "0.0", ""
-        wrap = lambda es: "[" + ", ".join(es) + "]"  # noqa: E731
-    else:
-        v = lambda i: f"cast(get({vec_col}, {i}) as double)"  # noqa: E731
-        z, sfx = "0.0D", "D"
-        wrap = lambda es: "array(" + ", ".join(es) + ")"  # noqa: E731
-    absmax = "greatest(" + ",".join(f"abs({v(i)})" for i in range(dim)) + ")"
-    qi = lambda i: (  # noqa: E731
-        f"(case when __scale = {z} then {z} else "
-        f"greatest(least(floor({v(i)} / __scale + 0.5{sfx}), 127.0{sfx}),"
-        f" -127.0{sfx}) end)"
+    Python chain (:func:`_int8_chain`) renders both engines (0- vs
+    1-based indexing and Spark's D-suffixed double literals are the
+    only splits), so every float op happens in the same order and
+    parity is exact."""
+    c = _int8_chain(dim, engine, vec_col)
+    qi = c["qi"]
+    es = [f"({qi(i)} * __scale)" for i in range(dim)]
+    deq = ("[" + ", ".join(es) + "]") if engine == "duckdb" else (
+        "array(" + ", ".join(es) + ")"
     )
-    return {
-        "scale": f"{absmax} / 127.0{sfx}",
-        "deq": wrap([f"({qi(i)} * __scale)" for i in range(dim)]),
-    }
+    return {"scale": c["scale"], "deq": deq}
 
 
 def dequantize_int8(

@@ -1324,6 +1324,50 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _exact_gt_ctes(mod: int, k: int) -> str:
+    """exq/exs/exr/exact — the exact brute-force ground-truth CTE
+    block shared VERBATIM by the eval triad's oracles (x72/x74/x77):
+    one definition of the mod-hash query sampling, the self-exclusion,
+    and the rounded-cosine + id-tiebreak ranking, so a change to the
+    ground-truth convention cannot silently land in only one entry."""
+    cos_ex = S.duckdb_cosine_sql("e.embedding", "exq.qv")
+    return f"""exq AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {mod} = 1),
+    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
+                   {cos_ex} AS cosine_sim
+            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
+    exr AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM exs),
+    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k})"""
+
+
+def _recall_tail_sql(approx_cte: str) -> str:
+    """The triad's closing recall SELECT — the SQL twin of
+    :func:`_recall_vs_exact` (LEFT JOIN hit count, denominator the
+    query's actual ground-truth size, HALF_UP integer percent)."""
+    return f"""SELECT ex.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
+                AS BIGINT) AS recall_pct
+    FROM exact ex
+    LEFT JOIN {approx_cte} a
+      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id"""
+
+
+def _exact_topk_spark(emb: DataFrame, mod: int, k: int, dim: int) -> DataFrame:
+    """Spark twin of :func:`_exact_gt_ctes`: the triad's shared float
+    ground truth (mod-hash-sampled queries, skew-safe brute-force
+    top-k with the same rounded-cosine + id tiebreak)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    return S.knn_join_brute_force(
+        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
+    ).select("query_id", "neighbor_id")
+
 
 def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                 n_planes: int = 4, n_tables: int = 8) -> str:
@@ -1334,7 +1378,6 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     )
     collide = " OR ".join(f"c.b{t} = qb.b{t}" for t in range(n_tables))
     cos_ap = S.duckdb_cosine_sql("e.embedding", "q.embedding")
-    cos_ex = S.duckdb_cosine_sql("e.embedding", "exq.qv")
     return f"""
     WITH vm AS (SELECT vec_id, {vm} AS xm FROM embeddings),
     b AS (SELECT vec_id,
@@ -1354,25 +1397,8 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                        AS rn
             FROM ap),
     approx AS (SELECT query_id, neighbor_id FROM apr WHERE rn <= {k}),
-    exq AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id % {mod} = 1),
-    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
-                   {cos_ex} AS cosine_sim
-            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
-    exr AS (SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine_sim DESC, neighbor_id)
-                       AS rn
-            FROM exs),
-    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k})
-    SELECT ex.query_id,
-           COUNT(a.neighbor_id) AS n_hits,
-           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
-                AS BIGINT) AS recall_pct
-    FROM exact ex
-    LEFT JOIN approx a
-      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
-    GROUP BY ex.query_id
+    {_exact_gt_ctes(mod, k)}
+    {_recall_tail_sql('approx')}
     """
 
 
@@ -1399,7 +1425,6 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     occupancy), not corpus².""",
 )
 def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
 
     mod, k, dim, n_planes, n_tables = 29, 10, 64, 4, 8
@@ -1407,9 +1432,7 @@ def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_q = F.col("vec_id") % mod == 1
     queries = emb.filter(is_q)
 
-    exact = S.knn_join_brute_force(queries, fan_out(emb), k=k, dim=dim).select(
-        "query_id", "neighbor_id"
-    )
+    exact = _exact_topk_spark(emb, mod, k, dim)
 
     # the bucket table feeds BOTH probe sides (queries and corpus);
     # checkpoint it so the explode + 32-conditional-sum aggregate runs
@@ -1474,23 +1497,12 @@ def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x74_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                 trunc: int = 16) -> str:
-    cos_full = S.duckdb_cosine_sql("e.embedding", "exq.qv")
     cos_tr = S.duckdb_cosine_sql("e.emb_t", "tq.qv")
     return f"""
     WITH tr AS (SELECT vec_id, embedding,
                        list_slice(embedding, 1, {trunc}) AS emb_t
                 FROM embeddings),
-    exq AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id % {mod} = 1),
-    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
-                   {cos_full} AS cosine_sim
-            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
-    exr AS (SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine_sim DESC, neighbor_id)
-                       AS rn
-            FROM exs),
-    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k}),
+    {_exact_gt_ctes(mod, k)},
     tq AS (SELECT vec_id AS query_id, emb_t AS qv
            FROM tr WHERE vec_id % {mod} = 1),
     ts AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
@@ -1502,14 +1514,7 @@ def _x74_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                        AS rn
             FROM ts),
     trunc_k AS (SELECT query_id, neighbor_id FROM trk WHERE rn <= {k})
-    SELECT ex.query_id,
-           COUNT(a.neighbor_id) AS n_hits,
-           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
-                AS BIGINT) AS recall_pct
-    FROM exact ex
-    LEFT JOIN trunc_k a
-      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
-    GROUP BY ex.query_id
+    {_recall_tail_sql('trunc_k')}
     """
 
 
@@ -1540,9 +1545,7 @@ def x74_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = emb.select(
         "vec_id", F.slice("embedding", 1, trunc).alias("embedding")
     )
-    exact = S.knn_join_brute_force(
-        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
-    ).select("query_id", "neighbor_id")
+    exact = _exact_topk_spark(emb, mod, k, dim)
     approx = S.knn_join_brute_force(
         tr.filter(F.col("vec_id") % mod == 1), fan_out(tr), k=k, dim=trunc
     ).select("query_id", "neighbor_id")
@@ -1556,23 +1559,12 @@ def x74_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x77_oracle(mod: int = 29, k: int = 10, dim: int = 64) -> str:
     parts = S.sql_dequantize_int8(dim, "duckdb")
-    cos_full = S.duckdb_cosine_sql("e.embedding", "exq.qv")
     cos_q = S.duckdb_cosine_sql("e.deq", "dq.qv")
     return f"""
     WITH sc AS (SELECT vec_id, embedding, {parts['scale']} AS __scale
                 FROM embeddings),
     dqv AS (SELECT vec_id, {parts['deq']} AS deq FROM sc),
-    exq AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id % {mod} = 1),
-    exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
-                   {cos_full} AS cosine_sim
-            FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
-    exr AS (SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine_sim DESC, neighbor_id)
-                       AS rn
-            FROM exs),
-    exact AS (SELECT query_id, neighbor_id FROM exr WHERE rn <= {k}),
+    {_exact_gt_ctes(mod, k)},
     dq AS (SELECT vec_id AS query_id, deq AS qv
            FROM dqv WHERE vec_id % {mod} = 1),
     qs AS (SELECT dq.query_id, e.vec_id AS neighbor_id,
@@ -1584,14 +1576,7 @@ def _x77_oracle(mod: int = 29, k: int = 10, dim: int = 64) -> str:
                        AS rn
             FROM qs),
     q_k AS (SELECT query_id, neighbor_id FROM qrk WHERE rn <= {k})
-    SELECT ex.query_id,
-           COUNT(a.neighbor_id) AS n_hits,
-           CAST(FLOOR(100.0 * COUNT(a.neighbor_id) / COUNT(*) + 0.5)
-                AS BIGINT) AS recall_pct
-    FROM exact ex
-    LEFT JOIN q_k a
-      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
-    GROUP BY ex.query_id
+    {_recall_tail_sql('q_k')}
     """
 
 
@@ -1625,9 +1610,7 @@ def x77_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod, k, dim = 29, 10, 64
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dq = S.dequantize_int8(emb, dim)
-    exact = S.knn_join_brute_force(
-        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
-    ).select("query_id", "neighbor_id")
+    exact = _exact_topk_spark(emb, mod, k, dim)
     approx = S.knn_join_brute_force(
         dq.filter(F.col("vec_id") % mod == 1), fan_out(dq), k=k, dim=dim
     ).select("query_id", "neighbor_id")

@@ -1085,25 +1085,28 @@ def _daily_close_cte(day_expr: str) -> str:
     )"""
 
 
-def _daily_close_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_close_spark(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     t = read_table(spark, sf_dir, "events").select(
         "event_type",
         ts_micros("ts").alias("us"),
         "event_id",
         F.expr(_CLOSE_C).alias("c"),
     ).withColumn("day", F.expr(sql_day_from_us_spark("us")))
-    return (
-        t.groupBy("event_type", "day")
-        .agg(
-            F.max(F.struct("us", "event_id", "c")).getField("c").alias("close_c")
-        )
-        # |symbols|x|days| rows; both q66 (rets -> mkt + j) and q67
-        # (pair self-join) fork this aggregate — without the
-        # checkpoint each fork re-runs the tick-scale scan+agg
-        # (projection aliases defeat ReuseExchange; the q54/q64
-        # rationale verbatim)
-        .localCheckpoint(eager=True)
+    agg = t.groupBy("event_type", "day").agg(
+        F.max(F.struct("us", "event_id", "c")).getField("c").alias("close_c")
     )
+    if not checkpoint:
+        # single-consumer plans (q70) keep lineage: nothing forks, so
+        # eager materialization would be pure overhead
+        return agg
+    # |symbols|x|days| rows; both q66 (rets -> mkt + j) and q67
+    # (pair self-join) fork this aggregate — without the
+    # checkpoint each fork re-runs the tick-scale scan+agg
+    # (projection aliases defeat ReuseExchange; the q54/q64
+    # rationale verbatim)
+    return agg.localCheckpoint(eager=True)
 
 
 # Daily return in integer basis points from exact close centis: the
@@ -1490,17 +1493,31 @@ def q69_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The crossing test needs NO division at all: fast-SMA > slow-SMA
 # ⟺ f_sum·s_n > s_sum·f_n by cross-multiplication, and both sides are
 # exact int64 (close centis ≤ 5e4, frame sums ≤ 20·5e4, products
-# ≤ 2e7 — five orders under the bound). The signal is a sign CHANGE:
-# LAG of the per-day state, emitted only where both today's and
-# yesterday's slow window are fully warm.
+# ≤ 2e7 — five orders under the bound). A crossover compares today's
+# state against the LAST NON-ZERO warm state — comparing against the
+# literal previous day would let an exact-tie day (state 0, reachable
+# on integer sums) between two same-side days emit a spurious signal
+# (1→0→1 is not a cross).
 _Q70_F_WIN = """(PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
 _Q70_S_WIN = """(PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"""
-_Q70_LAG_WIN = "(PARTITION BY event_type ORDER BY day)"
 _Q70_STATE = """CASE WHEN f_sum * s_n > s_sum * f_n THEN 1
                     WHEN f_sum * s_n < s_sum * f_n THEN -1
                     ELSE 0 END"""
+
+
+def _q70_prev_nz(engine: str) -> str:
+    """Last non-zero warm state BEFORE the current row (ties and
+    warm-up days carry no state). The only dialect split is IGNORE
+    NULLS placement: DuckDB takes it inside the call parens, Spark
+    after them."""
+    frame = """(PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+    if engine == "duckdb":
+        return f"LAST_VALUE(NULLIF(state_w, 0) IGNORE NULLS) OVER {frame}"
+    return f"LAST_VALUE(NULLIF(state_w, 0)) IGNORE NULLS OVER {frame}"
+
 
 _SMA_CROSS_ORACLE = rf"""
     WITH {_daily_close_cte(sql_day_from_us_duckdb('epoch_us(ts)'))},
@@ -1513,22 +1530,20 @@ _SMA_CROSS_ORACLE = rf"""
         FROM dc
     ),
     st AS (
-        SELECT event_type, day, f_sum, s_sum, f_n, s_n,
-               {_Q70_STATE} AS state
+        SELECT event_type, day, f_sum, s_sum, s_n,
+               CASE WHEN s_n = 20 THEN {_Q70_STATE} END AS state_w
         FROM w
     ),
     lg AS (
-        SELECT event_type, day, f_sum, s_sum, s_n, state,
-               LAG(state) OVER {_Q70_LAG_WIN} AS prev_state,
-               LAG(s_n) OVER {_Q70_LAG_WIN} AS prev_n
+        SELECT event_type, day, f_sum, s_sum, s_n, state_w,
+               {_q70_prev_nz('duckdb')} AS prev_nz
         FROM st
     )
     SELECT event_type, day, f_sum, s_sum,
-           CASE WHEN state = 1 THEN 'golden' ELSE 'death' END AS signal
+           CASE WHEN state_w = 1 THEN 'golden' ELSE 'death' END AS signal
     FROM lg
-    WHERE s_n = 20 AND prev_n = 20
-      AND ((state = 1 AND prev_state <= 0)
-           OR (state = -1 AND prev_state >= 0))
+    WHERE (state_w = 1 AND prev_nz = -1)
+       OR (state_w = -1 AND prev_nz = 1)
 """
 
 
@@ -1541,24 +1556,25 @@ _SMA_CROSS_ORACLE = rf"""
     indicator tier (q53 EWMA, q60 Bollinger, q65 RSI) feeds into.
     Entirely division-free: SMA comparison by int64
     cross-multiplication (f_sum·s_n vs s_sum·f_n on exact close
-    centis), crossing = sign change of that state via LAG, emitted
-    only where today's AND yesterday's slow window are fully warm
-    (20 rows), so no partial-window false signals. A tie day
-    (state 0) resolves to whichever side the state leaves it on —
-    documented, deterministic.
+    centis); states exist only on fully-warm slow windows (20 rows),
+    and a signal fires only when today's state is the strict OPPOSITE
+    of the last non-zero warm state (IGNORE-NULLS last_value) — so
+    warm-up days and exact-tie days (state 0, reachable on integer
+    sums) carry no state and can never manufacture a cross: 1→0→1
+    emits nothing, 1→0→-1 emits the death once.
 
-    Spark plan: the shared checkpointed daily-close aggregate
-    (_daily_close_spark: one partial-agg tick shuffle to
-    |symbols|×|days| rows), then ONE window exchange on event_type
-    evaluates both ROWS frames and the LAG in the same sort order —
-    three specs, one shuffle, O(1) state per row (20 lag slots). All
-    outputs are exact integers or literals; the oracle BIGINT-casts
-    its window sums (the HUGEINT fetch-path class). At 100 TB the
-    window key is a symbol — the catalog's documented hot-window
-    class, O(1)-per-row state (docs/SCALE.md).""",
+    Spark plan: the daily-close aggregate (one partial-agg tick
+    shuffle to |symbols|×|days| rows, no checkpoint — single
+    consumer), then ONE window exchange on event_type evaluates both
+    ROWS frames and the IGNORE-NULLS carry in the same sort order —
+    three specs, one shuffle, O(1) state per row (20 lag slots + one
+    carried value). All outputs are exact integers or literals; the
+    oracle BIGINT-casts its window sums (the HUGEINT fetch-path
+    class). At 100 TB the window key is a symbol — the catalog's
+    documented hot-window class, O(1)-per-row state (docs/SCALE.md).""",
 )
 def q70_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dc = _daily_close_spark(spark, sf_dir)
+    dc = _daily_close_spark(spark, sf_dir, checkpoint=False)
     w = dc.select(
         "event_type",
         "day",
@@ -1572,33 +1588,26 @@ def q70_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "f_sum",
         "s_sum",
-        "f_n",
         "s_n",
-        F.expr(_Q70_STATE).alias("state"),
+        F.expr(f"CASE WHEN s_n = 20 THEN {_Q70_STATE} END").alias("state_w"),
     )
     lg = st.select(
         "event_type",
         "day",
         "f_sum",
         "s_sum",
-        "s_n",
-        "state",
-        F.expr(f"LAG(state) OVER {_Q70_LAG_WIN}").alias("prev_state"),
-        F.expr(f"LAG(s_n) OVER {_Q70_LAG_WIN}").alias("prev_n"),
+        "state_w",
+        F.expr(_q70_prev_nz("spark")).alias("prev_nz"),
     )
     return lg.filter(
-        (F.col("s_n") == 20)
-        & (F.col("prev_n") == 20)
-        & (
-            ((F.col("state") == 1) & (F.col("prev_state") <= 0))
-            | ((F.col("state") == -1) & (F.col("prev_state") >= 0))
-        )
+        ((F.col("state_w") == 1) & (F.col("prev_nz") == -1))
+        | ((F.col("state_w") == -1) & (F.col("prev_nz") == 1))
     ).select(
         "event_type",
         "day",
         "f_sum",
         "s_sum",
-        F.expr("CASE WHEN state = 1 THEN 'golden' ELSE 'death' END").alias(
+        F.expr("CASE WHEN state_w = 1 THEN 'golden' ELSE 'death' END").alias(
             "signal"
         ),
     )

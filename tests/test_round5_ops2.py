@@ -320,3 +320,34 @@ def test_sma_crossover_signals_self_consistent(spark, sf_dir):
         assert df.filter(~F.col("signal").isin("golden", "death")).count() == 0
     finally:
         df.unpersist()
+
+
+def test_sma_crossover_tie_reentry_is_not_a_cross(spark):
+    """1→0→1 must emit nothing (same-side re-entry through an exact
+    tie); 1→0→-1 must emit the death exactly once, carried through
+    the tie day."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import catalog_fin as CF
+
+    df = spark.createDataFrame(
+        [
+            ("A", "d01", 1),
+            ("A", "d02", 0),
+            ("A", "d03", 1),   # re-entry after tie: NOT a cross
+            ("A", "d04", -1),  # death (last non-zero was 1)
+            ("A", "d05", 0),
+            ("A", "d06", 1),   # golden, carried through the d05 tie
+            ("B", "d01", -1),  # first state ever: no prior side, no signal
+        ],
+        "event_type string, day string, state_w int",
+    )
+    lg = df.selectExpr(
+        "event_type", "day", "state_w",
+        CF._q70_prev_nz("spark") + " AS prev_nz",
+    )
+    got = sorted(
+        (r["event_type"], r["day"], r["state_w"])
+        for r in lg.filter(
+            "(state_w = 1 AND prev_nz = -1) OR (state_w = -1 AND prev_nz = 1)"
+        ).collect()
+    )
+    assert got == [("A", "d04", -1), ("A", "d06", 1)]
