@@ -815,6 +815,7 @@ _SAMPLER_FRONT_R5 = [
     "s16_streaming_upsert",
     "q69_fifo_lot_matching", "x75_weighted_systematic_sample",
     "x76_html_field_extract", "q70_sma_crossover", "x77_int8_recall",
+    "q71_candlestick_patterns",
 ]
 
 

@@ -1611,3 +1611,118 @@ def q70_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signal"
         ),
     )
+
+
+# ===========================================================================
+# q71 — candlestick pattern flags (doji / hammer / bullish engulfing)
+# ===========================================================================
+
+# Pattern predicates are PURE integer comparisons on centi-quantized
+# daily bars (body/range/shadow arithmetic and the engulfing LAG test
+# never divide), so cross-engine parity is bit-exact with no float
+# anywhere. Flags emit as 0/1 ints (CASE, not engine booleans).
+_Q71_BARS = """
+    r AS (
+        SELECT event_type, day, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY us DESC, event_id DESC) AS rn_d
+        FROM t
+    ),
+    bars AS (
+        SELECT event_type, day,
+               MAX(CASE WHEN rn_a = 1 THEN c END) AS o,
+               MAX(c) AS h,
+               MIN(c) AS l,
+               MAX(CASE WHEN rn_d = 1 THEN c END) AS c
+        FROM r
+        GROUP BY event_type, day
+    )"""
+_Q71_LAG = "(PARTITION BY event_type ORDER BY day)"
+# body/range/shadows; 10x scaling instead of a 0.1 fraction
+_Q71_DOJI = "CASE WHEN ABS(c - o) * 10 <= (h - l) THEN 1 ELSE 0 END"
+_Q71_HAMMER = """CASE WHEN (LEAST(o, c) - l) >= 2 * ABS(c - o)
+                      AND (h - GREATEST(o, c)) <= ABS(c - o)
+                      AND h > l THEN 1 ELSE 0 END"""
+_Q71_ENGULF = """CASE WHEN po IS NOT NULL AND po > pc AND c > o
+                      AND o <= pc AND c >= po THEN 1 ELSE 0 END"""
+
+_CANDLE_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, {sql_day_from_us_duckdb('epoch_us(ts)')} AS day,
+               epoch_us(ts) AS us, event_id, {_CLOSE_C} AS c
+        FROM events
+    ),
+    {_Q71_BARS},
+    lagged AS (
+        SELECT event_type, day, o, h, l, c,
+               LAG(o) OVER {_Q71_LAG} AS po,
+               LAG(c) OVER {_Q71_LAG} AS pc
+        FROM bars
+    )
+    SELECT event_type, day, o, h, l, c,
+           {_Q71_DOJI} AS is_doji,
+           {_Q71_HAMMER} AS is_hammer,
+           {_Q71_ENGULF} AS is_bullish_engulf
+    FROM lagged
+"""
+
+
+@register(
+    "q71_candlestick_patterns",
+    _CANDLE_ORACLE,
+    doc="""Candlestick pattern detection over daily bars: doji (body ≤
+    10% of range), hammer (lower shadow ≥ 2× body, upper shadow ≤
+    body), and bullish engulfing (today's bullish body engulfs
+    yesterday's bearish body — the one two-bar pattern, via LAG) — the
+    signal layer a charting front end draws on top of q55's candles.
+    Every predicate is integer arithmetic on centi-quantized prices
+    (the 10% test is body·10 ≤ range, never a fraction), flags are
+    CASE-emitted 0/1 ints, so parity is bit-exact with no float or
+    boolean-type dialect anywhere.
+
+    Spark plan: q55's mergeable struct-extreme aggregate builds the
+    bars (ONE partial-aggregating shuffle keyed (symbol, day) — open
+    and close are min/max over (us, event_id, price) structs, never a
+    whole-partition sort; the oracle states the same bars with the
+    portable ROW_NUMBER form), then one window exchange on symbol for
+    the LAG pair, then a narrow flag projection. All rows emit (flags
+    0 on pattern-free days) so the result also pins the bars
+    themselves. At 100 TB: |symbols|×|days| output, the documented
+    hot-window class with O(1) per-row state.""",
+)
+def q71_candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.expr(_CLOSE_C).alias("c"),
+    ).withColumn("day", F.expr(sql_day_from_us_spark("us")))
+    bars = t.groupBy("event_type", "day").agg(
+        F.min(F.struct("us", "event_id", "c")).getField("c").alias("o"),
+        F.max("c").alias("h"),
+        F.min("c").alias("l"),
+        F.max(F.struct("us", "event_id", "c")).getField("c").alias("c"),
+    )
+    lagged = bars.select(
+        "event_type",
+        "day",
+        "o",
+        "h",
+        "l",
+        "c",
+        F.expr(f"LAG(o) OVER {_Q71_LAG}").alias("po"),
+        F.expr(f"LAG(c) OVER {_Q71_LAG}").alias("pc"),
+    )
+    return lagged.select(
+        "event_type",
+        "day",
+        "o",
+        "h",
+        "l",
+        "c",
+        F.expr(_Q71_DOJI).alias("is_doji"),
+        F.expr(_Q71_HAMMER).alias("is_hammer"),
+        F.expr(_Q71_ENGULF).alias("is_bullish_engulf"),
+    )

@@ -77,6 +77,7 @@ SENSITIVE = [
     "x76_html_field_extract",
     "q70_sma_crossover",
     "x77_int8_recall",
+    "q71_candlestick_patterns",
 ]
 
 

@@ -351,3 +351,29 @@ def test_sma_crossover_tie_reentry_is_not_a_cross(spark):
         ).collect()
     )
     assert got == [("A", "d04", -1), ("A", "d06", 1)]
+
+
+def test_candlestick_flags_recomputable_from_emitted_bars(spark, sf_dir):
+    """The output carries the bars themselves, so every flag must be
+    recomputable from the row (+ the previous day's bar for the
+    engulfing) — pins the predicates against the emitted data."""
+    rows = _run(spark, sf_dir, "q71_candlestick_patterns").collect()
+    assert rows
+    prev = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        body, rng = abs(r["c"] - r["o"]), r["h"] - r["l"]
+        assert r["is_doji"] == int(body * 10 <= rng)
+        assert r["is_hammer"] == int(
+            (min(r["o"], r["c"]) - r["l"]) >= 2 * body
+            and (r["h"] - max(r["o"], r["c"])) <= body
+            and r["h"] > r["l"]
+        )
+        p = prev.get(r["event_type"])
+        assert r["is_bullish_engulf"] == int(
+            p is not None
+            and p["o"] > p["c"]
+            and r["c"] > r["o"]
+            and r["o"] <= p["c"]
+            and r["c"] >= p["o"]
+        )
+        prev[r["event_type"]] = r
