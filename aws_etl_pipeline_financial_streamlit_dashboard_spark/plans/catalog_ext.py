@@ -1296,8 +1296,10 @@ def x64_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of an approx neighbor set against the exact
-    ground truth: |approx ∩ exact| / k as an integer percent (both
-    sets are deterministic, so the recall itself hash-checks). Every
+    ground truth: |approx ∩ exact| / |exact| as an integer percent —
+    the denominator is the query's ACTUAL ground-truth size (= k except
+    for tie-truncated or small corpora), not the nominal k (both sets
+    are deterministic, so the recall itself hash-checks). Every
     ground-truth query appears in the output — zero-candidate queries
     score 0 rather than vanish."""
     inter = exact.join(approx, ["query_id", "neighbor_id"])

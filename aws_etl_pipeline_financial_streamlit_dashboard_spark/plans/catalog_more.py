@@ -1206,7 +1206,22 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
-    li_t, od_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    # Bucket count scales with the fact data: scan parallelism of a
+    # bucketed table IS its bucket count (one task reads bucket i of
+    # both sides), so 8 buckets of a 1 GB+ lineitem would idle 3/4 of
+    # a 32-core host — measured 2.6× slower at sf10. Under ~100 MB the
+    # smaller count keeps driver-sf0.01 runs from strewing tiny files.
+    # The count is part of the table name so a layout change never
+    # silently reuses tables bucketed differently.
+    try:
+        li_bytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:  # directory-of-parts layout
+        li_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet", f))
+            for f in os.listdir(os.path.join(sf_dir, "lineitem.parquet"))
+        )
+    n_buckets = 8 if li_bytes < (100 << 20) else 32
+    li_t, od_t = f"lineitem_bkt_{tag}_{n_buckets}", f"orders_bkt_{tag}_{n_buckets}"
     cache_key = (spark.sparkContext.applicationId, li_t, od_t)
     if cache_key in _BUCKETED_READY:
         return li_t, od_t
@@ -1226,7 +1241,7 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 "l_orderkey", "l_extendedprice", "l_discount"
             ),
             li_t,
-            8,
+            n_buckets,
             ["l_orderkey"],
         )
         write_bucketed(
@@ -1234,7 +1249,7 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 "o_orderkey", "o_custkey", "o_orderdate"
             ),
             od_t,
-            8,
+            n_buckets,
             ["o_orderkey"],
         )
     _BUCKETED_READY.add(cache_key)
@@ -1276,20 +1291,26 @@ def q34_star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed sort-merge path: at toy scale the orders side fits the
     # broadcast threshold, which would silently bypass the bucketed
     # join this entry demonstrates; at 100 TB neither fact side
-    # broadcasts and sort-merge-on-buckets IS the plan.
+    # broadcasts and sort-merge-on-buckets IS the plan. The dim chain
+    # folds into catalog._Q16_CUST_REGION's single (c_custkey, r_name)
+    # broadcast map — one broadcast job instead of three (same
+    # measured win and 100 TB fallback as q16).
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        _Q16_CUST_REGION,
+    )
+
     return spark.sql(f"""
-        SELECT /*+ MERGE(o), BROADCAST(c), BROADCAST(n), BROADCAST(r) */
-               r.r_name AS region_name,
+        WITH {_Q16_CUST_REGION}
+        SELECT /*+ MERGE(o), BROADCAST(cr) */
+               cr.r_name AS region_name,
                date_format(o.o_orderdate, 'yyyy') AS order_year,
                {_dbl(sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2))}
                    AS revenue,
                COUNT(*) AS n_lineitems
         FROM {li_t} l
         JOIN {od_t} o ON l.l_orderkey = o.o_orderkey
-        JOIN sg_customer c ON o.o_custkey = c.c_custkey
-        JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
-        JOIN sg_region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name, date_format(o.o_orderdate, 'yyyy')
+        JOIN cust_region cr ON o.o_custkey = cr.c_custkey
+        GROUP BY cr.r_name, date_format(o.o_orderdate, 'yyyy')
     """)
 
 

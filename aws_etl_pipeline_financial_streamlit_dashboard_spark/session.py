@@ -61,8 +61,21 @@ def get_spark(
         # task per core: fewer tiny reduce tasks at small SF, identical
         # behavior at scale where partitions are full anyway.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Trust sortBy order of bucketed scans (one file per bucket —
+        # sources.bucketing.write_bucketed repartitions to guarantee
+        # exactly that, and Spark only applies the ordering when every
+        # bucket has ≤1 file): the bucketed fact⋈fact SMJ then reads
+        # pre-sorted streams instead of re-sorting both sides per query
+        # (SPARK-28632 turned this off by default for the multi-file
+        # case). Measured 2× on the sf10 bucketed star join.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode sizing: in local[N] the driver JVM IS the executor,
+        # so this is the whole engine's heap. 8g left the sf10 (1.8 GB
+        # parquet) headline GC-bound — q07 measured 2.4 s at 8g vs
+        # ~1.0 s at 24g; the host has 128 GiB. On a real cluster
+        # spark-submit sizes executors and this only feeds the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -53,6 +53,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _TABLE_CACHE[spark] = per_session
         while len(_TABLE_CACHE) > _TABLE_CACHE_SESSIONS:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    else:
+        # True LRU: refresh recency on hit (dicts iterate in insertion
+        # order, so pop/re-insert moves this session to the young end) —
+        # otherwise the most-ACTIVE session could be evicted while idle
+        # ones stay pinned, each holding its SparkSession alive.
+        _TABLE_CACHE.pop(spark)
+        _TABLE_CACHE[spark] = per_session
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

@@ -51,26 +51,34 @@ def _input_bytes(sf_dir: str) -> int:
 def _shuffle_partitions(total_bytes: int, cpus: int) -> int:
     """Size the shuffle by the data, not the core count.
 
-    Rule: one partition per ~64 MB of input (the AQE advisory target),
-    floored at 8 so tiny scale factors still exercise parallel reduce
-    paths, capped at 4× cores. At sf0.1 (~17 MB total) this yields 8 —
-    32 reducers on 600k rows is pure scheduling overhead; at cluster
-    scale the byte-based term dominates and AQE coalesces from there.
+    Rule: under ~100 MB of input, 8 partitions (at sf0.1's 17 MB, 32
+    reducers on 600k rows is pure scheduling overhead — measured in
+    round 4); above that, at least one partition per core (an
+    under-parallelized shuffle idles cores: at sf1's 180 MB, 8
+    partitions left 24 of 32 cores idle and cost +10-40% on the
+    shuffle-bound headline queries — measured in round 6), growing one
+    per ~64 MB (the AQE advisory target) up to a 4× cores cap, from
+    where AQE coalesces at runtime.
     """
     if total_bytes < 0:
         return cpus
-    return max(8, min(4 * cpus, total_bytes // (64 << 20)))
+    if total_bytes < (100 << 20):
+        return 8
+    return max(cpus, min(4 * cpus, total_bytes // (64 << 20)))
 
 
 # Below this input size AQE is disabled for the bench session. AQE's
 # value — runtime partition coalescing, skew splitting, join-strategy
-# switching — only materializes when shuffle stages carry many
-# partitions; under ~1 GB every stage is a handful of tasks and AQE's
-# per-stage materialization (each exchange becomes its own job, planned
-# and scheduled sequentially) is pure overhead — measured +1.5 s on the
-# 17 MB sf0.1 headline set. Same data-sized-not-core-sized philosophy
-# as _shuffle_partitions; at any realistic scale AQE is on.
-_AQE_MIN_BYTES = 1 << 30
+# switching — only pays when individual shuffle stages run long enough
+# to amortize its per-stage materialization (each exchange becomes its
+# own job, planned and scheduled sequentially): measured +1.5 s on the
+# 17 MB sf0.1 headline set AND still +1.9 s on q07 at the 1.8 GB sf10
+# set (2.9 s AQE-on vs ~1.0 s off — stages are still sub-second, so
+# the sequential re-planning dominates). No local-bench scale clears
+# that bar, so the threshold sits above any dataset this harness will
+# see; on a real cluster, where stages run minutes, session.get_spark's
+# AQE-on default is the operative one.
+_AQE_MIN_BYTES = 1 << 40
 
 
 def main() -> None:
