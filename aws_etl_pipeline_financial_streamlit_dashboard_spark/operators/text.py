@@ -9,7 +9,7 @@ with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
 
@@ -160,3 +160,125 @@ def rolling_hash_fingerprint(
     )
     signature = F.slice(F.array_sort(F.array_distinct(shingles)), 1, keep)
     return df.withColumn("signature", signature)
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (VERDICT r5 item 4 — completes the
+# tokenizer-training loop that x71's single pair-count round opens)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_rounds(
+    seq: DataFrame, k: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run ``k`` exact greedy BPE merge rounds over a symbol sequence
+    ``(doc_id, pos, tok)`` (pos orders symbols within a doc; gaps are
+    fine — adjacency is LEAD order, not pos arithmetic).
+
+    Per round: (1) count every adjacent pair corpus-wide (multiplicity
+    kept, x71 semantics) and pick the winner by (count DESC, pair ASC)
+    — the deterministic tiebreak a reproducible trainer needs; (2)
+    apply it greedily left-to-right NON-OVERLAPPING, exactly as a
+    sequential BPE trainer would: for a pair (a,b) with a≠b no two
+    candidate sites can overlap (the second site would need tok=a
+    where tok=b sits), so all apply; for a==b, consecutive candidate
+    sites chain (…a a a…) and greedy keeps every OTHER site — chains
+    are detected with the gaps-and-islands pattern (a site starts a
+    new chain unless its pos equals the previous site's consumed pos)
+    and odd ROW_NUMBERs within a chain apply. All window passes share
+    the doc_id partitioning; the 1-row winner rides a broadcast
+    crossJoin (the q63 1-row-combine shape). Each round ends in an
+    eager ``localCheckpoint``: round r+1's plan reads round r's 10⁴-row
+    result instead of re-deriving it — without this the lineage (and
+    every recomputation) doubles per round (the x46/x51 unrolled-loop
+    discipline).
+
+    Returns ``(final_seq, [winner_1, …, winner_k])`` where each winner
+    is a 1-row DataFrame (a, b, cnt).
+
+    100 TB: per round, one pair-count aggregate (map-side partials,
+    the exchange carries vocabulary-scale rows) + doc_id-partitioned
+    windows over the corpus — the known distributed-BPE shape; k is a
+    small constant (real trainers snapshot pair counts and delta-update
+    instead of recounting, an optimization, not a semantic change).
+    """
+    winners: list[DataFrame] = []
+    for _ in range(k):
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        nxt = (
+            seq.withColumn("nxt", F.lead("tok").over(w))
+            .withColumn("nxt_pos", F.lead("pos").over(w))
+        )
+        best = (
+            nxt.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        winners.append(best)
+        cand = nxt.join(
+            F.broadcast(best),
+            (nxt["tok"] == best["a"]) & (nxt["nxt"] == best["b"]),
+        ).select("doc_id", "pos", "nxt_pos")
+        cw = Window.partitionBy("doc_id").orderBy("pos")
+        chains = (
+            cand.withColumn("lag_np", F.lag("nxt_pos").over(cw))
+            .withColumn(
+                "chain",
+                F.sum(
+                    F.when(
+                        F.col("lag_np").isNull()
+                        | (F.col("lag_np") != F.col("pos")),
+                        1,
+                    ).otherwise(0)
+                ).over(cw),
+            )
+        )
+        applied = (
+            chains.withColumn(
+                "ci",
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "chain").orderBy("pos")
+                ),
+            )
+            .filter(F.col("ci") % 2 == 1)
+            .select("doc_id", "pos", "nxt_pos")
+        )
+        # fully renamed join keys: applied derives from seq's own
+        # lineage, so a shared doc_id name would be an ambiguous
+        # self-join reference
+        start = applied.select(
+            F.col("doc_id").alias("m_doc"), F.col("pos").alias("m_pos")
+        )
+        consumed = applied.select(
+            F.col("doc_id").alias("c_doc"), F.col("nxt_pos").alias("c_pos")
+        )
+        seq = (
+            seq.join(
+                consumed,
+                (F.col("doc_id") == F.col("c_doc"))
+                & (F.col("pos") == F.col("c_pos")),
+                "left_anti",
+            )
+            .join(
+                start,
+                (F.col("doc_id") == F.col("m_doc"))
+                & (F.col("pos") == F.col("m_pos")),
+                "left",
+            )
+            .crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("m_pos").isNotNull(),
+                    F.concat(F.col("a"), F.lit(" "), F.col("b")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return seq, winners

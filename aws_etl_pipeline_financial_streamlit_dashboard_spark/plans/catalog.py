@@ -824,29 +824,21 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # artifact CORRECTNESS_FULL_rN.json covers everything regardless.
 # Pure dict reordering — specs, names and semantics are untouched.
 # ---------------------------------------------------------------------------
-_SAMPLER_FRONT_R5 = [
-    # post-fix driver rows outstanding (VERDICT r4 "What's missing" #1)
-    "q55_ohlc_candles", "q56_vwap", "s05_stateful_running_totals",
-    # last driver rows predate the shared scalars rewrite
-    "q52_max_drawdown", "q53_ewma_smoothing", "q57_returns_volatility",
-    "q60_bollinger_bands",
+_SAMPLER_FRONT_R6 = [
     # new this round (never sampled by construction)
-    "x65_url_canonicalize", "x66_host_aggregation", "x67_crawl_budget",
-    "x68_orc_roundtrip", "x69_cluster_representative",
-    "x70_robots_filter", "x71_bpe_pair_counts",
-    "s15_streaming_session_window",
-    "q65_rsi", "q66_market_beta", "q67_pairs_spread_zscore",
-    "q68_recursive_hierarchy", "x72_ann_recall_eval",
-    "x73_token_budget_mix", "x74_matryoshka_recall",
-    "s16_streaming_upsert",
-    "q69_fifo_lot_matching", "x75_weighted_systematic_sample",
-    "x76_html_field_extract", "q70_sma_crossover", "x77_int8_recall",
-    "q71_candlestick_patterns",
+    "x78_phash_near_dup", "x79_exif_extract", "x80_bpe_merges",
+    "s17_streaming_jdbc_upsert",
+    # semantically touched this round (dim-chain fold, SHJ pin,
+    # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
+    # driver rows predate the change
+    "q16_star_join_revenue", "q34_star_join_bucketed",
+    "q07_flagship_industry_avg",
+    "x65_url_canonicalize", "x67_crawl_budget",
 ]
 
 
 def _rotate_front() -> None:
-    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R5 if n in QUERIES}
+    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R6 if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)

@@ -2289,3 +2289,161 @@ def x75_weighted_systematic_sample(
         "cum_toks",
         F.expr(f"(cum_toks * {_X75_K}) DIV total_toks").alias("step_idx"),
     )
+
+
+# ===========================================================================
+# x80 — iterative BPE merge training (K exact greedy rounds)
+# (VERDICT r5 item 4: completes the tokenizer loop x71 opens — the
+# pair COUNT was round one's entry; this runs the count→merge→recount
+# loop itself, bit-exactly in both engines)
+# ===========================================================================
+
+_X80_ROUNDS = 3
+_X80_TOP = 20
+
+
+def _x80_round_ctes(r: int) -> str:
+    """One unrolled merge round in portable SQL (the x46/x51 unrolled-
+    loop pattern): adjacent-pair count → deterministic winner →
+    greedy-non-overlap application via gaps-and-islands run parity."""
+    return f"""
+    nxt_{r} AS (
+        SELECT doc_id, pos, tok,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt_pos
+        FROM seq_{r - 1}
+    ),
+    best_{r} AS (
+        SELECT tok AS a, nxt AS b, COUNT(*) AS cnt
+        FROM nxt_{r} WHERE nxt IS NOT NULL
+        GROUP BY tok, nxt
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    cand_{r} AS (
+        SELECT n.doc_id, n.pos, n.nxt_pos
+        FROM nxt_{r} n, best_{r} w
+        WHERE n.tok = w.a AND n.nxt = w.b
+    ),
+    chain_{r} AS (
+        SELECT doc_id, pos, nxt_pos,
+               SUM(CASE WHEN lag_np IS NULL OR lag_np <> pos
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS chain
+        FROM (SELECT doc_id, pos, nxt_pos,
+                     LAG(nxt_pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS lag_np
+              FROM cand_{r})
+    ),
+    apply_{r} AS (
+        SELECT doc_id, pos, nxt_pos
+        FROM (SELECT doc_id, pos, nxt_pos,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id, chain
+                                        ORDER BY pos) AS ci
+              FROM chain_{r})
+        WHERE ci % 2 = 1
+    ),
+    seq_{r} AS (
+        SELECT s.doc_id, s.pos,
+               CASE WHEN a.pos IS NOT NULL THEN w.a || ' ' || w.b
+                    ELSE s.tok END AS tok
+        FROM seq_{r - 1} s
+        CROSS JOIN best_{r} w
+        LEFT JOIN apply_{r} a
+               ON a.doc_id = s.doc_id AND a.pos = s.pos
+        LEFT JOIN apply_{r} c
+               ON c.doc_id = s.doc_id AND c.nxt_pos = s.pos
+        WHERE c.nxt_pos IS NULL
+    )"""
+
+
+def _x80_oracle() -> str:
+    seq0 = r"""
+    seq_0 AS (
+        SELECT doc_id, t.s.pos AS pos, t.s.tok AS tok
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents),
+             UNNEST([{'pos': i, 'tok': w[i]}
+                     FOR i IN range(1, len(w) + 1)]) AS t(s)
+    )"""
+    rounds = ",".join(_x80_round_ctes(r) for r in range(1, _X80_ROUNDS + 1))
+    merges = "\n    UNION ALL ".join(
+        f"SELECT 'merge_{r}' AS stage, a || ' ' || b AS symbol,"
+        f" CAST(cnt AS BIGINT) AS cnt, CAST({r} AS BIGINT) AS rank"
+        f" FROM best_{r}"
+        for r in range(1, _X80_ROUNDS + 1)
+    )
+    return f"""
+    WITH {seq0},{rounds}
+    SELECT stage, symbol, cnt, rank FROM (
+        {merges}
+        UNION ALL
+        SELECT 'final_top' AS stage, symbol, cnt, rank FROM (
+            SELECT tok AS symbol, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+                        AS BIGINT) AS rank
+            FROM seq_{_X80_ROUNDS} GROUP BY tok
+        ) WHERE rank <= {_X80_TOP}
+    )
+    """
+
+
+@register(
+    "x80_bpe_merges",
+    _x80_oracle(),
+    doc="""Iterative BPE merge training, K=3 exact greedy rounds
+    (operators.text.bpe_merge_rounds): each round counts every adjacent
+    symbol pair corpus-wide (multiplicity kept, x71 semantics), merges
+    the (count DESC, pair ASC) winner greedily left-to-right
+    NON-OVERLAPPING — for a==b runs the gaps-and-islands parity keeps
+    every other site, exactly what a sequential trainer does — then
+    recounts on the re-paired corpus. Output: the K winning merges
+    with their pre-merge counts plus the final corpus's top-20 symbols
+    — any divergence in any round anywhere changes the final counts,
+    so the value hash pins the whole loop, not just round one. The
+    max pair count is non-increasing across rounds (classic BPE
+    monotonicity; pinned in tests).
+
+    100 TB: per round one vocabulary-scale pair-count exchange +
+    doc-partitioned windows that all reuse one partitioning; the 1-row
+    winner broadcasts (q63 shape); per-round localCheckpoint keeps the
+    unrolled lineage linear (x46/x51 discipline). Real trainers
+    delta-update pair counts instead of recounting — an optimization
+    with identical results, not a semantic fork.""",
+)
+def x80_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        bpe_merge_rounds,
+    )
+
+    seq = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    final_seq, winners = bpe_merge_rounds(seq, _X80_ROUNDS)
+    merged = None
+    for r, wdf in enumerate(winners, start=1):
+        row = wdf.selectExpr(
+            f"'merge_{r}' AS stage",
+            "CONCAT(a, ' ', b) AS symbol",
+            "CAST(cnt AS BIGINT) AS cnt",
+            f"CAST({r} AS BIGINT) AS rank",
+        )
+        merged = row if merged is None else merged.unionByName(row)
+    final_top = (
+        final_seq.groupBy(F.col("tok").alias("symbol"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("symbol").asc())
+            ),
+        )
+        .filter(F.col("rank") <= _X80_TOP)
+        .selectExpr(
+            "'final_top' AS stage",
+            "symbol",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(rank AS BIGINT) AS rank",
+        )
+    )
+    return merged.unionByName(final_top)

@@ -2112,3 +2112,202 @@ _Q68_TEMPLATE = """
 def q68_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q68_TEMPLATE.format(str_t="STRING", idiv="DIV"))
+
+
+# ===========================================================================
+# x78/x79 — perceptual-hash image near-dup + EXIF metadata extraction
+# (VERDICT r5 item 3: deepen the multimodal family; fully oracle-checked
+# because the fake decode is deterministic and the hash is integer
+# arithmetic — no UDFs anywhere in either entry)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.multimodal import (  # noqa: E402
+    sql_ahash_band,
+    sql_exif_blob,
+    sql_exif_fields,
+    sql_hamming_bands,
+    sql_pixels,
+)
+
+_PH_N = 64  # pixels per asset (the 8x8 grid of classic aHash)
+_PH_BANDS = 4  # LSH bands over the 64-bit hash
+_PH_BAND_SIZE = 16
+_PH_MAX_HAMMING = 6
+_PH_PCOLS = [f"p{k}" for k in range(_PH_N)]
+_PH_PIXELS = [
+    f"{e} AS p{k}" for k, e in enumerate(sql_pixels(_PH_N, "text"))
+]
+# near-dup twin: uniform +3 'brightness' shift plus a position-keyed
+# ripple (k % 3) — aHash bits compare each pixel against the GLOBAL
+# mean, so the uniform component cancels exactly and only
+# threshold-adjacent pixels flip: the perceptual property under test
+_PH_TWIN = [f"p{k} + {3 + k % 3} AS p{k}" for k in range(_PH_N)]
+_PH_BAND_EXPRS = [
+    f"{sql_ahash_band(_PH_PCOLS, b, _PH_BAND_SIZE)} AS band{b}"
+    for b in range(_PH_BANDS)
+]
+_PH_BCOLS = [f"band{b}" for b in range(_PH_BANDS)]
+_PH_A = [f"a{b}" for b in range(_PH_BANDS)]
+_PH_B = [f"b{b}" for b in range(_PH_BANDS)]
+
+
+def _phash_oracle() -> str:
+    ham = sql_hamming_bands(_PH_A, _PH_B, "duckdb")
+    bands_union = "\n      UNION ALL ".join(
+        f"SELECT asset_id, {b} AS band_idx, band{b} AS band_val,"
+        f" {', '.join(_PH_BCOLS)} FROM hashed"
+        for b in range(_PH_BANDS)
+    )
+    return f"""
+    WITH px AS (SELECT doc_id, {', '.join(_PH_PIXELS)} FROM documents),
+    assets AS (
+        SELECT doc_id * 2 AS asset_id, {', '.join(_PH_PCOLS)} FROM px
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS asset_id, {', '.join(_PH_TWIN)} FROM px
+    ),
+    hashed AS (SELECT asset_id, {', '.join(_PH_BAND_EXPRS)} FROM assets),
+    bands AS ({bands_union}),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               {', '.join(f'a.band{i} AS a{i}' for i in range(_PH_BANDS))},
+               {', '.join(f'b.band{i} AS b{i}' for i in range(_PH_BANDS))}
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b, CAST({ham} AS INT) AS hamming,
+           CASE WHEN asset_b - asset_a = 1 AND asset_a % 2 = 0
+                THEN 1 ELSE 0 END AS same_doc
+    FROM cand WHERE {ham} <= {_PH_MAX_HAMMING}
+    """
+
+
+@register(
+    "x78_phash_near_dup",
+    _phash_oracle(),
+    doc="""Perceptual-hash (aHash) image near-duplicate detection —
+    the multimodal analog of MinHash-LSH text dedup (x04), composing
+    the deterministic decode (multimodal.sql_pixels nearest-neighbor
+    downsample to a 64-pixel grid), the average hash (bit i = pixel i
+    above the global pixel mean, division-free integer
+    cross-multiplication), Hamming-banded LSH candidate pairing (4×16
+    bands — matching pairs must agree exactly on ≥1 band, never
+    all-pairs), and a popcount Hamming verify (≤6 of 64 bits). Each
+    document yields two assets: the original and a
+    brightness-shifted+ripple twin — aHash is invariant to the uniform
+    component by construction, so twins land within the Hamming budget
+    and the banded join finds them (same_doc=1 rows), plus any true
+    cross-document collisions (deterministic in both engines).
+
+    100 TB: decode+hash is one narrow codegen projection (no Python,
+    no shuffle); the only exchanges are the band-bucket equi-join and
+    the pair DISTINCT, both keyed on 16-bit band values — the
+    hot-band analog of x02's hot-shingle risk (a monochrome-corpus
+    band would concentrate; production caps band buckets exactly like
+    dedup.py's hot_block_cap). Hamming dialect split is operator-only
+    (Spark infix ^ vs DuckDB xor()).""",
+)
+def x78_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark plan ≠ oracle text by design (x03/x17 precedent — the
+    # oracle defines semantics, the Spark side is the scale plan):
+    # inlining the 64-condition × 64-term-mean CASE chain into one
+    # projection re-evaluates ascii(substr(...)) ~4096× per row
+    # (measured 3.4 s for 10k assets). Instead decode each pixel ONCE
+    # (posexplode of the 64-element array), derive the twin by
+    # row-level arithmetic on the exploded rows (no second decode),
+    # window-sum the pixel total per asset, and fold the 64 bits with
+    # 4 conditional sums in ONE hash aggregate that reuses the
+    # window's asset_id partitioning — codegen end to end, two narrow
+    # exchanges. localCheckpoint before the self-join: both join
+    # sides read the 10k-row hash table instead of re-running the
+    # decode pipeline (the documented q54/x73 single-materialization
+    # trade).
+    ham = sql_hamming_bands(_PH_A, _PH_B, "spark")
+    ex = read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"posexplode(array({', '.join(sql_pixels(_PH_N, 'text'))}))"
+        " AS (k, p)",
+    )
+    rows = ex.selectExpr("doc_id * 2 AS asset_id", "k", "p").unionByName(
+        ex.selectExpr("doc_id * 2 + 1 AS asset_id", "k", "p + 3 + k % 3 AS p")
+    )
+    bits = rows.withColumn(
+        "psum", F.sum("p").over(Window.partitionBy("asset_id"))
+    )
+    hashed = bits.groupBy("asset_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN k >= {b * _PH_BAND_SIZE}"
+                f" AND k < {(b + 1) * _PH_BAND_SIZE}"
+                f" AND p * {_PH_N} > psum"
+                f" THEN SHIFTLEFT(1, k % {_PH_BAND_SIZE}) ELSE 0 END)"
+            )
+            .cast("int")
+            .alias(f"band{b}")
+            for b in range(_PH_BANDS)
+        ]
+    ).localCheckpoint(eager=True)
+    bands = None
+    for b in range(_PH_BANDS):
+        part = hashed.selectExpr(
+            "asset_id", f"{b} AS band_idx", f"band{b} AS band_val", *_PH_BCOLS
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.selectExpr(
+        "asset_id AS asset_a", "band_idx", "band_val",
+        *[f"band{i} AS a{i}" for i in range(_PH_BANDS)],
+    )
+    right = bands.selectExpr(
+        "asset_id AS asset_b", "band_idx", "band_val",
+        *[f"band{i} AS b{i}" for i in range(_PH_BANDS)],
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", *_PH_A, *_PH_B)
+        .distinct()
+    )
+    return cand.selectExpr(
+        "asset_a",
+        "asset_b",
+        f"CAST({ham} AS INT) AS hamming",
+        "CASE WHEN asset_b - asset_a = 1 AND asset_a % 2 = 0"
+        " THEN 1 ELSE 0 END AS same_doc",
+    ).filter(F.col("hamming") <= _PH_MAX_HAMMING)
+
+
+_EXIF_BLOB = sql_exif_blob()
+_EXIF_FIELDS = sql_exif_fields("exif_raw")
+
+
+@register(
+    "x79_exif_extract",
+    f"""
+    WITH raw AS (SELECT doc_id, {_EXIF_BLOB} AS exif_raw FROM documents)
+    SELECT doc_id, exif_raw,
+           {', '.join(f'{e} AS {k}' for k, e in _EXIF_FIELDS.items())}
+    FROM raw
+    """,
+    doc="""EXIF/metadata-struct extraction for image assets
+    (SURVEY.md §2.13 multimodal metadata): a deterministic synthetic
+    EXIF sidecar per asset (multimodal.sql_exif_blob — the testdata
+    has no image column, same synthesis pattern as web.sql_html_doc)
+    parsed into typed columns: make/model strings, integer ISO and
+    sensor dimensions, GPS as micro-degree fixed-point BIGINTs (NULL
+    when the %7 variant drops the GPS block — the missing-field path
+    every real EXIF parser needs), and derived megapixels (HALF_UP,
+    integer arithmetic). One narrow whole-stage-codegen regexp
+    projection, zero shuffles at any scale; patterns in the
+    Java-regex ∩ RE2 subset so both engines compile identical
+    automata.""",
+)
+def x79_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_EXIF_BLOB} AS exif_raw")
+        .selectExpr(
+            "doc_id",
+            "exif_raw",
+            *[f"{e} AS {k}" for k, e in _EXIF_FIELDS.items()],
+        )
+    )

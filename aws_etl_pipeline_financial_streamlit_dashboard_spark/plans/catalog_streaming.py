@@ -927,3 +927,57 @@ def s16_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# ===========================================================================
+# s17 — exactly-once streaming append into a JDBC serving store
+# ===========================================================================
+
+
+@register(
+    "s17_streaming_jdbc_upsert",
+    """
+    SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+    FROM events
+    """,
+    doc="""Exactly-once streaming delivery into a JDBC database
+    (streaming/jobs.run_foreach_batch_jdbc_append): the reference's
+    serving store is an RDBMS (TableTransform.py:26-29 writes Postgres
+    via to_sql); this is that sink streaming-fed with a transactional
+    batch-id LEDGER — per micro-batch, executors overwrite a staging
+    table (idempotent restage on redelivery), then one driver
+    transaction publishes stage→target IFF the batch_id is absent from
+    the ledger, so a replayed batch inserts ZERO duplicate rows
+    (deliberate-replay proof in tests/test_streaming_jdbc.py). Runs
+    against embedded Derby — a real JDBC engine with real transactions
+    (the Postgres dialect swap is a URL change).
+
+    The oracle is the full events projection: exactly-once delivery
+    means the JDBC read-back equals the source rows exactly — any
+    dropped batch, duplicate publish, or JDBC type-mapping drift
+    (DOUBLE/BIGINT round-trip) breaks the value hash. Multi-batch by
+    construction (3 files × maxFilesPerTrigger=1), so the ledger
+    sequences real transactions. At 100 TB the stage write is the
+    parallel executor path; the publish transaction moves rows
+    database-side in O(1) statements.""",
+)
+def s17_streaming_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_foreach_batch_jdbc_append,
+    )
+
+    rows = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="s17db_"), "serving")
+    url = f"jdbc:derby:{db};create=true"
+    return run_foreach_batch_jdbc_append(
+        spark, rows, url, driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
