@@ -186,8 +186,10 @@ def bpe_merge_rounds(
     are detected with the gaps-and-islands pattern (a site starts a
     new chain unless its pos equals the previous site's consumed pos)
     and odd ROW_NUMBERs within a chain apply. All window passes share
-    the doc_id partitioning; the 1-row winner rides a broadcast
-    crossJoin (the q63 1-row-combine shape). Each round ends in an
+    the doc_id partitioning; the ≤1-row winner rides a broadcast
+    left-join-on-TRUE (the q63 1-row-combine shape, made safe for the
+    EMPTY winner: a round with no pairs left is a no-op instead of a
+    corpus-annihilating cross join). Each round ends in an
     eager ``localCheckpoint``: round r+1's plan reads round r's 10⁴-row
     result instead of re-deriving it — without this the lineage (and
     every recomputation) doubles per round (the x46/x51 unrolled-loop
@@ -268,7 +270,12 @@ def bpe_merge_rounds(
                 & (F.col("pos") == F.col("m_pos")),
                 "left",
             )
-            .crossJoin(F.broadcast(best.select("a", "b")))
+            # LEFT join on TRUE, not crossJoin: when a round has NO
+            # adjacent pairs left (k exceeds the realizable merges),
+            # best is EMPTY and a cross join would annihilate the
+            # whole corpus; the left join keeps every row with a/b
+            # NULL and the merge CASE never fires — a no-op round
+            .join(F.broadcast(best.select("a", "b")), F.lit(True), "left")
             .select(
                 "doc_id",
                 "pos",

@@ -136,13 +136,14 @@ def sql_canon_parts(u: str, engine: str) -> dict[str, str]:
 
 
 # Knuth multiplicative hash over doc_id: the deterministic, engine-
-# portable rank key for budget sampling. The inner % 4294967296 folds
-# doc_id into 32 bits BEFORE the multiply so the product stays under
-# 2^63 for ANY non-negative BIGINT id (a raw doc_id * 2654435761
-# overflows once doc_id > ~3.47e9 — a multi-billion-document corpus is
-# in scope at 100 TB); identical output for ids below 2^32, and both
-# engines' % agrees on non-negatives.
-CRAWL_RANK_SQL = "((doc_id % 4294967296) * 2654435761) % 4294967296"
+# portable rank key for budget sampling. The inner % 2147483648 folds
+# doc_id into 31 bits BEFORE the multiply so the product stays under
+# 2^63 for ANY non-negative BIGINT id: 2^31 × 2654435761 ≈ 5.7e18 <
+# 2^63−1 ≈ 9.2e18 (a raw doc_id multiply overflows past ~3.47e9, and
+# a 32-bit fold still overflows past residue ~3.47e9 — ~19% of its
+# space). Identical output for ids below 2^31, which covers every
+# driver-generated id; both engines' % agrees on non-negatives.
+CRAWL_RANK_SQL = "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
 
 def sql_html_doc() -> str:

@@ -2347,7 +2347,7 @@ def _x80_round_ctes(r: int) -> str:
                CASE WHEN a.pos IS NOT NULL THEN w.a || ' ' || w.b
                     ELSE s.tok END AS tok
         FROM seq_{r - 1} s
-        CROSS JOIN best_{r} w
+        LEFT JOIN best_{r} w ON TRUE
         LEFT JOIN apply_{r} a
                ON a.doc_id = s.doc_id AND a.pos = s.pos
         LEFT JOIN apply_{r} c

@@ -1213,13 +1213,16 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # smaller count keeps driver-sf0.01 runs from strewing tiny files.
     # The count is part of the table name so a layout change never
     # silently reuses tables bucketed differently.
-    try:
-        li_bytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
-    except OSError:  # directory-of-parts layout
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(li_path):  # directory-of-parts layout (getsize on
+        # a directory returns the inode size, not an error — branch on
+        # isdir, never on exceptions)
         li_bytes = sum(
-            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet", f))
-            for f in os.listdir(os.path.join(sf_dir, "lineitem.parquet"))
+            os.path.getsize(os.path.join(li_path, f))
+            for f in os.listdir(li_path)
         )
+    else:
+        li_bytes = os.path.getsize(li_path)
     n_buckets = 8 if li_bytes < (100 << 20) else 32
     li_t, od_t = f"lineitem_bkt_{tag}_{n_buckets}", f"orders_bkt_{tag}_{n_buckets}"
     cache_key = (spark.sparkContext.applicationId, li_t, od_t)
@@ -2228,9 +2231,15 @@ def x78_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"posexplode(array({', '.join(sql_pixels(_PH_N, 'text'))}))"
         " AS (k, p)",
     )
-    rows = ex.selectExpr("doc_id * 2 AS asset_id", "k", "p").unionByName(
-        ex.selectExpr("doc_id * 2 + 1 AS asset_id", "k", "p + 3 + k % 3 AS p")
-    )
+    # both asset variants emitted from ONE exploded row (a union of two
+    # projections over ex would scan + decode twice — Spark does not
+    # share non-exchange subtrees across union branches)
+    rows = ex.selectExpr(
+        "explode(array("
+        " struct(doc_id * 2 AS asset_id, k, p),"
+        " struct(doc_id * 2 + 1 AS asset_id, k, CAST(p + 3 + k % 3 AS INT) AS p)"
+        ")) AS s"
+    ).select("s.*")
     bits = rows.withColumn(
         "psum", F.sum("p").over(Window.partitionBy("asset_id"))
     )

@@ -11,13 +11,6 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.session import get_spa
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
-def pytest_configure(config):
-    config.addinivalue_line(
-        "markers",
-        "slow: opt-in large-scale checks (sf1 parity); skipped when the "
-        "self-generated data is absent",
-    )
-
 
 ORACLE_TABLES = (
     "region",

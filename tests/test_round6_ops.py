@@ -123,3 +123,22 @@ def test_x80_invariants(spark, sf_dir):
     # realizable within the raw corpus
     assert (merges.cnt < raw_tokens).all()
     assert (merges.cnt > 0).all()
+
+
+def test_bpe_no_pairs_round_is_noop(spark):
+    """k exceeding the realizable merges must leave the corpus intact:
+    a single-token doc has zero adjacent pairs, the winner is EMPTY,
+    and the round must be a no-op (the cross-join form annihilated the
+    corpus — regression pin for the left-join-on-TRUE fix)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        bpe_merge_rounds,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"]).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    final_seq, winners = bpe_merge_rounds(df, 2)
+    assert [r.tok for r in final_seq.collect()] == ["solo"]
+    assert all(w.count() == 0 for w in winners)
