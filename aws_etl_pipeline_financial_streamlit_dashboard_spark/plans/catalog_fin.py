@@ -1726,3 +1726,102 @@ def q71_candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Q71_HAMMER).alias("is_hammer"),
         F.expr(_Q71_ENGULF).alias("is_bullish_engulf"),
     )
+
+
+# ===========================================================================
+# q72 — Sharpe / Sortino ratios (risk-adjusted return summary)
+# ===========================================================================
+
+# Reuses q57's integer-basis-point return quantization (_RET_BP): Σr,
+# Σr² and the DOWNSIDE moments Σmin(r,0)² accumulate as exact int64
+# (same headroom bound as q57), so the per-(symbol, month) moments are
+# order-independent and the ratio finish is a pinned double chain.
+# Sharpe = mean/σ (σ from the n·Σr²−(Σr)² sample form); Sortino =
+# mean/downside-deviation with target 0 (√(Σmin(r,0)²/n)). Both NULL
+# when their denominator is 0 (single return, or no losing ticks) —
+# rendered through NULLIF so the no-variance month is visible, not ∞.
+_Q72_SH = (
+    "FLOOR((CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE))"
+    " / NULLIF(SQRT((CAST(n_ret AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n_ret AS DOUBLE) * CAST(NULLIF(n_ret - 1, 0) AS DOUBLE))), 0.0)"
+    " * 10000.0 + 0.5) / 10000.0"
+)
+_Q72_SO = (
+    "FLOOR((CAST(s1 AS DOUBLE) / CAST(n_ret AS DOUBLE))"
+    " / NULLIF(SQRT(CAST(d2 AS DOUBLE) / CAST(n_ret AS DOUBLE)), 0.0)"
+    " * 10000.0 + 0.5) / 10000.0"
+)
+_Q72_D2 = "SUM(CASE WHEN r_bp < 0 THEN r_bp * r_bp ELSE 0 END)"
+
+_Q72_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type,
+               {sql_month_from_us_duckdb('epoch_us(ts)')} AS month,
+               epoch_us(ts) AS us, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, month,
+               {_RET_BP.format(w="w")} AS r_bp
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ),
+    g AS (
+        SELECT event_type, month,
+               COUNT(r_bp) AS n_ret,
+               SUM(r_bp) AS s1,
+               SUM(r_bp * r_bp) AS s2,
+               {_Q72_D2} AS d2
+        FROM r
+        GROUP BY event_type, month
+    )
+    SELECT event_type, month, n_ret,
+           CAST({_Q72_SH} AS DOUBLE) AS sharpe,
+           CAST({_Q72_SO} AS DOUBLE) AS sortino
+    FROM g
+"""
+
+
+@register(
+    "q72_sharpe_sortino",
+    _Q72_ORACLE,
+    doc="""Sharpe and Sortino ratios per symbol-month — the
+    risk-adjusted summary that completes the risk tier (q52 drawdown,
+    q57 volatility, q66 beta). Same exact-integer-moment discipline as
+    q57: returns quantized to int64 basis points at the row, Σr / Σr²
+    / Σmin(r,0)² accumulate order-independently, the ratio finish is
+    one pinned scalar chain shared verbatim with the oracle; zero
+    denominators surface as NULL (single-return and no-losing-tick
+    months), not ±∞.
+
+    Plan: one per-symbol lag window + one partial-aggregating shuffle
+    of 4 longs per (symbol, month) — identical exchange profile to
+    q57; at 100 TB both stages stream with O(1) state per row.""",
+)
+def q72_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    ).withColumn("month", F.expr(sql_month_from_us_spark("us")))
+    spec = "(PARTITION BY event_type ORDER BY us, event_id)"
+    r = t.select(
+        "event_type",
+        "month",
+        F.expr(_RET_BP.format(w=spec)).alias("r_bp"),
+    )
+    g = r.groupBy("event_type", "month").agg(
+        F.expr("COUNT(r_bp)").alias("n_ret"),
+        F.expr("SUM(r_bp)").alias("s1"),
+        F.expr("SUM(r_bp * r_bp)").alias("s2"),
+        F.expr(_Q72_D2).alias("d2"),
+    )
+    return g.select(
+        "event_type",
+        "month",
+        "n_ret",
+        F.expr(f"CAST({_Q72_SH} AS DOUBLE)").alias("sharpe"),
+        F.expr(f"CAST({_Q72_SO} AS DOUBLE)").alias("sortino"),
+    )

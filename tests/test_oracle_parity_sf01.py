@@ -78,6 +78,11 @@ SENSITIVE = [
     "q70_sma_crossover",
     "x77_int8_recall",
     "q71_candlestick_patterns",
+    # round 6: the Sharpe/Sortino moment sums (same int64-headroom
+    # class as q57/q66) and the aHash banded near-dup (bit-exact hash
+    # arithmetic at 10x the assets)
+    "q72_sharpe_sortino",
+    "x78_phash_near_dup",
 ]
 
 
