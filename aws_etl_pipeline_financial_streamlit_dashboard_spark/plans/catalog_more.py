@@ -2320,3 +2320,118 @@ def x79_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"{e} AS {k}" for k, e in _EXIF_FIELDS.items()],
         )
     )
+
+
+# ===========================================================================
+# q73 — flagship industry averages over custkey-bucketed storage
+# (q34's load-time materialization strategy applied to q07's shape)
+# ===========================================================================
+
+
+def _custkey_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + customer co-bucketed on custkey (once per session+sf,
+    q34's lazy-build pattern): the write-time shuffle that gives the
+    flagship's rollup a ZERO-exchange group-by (bucketing satisfies the
+    aggregation's clustering requirement) and the customer⋈rollup join
+    co-located buckets. Bucket count scales with data like
+    _bucketed_fact_tables."""
+    import os
+    import re
+    import shutil
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    od_path = os.path.join(sf_dir, "orders.parquet")
+    if os.path.isdir(od_path):
+        od_bytes = sum(
+            os.path.getsize(os.path.join(od_path, f))
+            for f in os.listdir(od_path)
+        )
+    else:
+        od_bytes = os.path.getsize(od_path)
+    n_buckets = 8 if od_bytes < (25 << 20) else 32
+    od_t, cu_t = f"orders_cbkt_{tag}_{n_buckets}", f"customer_cbkt_{tag}_{n_buckets}"
+    cache_key = (spark.sparkContext.applicationId, od_t, cu_t)
+    if cache_key in _BUCKETED_READY:
+        return od_t, cu_t
+    if not spark.catalog.tableExists(od_t) or not spark.catalog.tableExists(cu_t):
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+        for t in (od_t, cu_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            od_t,
+            n_buckets,
+            ["o_custkey"],
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey", "c_acctbal"
+            ),
+            cu_t,
+            n_buckets,
+            ["c_custkey"],
+        )
+    _BUCKETED_READY.add(cache_key)
+    return od_t, cu_t
+
+
+@register(
+    "q73_flagship_bucketed",
+    None,  # placeholder; real oracle assigned below (shared with q07)
+    doc="""q07's flagship industry-average query over CUSTKEY-BUCKETED
+    storage: orders and customer hash-clustered into matching buckets
+    on custkey at write time, so (1) the per-customer rollup's
+    GROUP BY o_custkey needs NO exchange — the bucketed scan already
+    satisfies the aggregation's clustering requirement — and (2) the
+    customer⋈rollup join reads co-located buckets with no exchange
+    either. The only remaining shuffle is the 25-nation final
+    aggregate. This is q34's load-time materialization strategy
+    applied to the flagship's dim-rollup shape: pay the custkey
+    shuffle once when the serving tables land, not on every dashboard
+    refresh (the reference precomputes for exactly this reason,
+    README.md:29). Results identical to q07 — same oracle SQL.""",
+)
+def q73_flagship_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        _dbl,
+        _sgv,
+    )
+
+    od_t, cu_t = _custkey_bucketed_tables(spark, sf_dir)
+    _sgv(spark, sf_dir)  # nation via the cached sg_ view
+    return spark.sql(f"""
+        WITH order_stats AS (
+            SELECT o_custkey,
+                   COUNT(*) AS order_cnt,
+                   {_dbl(sql_dec_sum('o_totalprice', 2))} AS spend,
+                   MAX(o_totalprice) AS max_order
+            FROM {od_t} GROUP BY o_custkey
+        )
+        SELECT /*+ BROADCAST(n), MERGE(os) */
+               n.n_name AS segment_nation,
+               COUNT(*) AS n_customers,
+               {_dbl(sql_stable_avg('c.c_acctbal', 2))} AS avg_acctbal,
+               {_dbl(sql_stable_avg('os.order_cnt', 6))} AS avg_order_cnt,
+               {_dbl(sql_stable_avg('os.spend', 2))} AS avg_spend,
+               {_dbl(sql_stable_avg('os.max_order', 2))} AS avg_max_order,
+               {_dbl(sql_dec_sum('os.spend', 2))} AS total_spend
+        FROM {cu_t} c
+        LEFT JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN order_stats os ON c.c_custkey = os.o_custkey
+        GROUP BY n.n_name
+    """)
+
+
+# q73 shares q07's oracle verbatim (identical semantics, different
+# physical layout — the q34/q16 pattern)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (  # noqa: E402
+    QUERIES as _Q,
+)
+
+_Q["q73_flagship_bucketed"].oracle = _Q["q07_flagship_industry_avg"].oracle

@@ -59,3 +59,27 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmpdir):
     finally:
         drop_table(spark, "orders_b")
         drop_table(spark, "lineitem_b")
+
+
+def test_q73_flagship_bucketed_plan_shape(spark, sf_dir):
+    """q73's promise is structural: over custkey-bucketed orders +
+    customer, the per-customer rollup group-by and the
+    customer⋈rollup join are BOTH exchange-free — the executed plan
+    carries exactly two exchanges (the nation dim broadcast and the
+    25-row final aggregate), and no exchange sits below the join."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    df = QUERIES["q73_flagship_bucketed"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints '== Final Plan ==' followed by '== Initial Plan ==';
+    # count nodes in the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    n_broadcast = plan.count("BroadcastExchange")
+    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_broadcast == 1, plan
+    assert n_shuffle == 1, plan
