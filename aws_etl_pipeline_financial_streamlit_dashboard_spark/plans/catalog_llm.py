@@ -2447,3 +2447,105 @@ def x80_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.unionByName(final_top)
+
+
+# ===========================================================================
+# x81 — sequence packing (concat-and-chunk into fixed training windows)
+# ===========================================================================
+
+# The step downstream of x73's corpus mix: documents are concatenated
+# in deterministic Knuth-hash order (x67/x73's no-RNG discipline, ONE
+# hash definition — web.CRAWL_RANK_SQL) and split into fixed
+# _X81_C-token training windows, documents crossing boundaries (the
+# GPT-style concat-and-chunk pack; +1 token per doc models the EOS
+# separator). Each (chunk, doc) membership row is pure integer
+# arithmetic on the exclusive prefix sum: start = cumsum − n, chunk
+# span = floor(start/C) .. floor((end−1)/C), per-chunk token counts by
+# interval clipping — so the whole pack is value-hash checkable.
+_X81_C = 512
+_X81_HASH = None  # bound below to web.CRAWL_RANK_SQL (one definition)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (  # noqa: E402
+    CRAWL_RANK_SQL as _X81_HASH,  # noqa: F811
+)
+
+_X81_CUMWIN = f"(ORDER BY {_X81_HASH}, doc_id ROWS UNBOUNDED PRECEDING)"
+_X81_C0 = f"CAST(FLOOR(CAST(st AS DOUBLE) / {_X81_C}.0) AS BIGINT)"
+_X81_C1 = f"CAST(FLOOR(CAST(en - 1 AS DOUBLE) / {_X81_C}.0) AS BIGINT)"
+
+_X81_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_DUCK('text')} + 1 AS n_toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_toks,
+               SUM(n_toks) OVER {_X81_CUMWIN} - n_toks AS st
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, n_toks, st, st + n_toks AS en,
+               {_X81_C0} AS c0, {_X81_C1} AS c1
+        FROM c
+    )
+    SELECT t.chunk_id AS chunk_id, doc_id,
+           CAST(GREATEST(st - t.chunk_id * {_X81_C}, 0) AS BIGINT)
+               AS offset_in_chunk,
+           CAST(LEAST(en, (t.chunk_id + 1) * {_X81_C})
+                - GREATEST(st, t.chunk_id * {_X81_C}) AS BIGINT)
+               AS n_toks_in_chunk
+    FROM e, UNNEST([i FOR i IN range(c0, c1 + 1)]) AS t(chunk_id)
+"""
+
+
+@register(
+    "x81_sequence_packing",
+    _X81_ORACLE,
+    doc="""Sequence packing for LLM pretraining: concatenate the corpus
+    in deterministic Knuth-hash order and split it into fixed
+    512-token training windows, documents crossing chunk boundaries
+    (concat-and-chunk — the standard pack; each doc carries +1 EOS).
+    Output is the (chunk_id, doc_id) membership table with the doc's
+    offset and clipped token count per chunk — Σ n_toks_in_chunk per
+    chunk is exactly 512 for every interior chunk (pinned in tests),
+    and the whole table is exact integer arithmetic on one exclusive
+    prefix sum, so it value-hash checks.
+
+    Scale shape: ONE global cumsum window (the x42/x73 caveat — an
+    ORDER-BY-only window is a single partition; at 100 TB replace with
+    the two-phase range-partition + per-partition cumsum + |partitions|
+    -row offset broadcast that x42's global rank already implements),
+    then a narrow explode whose fan-out is n_toks/C per doc. No joins,
+    no Python.""",
+)
+def x81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (token_count(F.col("text")).cast("bigint") + 1).alias("n_toks"),
+    )
+    c = d.select(
+        "doc_id",
+        "n_toks",
+        (F.expr(f"SUM(n_toks) OVER {_X81_CUMWIN}") - F.col("n_toks")).alias("st"),
+    )
+    e = c.selectExpr(
+        "doc_id", "n_toks", "st", "st + n_toks AS en",
+        f"{_X81_C0} AS c0", f"{_X81_C1} AS c1",
+    )
+    return e.select(
+        F.explode(F.sequence("c0", "c1")).alias("chunk_id"),
+        "doc_id",
+        "st",
+        "en",
+    ).selectExpr(
+        "chunk_id",
+        "doc_id",
+        f"CAST(GREATEST(st - chunk_id * {_X81_C}, 0) AS BIGINT)"
+        " AS offset_in_chunk",
+        f"CAST(LEAST(en, (chunk_id + 1) * {_X81_C})"
+        f" - GREATEST(st, chunk_id * {_X81_C}) AS BIGINT)"
+        " AS n_toks_in_chunk",
+    )

@@ -142,3 +142,31 @@ def test_bpe_no_pairs_round_is_noop(spark):
     final_seq, winners = bpe_merge_rounds(df, 2)
     assert [r.tok for r in final_seq.collect()] == ["solo"]
     assert all(w.count() == 0 for w in winners)
+
+
+def test_x81_packing_invariants(spark, sf_dir):
+    """Every interior chunk carries exactly 512 tokens; offsets sit in
+    [0, 512); per-doc clipped counts re-sum to the doc's n_toks+1."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    p = QUERIES["x81_sequence_packing"].spark(spark, sf_dir).toPandas()
+    assert len(p) > 0
+    g = p.groupby("chunk_id").n_toks_in_chunk.sum().sort_index()
+    assert (g.iloc[:-1] == 512).all()
+    assert 0 < g.iloc[-1] <= 512
+    assert p.offset_in_chunk.between(0, 511).all()
+    per_doc = p.groupby("doc_id").n_toks_in_chunk.sum()
+    expected = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", (token_count(F.col("text")) + 1).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert (per_doc.sort_index() == expected.sort_index()).all()
