@@ -1825,3 +1825,81 @@ def q72_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_Q72_SH} AS DOUBLE)").alias("sharpe"),
         F.expr(f"CAST({_Q72_SO} AS DOUBLE)").alias("sortino"),
     )
+
+
+# ===========================================================================
+# q74 — split-adjusted close (corporate-action back-adjustment)
+# ===========================================================================
+
+# yfinance's history() carries Stock Splits alongside prices
+# (retrieval.py:36 fetches it; auto-adjustment is the first transform
+# any price consumer applies). Split events are synthesized
+# deterministically (event_id % 101 == 0 → a 2:1 split on that tick),
+# and every earlier tick's price is divided by 2^k where k = number of
+# LATER splits in the same symbol (back-adjustment: the split tick
+# itself is already post-split). 2^k is exact and binary division by
+# it is exact, so the adjusted series is bit-deterministic and the
+# HALF_UP display quantization is the only rounding.
+_Q74_SPLIT = "CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END"
+_Q74_KWIN = (
+    "(PARTITION BY event_type ORDER BY us, event_id"
+    " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+)
+_Q74_ADJ = (
+    "CAST(FLOOR(value / POWER(2.0, CAST(k AS DOUBLE)) * 10000.0 + 0.5)"
+    " / 10000.0 AS DOUBLE)"
+)
+
+_Q74_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id, value,
+               {_Q74_SPLIT} AS is_split
+        FROM events
+    ),
+    k AS (
+        SELECT event_type, us, event_id, value, is_split,
+               COALESCE(SUM(is_split) OVER {_Q74_KWIN}, 0) AS k
+        FROM t
+    )
+    SELECT event_type, event_id, us, value,
+           CAST(is_split AS INT) AS is_split,
+           CAST(k AS BIGINT) AS n_future_splits,
+           {_Q74_ADJ} AS adj_value
+    FROM k
+"""
+
+
+@register(
+    "q74_adjusted_close",
+    _Q74_ORACLE,
+    doc="""Split-adjusted prices (corporate-action back-adjustment, the
+    yfinance auto_adjust semantics the reference's fetch carries —
+    retrieval.py:36): each tick's price is divided by 2^k, k = number
+    of LATER 2:1 splits in the same symbol, so the series is
+    continuous across split days. k comes from one per-symbol
+    reverse-frame window (ROWS 1 FOLLOWING → UNBOUNDED FOLLOWING —
+    the split tick itself is already post-split); 2^k and binary
+    division by it are exact, making the adjustment bit-deterministic
+    in both engines with HALF_UP display quantization as the only
+    rounding. One window exchange, O(1) running state per row
+    (computed back-to-front), no joins.""",
+)
+def q74_adjusted_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    ).withColumn("is_split", F.expr(_Q74_SPLIT))
+    k = t.withColumn(
+        "k", F.expr(f"COALESCE(SUM(is_split) OVER {_Q74_KWIN}, 0)")
+    )
+    return k.select(
+        "event_type",
+        "event_id",
+        "us",
+        "value",
+        F.col("is_split").cast("int").alias("is_split"),
+        F.col("k").cast("long").alias("n_future_splits"),
+        F.expr(_Q74_ADJ).alias("adj_value"),
+    )
