@@ -196,7 +196,8 @@ def bpe_merge_rounds(
     discipline).
 
     Returns ``(final_seq, [winner_1, …, winner_k])`` where each winner
-    is a 1-row DataFrame (a, b, cnt).
+    is a ≤1-row DataFrame (a, b, cnt) — EMPTY for a round that found
+    no adjacent pairs (don't ``collect()[0]`` a winner unguarded).
 
     100 TB: per round, one pair-count aggregate (map-side partials,
     the exchange carries vocabulary-scale rows) + doc_id-partitioned

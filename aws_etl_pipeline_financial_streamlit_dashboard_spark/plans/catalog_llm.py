@@ -2463,9 +2463,9 @@ def x80_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # span = floor(start/C) .. floor((end−1)/C), per-chunk token counts by
 # interval clipping — so the whole pack is value-hash checkable.
 _X81_C = 512
-_X81_HASH = None  # bound below to web.CRAWL_RANK_SQL (one definition)
+# ONE Knuth-hash definition (web.py), shared with x67/x73/x75
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (  # noqa: E402
-    CRAWL_RANK_SQL as _X81_HASH,  # noqa: F811
+    CRAWL_RANK_SQL as _X81_HASH,
 )
 
 _X81_CUMWIN = f"(ORDER BY {_X81_HASH}, doc_id ROWS UNBOUNDED PRECEDING)"

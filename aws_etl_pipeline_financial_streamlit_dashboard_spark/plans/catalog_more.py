@@ -1193,11 +1193,30 @@ _Q16_ORACLE_SQL = f"""
 """
 
 
-def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Materialize lineitem/orders as co-bucketed tables (once per
-    session+sf): the write-time shuffle that buys every subsequent
-    fact⋈fact join a ZERO-exchange plan. Table names are sf-scoped so
-    driver (sf0.01) and bench (sf0.1) runs never collide."""
+def _bucketed_pair(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_table: str,
+    small_bytes: int,
+    specs: list[tuple[str, str, list[str], list[str]]],
+) -> tuple[str, ...]:
+    """Materialize a set of co-bucketed tables once per session+sf —
+    the write-time shuffle that buys every subsequent join/group on
+    the bucket key a ZERO-exchange plan. ``specs`` is one
+    ``(name_prefix, source_table, select_cols, bucket_cols)`` per
+    table. Shared by the orderkey pair (q16/q34) and the custkey pair
+    (q73) so the sizing probe, cache key, and rebuild dance exist
+    exactly once.
+
+    Bucket count scales with the probe table's bytes: scan parallelism
+    of a bucketed table IS its bucket count (one task reads bucket i
+    of every side), so 8 buckets of a 1 GB+ fact would idle 3/4 of a
+    32-core host — measured 2.6× slower at sf10; under ``small_bytes``
+    the smaller count keeps driver-sf0.01 runs from strewing tiny
+    files. The count is part of each table name so a layout change
+    never silently reuses tables bucketed differently; names are
+    sf-scoped so driver (sf0.01) and bench (sf0.1) runs never collide.
+    """
     import os
     import re
 
@@ -1206,62 +1225,62 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
-    # Bucket count scales with the fact data: scan parallelism of a
-    # bucketed table IS its bucket count (one task reads bucket i of
-    # both sides), so 8 buckets of a 1 GB+ lineitem would idle 3/4 of
-    # a 32-core host — measured 2.6× slower at sf10. Under ~100 MB the
-    # smaller count keeps driver-sf0.01 runs from strewing tiny files.
-    # The count is part of the table name so a layout change never
-    # silently reuses tables bucketed differently.
-    li_path = os.path.join(sf_dir, "lineitem.parquet")
-    if os.path.isdir(li_path):  # directory-of-parts layout (getsize on
+    probe = os.path.join(sf_dir, f"{probe_table}.parquet")
+    if os.path.isdir(probe):  # directory-of-parts layout (getsize on
         # a directory returns the inode size, not an error — branch on
         # isdir, never on exceptions)
-        li_bytes = sum(
-            os.path.getsize(os.path.join(li_path, f))
-            for f in os.listdir(li_path)
+        probe_bytes = sum(
+            os.path.getsize(os.path.join(probe, f)) for f in os.listdir(probe)
         )
     else:
-        li_bytes = os.path.getsize(li_path)
-    n_buckets = 8 if li_bytes < (100 << 20) else 32
-    li_t, od_t = f"lineitem_bkt_{tag}_{n_buckets}", f"orders_bkt_{tag}_{n_buckets}"
-    cache_key = (spark.sparkContext.applicationId, li_t, od_t)
+        probe_bytes = os.path.getsize(probe)
+    n_buckets = 8 if probe_bytes < small_bytes else 32
+    names = tuple(f"{prefix}_{tag}_{n_buckets}" for prefix, _, _, _ in specs)
+    cache_key = (spark.sparkContext.applicationId,) + names
     if cache_key in _BUCKETED_READY:
-        return li_t, od_t
-    if not spark.catalog.tableExists(li_t) or not spark.catalog.tableExists(od_t):
+        return names
+    if not all(spark.catalog.tableExists(t) for t in names):
         # a previous SESSION may have left the managed-table directory
         # behind while this session's in-memory catalog has no entry —
-        # saveAsTable would fail with LOCATION_ALREADY_EXISTS; clear both
+        # saveAsTable would fail with LOCATION_ALREADY_EXISTS; clear all
         import shutil
 
         wh = spark.conf.get("spark.sql.warehouse.dir")
         wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
-        for t in (li_t, od_t):
+        for t in names:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
-        write_bucketed(
-            read_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
-            ),
-            li_t,
-            n_buckets,
-            ["l_orderkey"],
-        )
-        write_bucketed(
-            read_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_custkey", "o_orderdate"
-            ),
-            od_t,
-            n_buckets,
-            ["o_orderkey"],
-        )
+        for name, (_, source, cols, bucket_cols) in zip(names, specs):
+            write_bucketed(
+                read_table(spark, sf_dir, source).select(*cols),
+                name,
+                n_buckets,
+                bucket_cols,
+            )
     _BUCKETED_READY.add(cache_key)
+    return names
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """lineitem/orders co-bucketed on orderkey (q16/q34's fact⋈fact)."""
+    li_t, od_t = _bucketed_pair(
+        spark,
+        sf_dir,
+        probe_table="lineitem",
+        small_bytes=100 << 20,
+        specs=[
+            ("lineitem_bkt", "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"], ["l_orderkey"]),
+            ("orders_bkt", "orders",
+             ["o_orderkey", "o_custkey", "o_orderdate"], ["o_orderkey"]),
+        ],
+    )
     return li_t, od_t
 
 
-# (application, table names) pairs already confirmed this session —
-# skips the two tableExists catalog round trips on every plan build.
-_BUCKETED_READY: set[tuple[str, str, str]] = set()
+# (application, *table names) tuples already confirmed this session —
+# skips the tableExists catalog round trips on every plan build.
+_BUCKETED_READY: set[tuple[str, ...]] = set()
 
 
 @register(
@@ -2329,55 +2348,23 @@ def x79_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _custkey_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """orders + customer co-bucketed on custkey (once per session+sf,
-    q34's lazy-build pattern): the write-time shuffle that gives the
-    flagship's rollup a ZERO-exchange group-by (bucketing satisfies the
-    aggregation's clustering requirement) and the customer⋈rollup join
-    co-located buckets. Bucket count scales with data like
-    _bucketed_fact_tables."""
-    import os
-    import re
-    import shutil
-
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.bucketing import (
-        write_bucketed,
+    """orders + customer co-bucketed on custkey (q73's flagship pair):
+    the write-time shuffle that gives the flagship's rollup a
+    ZERO-exchange group-by (bucketing satisfies the aggregation's
+    clustering requirement) and the customer⋈rollup join co-located
+    buckets. All machinery shared with q34's pair via _bucketed_pair."""
+    od_t, cu_t = _bucketed_pair(
+        spark,
+        sf_dir,
+        probe_table="orders",
+        small_bytes=25 << 20,
+        specs=[
+            ("orders_cbkt", "orders",
+             ["o_custkey", "o_totalprice"], ["o_custkey"]),
+            ("customer_cbkt", "customer",
+             ["c_custkey", "c_nationkey", "c_acctbal"], ["c_custkey"]),
+        ],
     )
-
-    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    if os.path.isdir(od_path):
-        od_bytes = sum(
-            os.path.getsize(os.path.join(od_path, f))
-            for f in os.listdir(od_path)
-        )
-    else:
-        od_bytes = os.path.getsize(od_path)
-    n_buckets = 8 if od_bytes < (25 << 20) else 32
-    od_t, cu_t = f"orders_cbkt_{tag}_{n_buckets}", f"customer_cbkt_{tag}_{n_buckets}"
-    cache_key = (spark.sparkContext.applicationId, od_t, cu_t)
-    if cache_key in _BUCKETED_READY:
-        return od_t, cu_t
-    if not spark.catalog.tableExists(od_t) or not spark.catalog.tableExists(cu_t):
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
-        for t in (od_t, cu_t):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
-        write_bucketed(
-            read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-            od_t,
-            n_buckets,
-            ["o_custkey"],
-        )
-        write_bucketed(
-            read_table(spark, sf_dir, "customer").select(
-                "c_custkey", "c_nationkey", "c_acctbal"
-            ),
-            cu_t,
-            n_buckets,
-            ["c_custkey"],
-        )
-    _BUCKETED_READY.add(cache_key)
     return od_t, cu_t
 
 

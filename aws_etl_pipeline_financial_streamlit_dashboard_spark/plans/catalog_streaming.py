@@ -988,7 +988,10 @@ def s17_streaming_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import threading as _threading  # noqa: E402
+
 _S17_DB: dict = {"db": None, "n": 0}
+_S17_LOCK = _threading.Lock()
 
 
 def _s17_db(spark: SparkSession) -> tuple[str, str]:
@@ -997,20 +1000,26 @@ def _s17_db(spark: SparkSession) -> tuple[str, str]:
     import shutil
     import tempfile
 
-    if _S17_DB["db"] is None:
-        root = tempfile.mkdtemp(prefix="s17db_")
-        db = os.path.join(root, "serving")
-        _S17_DB["db"] = db
+    # lock around the check-then-act AND the counter bump: concurrent
+    # invocations (a threaded sweep) must neither double-create the
+    # database nor share a table prefix — a shared prefix would let one
+    # stream publish the other's staged rows under its own batch_id,
+    # breaking the zero-duplicates contract this entry demonstrates
+    with _S17_LOCK:
+        if _S17_DB["db"] is None:
+            root = tempfile.mkdtemp(prefix="s17db_")
+            db = os.path.join(root, "serving")
+            _S17_DB["db"] = db
 
-        def _cleanup(root: str = root, db: str = db) -> None:
-            try:  # Derby shutdown SIGNALS success via SQLException 08006
-                spark._jvm.java.sql.DriverManager.getConnection(
-                    f"jdbc:derby:{db};shutdown=true"
-                )
-            except Exception:
-                pass
-            shutil.rmtree(root, ignore_errors=True)
+            def _cleanup(root: str = root, db: str = db) -> None:
+                try:  # Derby shutdown SIGNALS success via SQLException 08006
+                    spark._jvm.java.sql.DriverManager.getConnection(
+                        f"jdbc:derby:{db};shutdown=true"
+                    )
+                except Exception:
+                    pass
+                shutil.rmtree(root, ignore_errors=True)
 
-        atexit.register(_cleanup)
-    _S17_DB["n"] += 1
-    return f"jdbc:derby:{_S17_DB['db']};create=true", f"s17_{_S17_DB['n']}"
+            atexit.register(_cleanup)
+        _S17_DB["n"] += 1
+        return f"jdbc:derby:{_S17_DB['db']};create=true", f"s17_{_S17_DB['n']}"
