@@ -2549,3 +2549,140 @@ def x81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - GREATEST(st, chunk_id * {_X81_C}) AS BIGINT)"
         " AS n_toks_in_chunk",
     )
+
+
+# ===========================================================================
+# x82 — repetition filters (Gopher/MassiveText-style quality signals)
+# ===========================================================================
+
+# Per document: duplicate-token %, duplicate-trigram % (how much of the
+# doc is self-repetition) and the top bigram's share — the repetition
+# family of quality filters from public LM corpus recipes, beside the
+# length/punct/stopword features of x07/x08. All three reduce to the
+# same shape: explode (kind, gram) with multiplicity → per-(doc, kind,
+# gram) counts → per-(doc, kind) totals/distincts/max → conditional-agg
+# pivot back to one row per doc. Integer HALF_UP percents; docs too
+# short for a gram kind score 0 (COALESCE, not NULL — a 2-token doc
+# has no trigram repetition).
+_X82_PCT_DUP = "FLOOR(100.0 * (tot - dst) / tot + 0.5)"
+_X82_PCT_TOP = "FLOOR(100.0 * mxc / tot + 0.5)"
+_X82_KEEP = (
+    "CASE WHEN dup_token_pct <= 70 AND dup_trigram_pct <= 30"
+    " AND top_bigram_pct <= 20 THEN 1 ELSE 0 END"
+)
+
+_X82_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, 1 AS kind, unnest(w) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, 2 AS kind,
+               unnest([w[i] || ' ' || w[i + 1]
+                       FOR i IN range(1, GREATEST(len(w) - 1, 0) + 1)]) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS kind,
+               unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                       FOR i IN range(1, GREATEST(len(w) - 2, 0) + 1)]) AS gram
+        FROM toks
+    ),
+    gc AS (
+        SELECT doc_id, kind, gram, COUNT(*) AS c
+        FROM grams GROUP BY doc_id, kind, gram
+    ),
+    pk AS (
+        SELECT doc_id, kind,
+               CAST(SUM(c) AS BIGINT) AS tot,
+               COUNT(*) AS dst,
+               CAST(MAX(c) AS BIGINT) AS mxc
+        FROM gc GROUP BY doc_id, kind
+    ),
+    piv AS (
+        SELECT doc_id,
+               CAST(COALESCE(MAX(CASE WHEN kind = 1
+                    THEN {_X82_PCT_DUP} END), 0) AS BIGINT) AS dup_token_pct,
+               CAST(COALESCE(MAX(CASE WHEN kind = 3
+                    THEN {_X82_PCT_DUP} END), 0) AS BIGINT) AS dup_trigram_pct,
+               CAST(COALESCE(MAX(CASE WHEN kind = 2
+                    THEN {_X82_PCT_TOP} END), 0) AS BIGINT) AS top_bigram_pct
+        FROM pk GROUP BY doc_id
+    )
+    SELECT doc_id, dup_token_pct, dup_trigram_pct, top_bigram_pct,
+           CAST({_X82_KEEP} AS INT) AS keep
+    FROM piv
+"""
+
+
+@register(
+    "x82_repetition_filters",
+    _X82_ORACLE,
+    doc="""Repetition quality filters (the Gopher/MassiveText family):
+    per-document duplicate-token and duplicate-trigram percentages and
+    the top bigram's share of all bigrams, plus the keep/drop gate at
+    the public-recipe thresholds (≤70% dup tokens, ≤30% dup trigrams,
+    ≤20% top-bigram share). Multiplicity-keeping grams via the x71
+    shifted-slice zip_with walk (one codegen pass per kind, no
+    per-index element_at); one exploded (kind, gram) stream feeds a
+    two-level hash aggregate and a conditional-agg pivot back to one
+    row per doc. Short docs score 0 for absent gram kinds (COALESCE).
+
+    100 TB: the per-(doc, kind, gram) aggregate partial-collapses
+    map-side (grams repeat within a doc by construction — that IS the
+    signal), both aggregates share the doc_id-prefixed key, and
+    nothing is corpus-global: embarrassingly parallel per doc.""",
+)
+def x82_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = "split(trim(text), '\\\\s+')"
+    n1 = f"GREATEST(size({toks}) - 1, 0)"
+    n2 = f"GREATEST(size({toks}) - 2, 0)"
+    bigrams = (
+        f"zip_with(slice({toks}, 1, {n1}), slice({toks}, 2, {n1}),"
+        " (a, b) -> CONCAT(a, ' ', b))"
+    )
+    trigrams = (
+        f"zip_with(zip_with(slice({toks}, 1, {n2}), slice({toks}, 2, {n2}),"
+        " (a, b) -> CONCAT(a, ' ', b)),"
+        f" slice({toks}, 3, {n2}),"
+        " (ab, c) -> CONCAT(ab, ' ', c))"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    grams = None
+    for kind, expr in ((1, toks), (2, bigrams), (3, trigrams)):
+        part = docs.selectExpr(
+            "doc_id", f"{kind} AS kind", f"explode({expr}) AS gram"
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    pk = (
+        grams.groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "kind")
+        .agg(
+            F.expr("CAST(SUM(c) AS BIGINT)").alias("tot"),
+            F.count("*").alias("dst"),
+            F.expr("CAST(MAX(c) AS BIGINT)").alias("mxc"),
+        )
+    )
+    piv = pk.groupBy("doc_id").agg(
+        F.expr(
+            f"CAST(COALESCE(MAX(CASE WHEN kind = 1 THEN {_X82_PCT_DUP} END), 0)"
+            " AS BIGINT)"
+        ).alias("dup_token_pct"),
+        F.expr(
+            f"CAST(COALESCE(MAX(CASE WHEN kind = 3 THEN {_X82_PCT_DUP} END), 0)"
+            " AS BIGINT)"
+        ).alias("dup_trigram_pct"),
+        F.expr(
+            f"CAST(COALESCE(MAX(CASE WHEN kind = 2 THEN {_X82_PCT_TOP} END), 0)"
+            " AS BIGINT)"
+        ).alias("top_bigram_pct"),
+    )
+    return piv.selectExpr(
+        "doc_id",
+        "dup_token_pct",
+        "dup_trigram_pct",
+        "top_bigram_pct",
+        f"CAST({_X82_KEEP} AS INT) AS keep",
+    )
