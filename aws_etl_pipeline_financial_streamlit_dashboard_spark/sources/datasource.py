@@ -25,7 +25,13 @@ are the production shape.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql import types as T
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.api_fetch import (
     INFO_SCHEMA,
@@ -83,7 +89,76 @@ class FinancialApiDataSource(DataSource):
         return "financial_api"
 
     def schema(self):
-        return INFO_SCHEMA if self.options.get("mode", "info") == "info" else STOCK_SCHEMA
+        mode = self.options.get("mode", "info")
+        if mode == "ticks":
+            return TICKS_SCHEMA
+        return INFO_SCHEMA if mode == "info" else STOCK_SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
         return FinancialApiReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "FinancialApiStreamReader":
+        return FinancialApiStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the source (Spark 4 SimpleDataSourceStreamReader):
+# the polling-API shape — each micro-batch is the next window of ticks,
+# offsets are a monotone sequence number tracked by the engine's
+# checkpoint, and replay is exact because generation is deterministic.
+# ---------------------------------------------------------------------------
+
+TICKS_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+class FinancialApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tick source over the deterministic fake API.
+
+    Offset contract: ``{"seq": n}`` — ticks [start, next) are emitted
+    per micro-batch (``rowsPerBatch`` seqs per batch, one row per
+    (seq, ticker)). ``readBetweenOffsets`` regenerates a committed
+    range bit-exactly (the replay path a failed batch triggers) —
+    deterministic generation IS the exactly-once story on the source
+    side, the dual of s17's ledger on the sink side. ``maxSeq`` bounds
+    the stream (reads past it return an empty batch with an unchanged
+    offset; a live API would leave it unbounded). Python streaming
+    sources do not support Trigger.AvailableNow — drive with a
+    processing-time trigger and stop on the sink count (the house
+    polling pattern).
+    """
+
+    def __init__(self, options):
+        raw = options.get("tickers", "AAPL")
+        self.tickers = [t.strip().upper() for t in raw.split(",") if t.strip()]
+        self.rows_per_batch = int(options.get("rowsPerBatch", "10"))
+        self.max_seq = int(options.get("maxSeq", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        s = int(start["seq"])
+        e = min(s + self.rows_per_batch, self.max_seq)
+        # a LIST, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator when a later
+        # readBetweenOffsets hits the cache, and generators are not
+        # copyable/picklable
+        return self._rows(s, e), {"seq": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["seq"]), int(end["seq"]))
+
+    def _rows(self, s: int, e: int) -> list:
+        return [
+            # deterministic integer-derived price (no RNG state —
+            # the x67/x73 discipline applied to a source)
+            (t, seq, 100.0 + ((seq * 31 + i * 17) % 1000) / 100.0)
+            for seq in range(s, e)
+            for i, t in enumerate(self.tickers)
+        ]

@@ -72,3 +72,74 @@ def test_partition_count_caps_at_tickers(spark):
     )
     assert df.rdd.getNumPartitions() <= 2
     assert df.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming half (SimpleDataSourceStreamReader) — round 6
+# ---------------------------------------------------------------------------
+
+
+def test_stream_reader_replay_is_exact():
+    """readBetweenOffsets must regenerate a committed range bit-exactly
+    — the replay path the engine takes when a batch fails after its
+    offset was logged."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.datasource import (
+        FinancialApiStreamReader,
+    )
+
+    r = FinancialApiStreamReader(
+        {"tickers": "AAPL,MSFT", "rowsPerBatch": "7", "maxSeq": "30"}
+    )
+    rows1, off1 = r.read(r.initialOffset())
+    assert off1 == {"seq": 7}
+    assert len(rows1) == 7 * 2
+    replay = r.readBetweenOffsets({"seq": 0}, {"seq": 7})
+    assert replay == rows1
+    # the bounded tail: reading at maxSeq advances nothing
+    tail, off_end = r.read({"seq": 30})
+    assert tail == [] and off_end == {"seq": 30}
+
+
+def test_stream_source_end_to_end(spark, tmp_path):
+    """readStream over the registered source delivers exactly one row
+    per (seq, ticker) with the deterministic prices. Python streaming
+    sources don't support Trigger.AvailableNow (the engine logs a
+    single-batch fallback), so the query runs on a processing-time
+    trigger and is stopped once the bounded stream (maxSeq) has fully
+    drained — the house polling pattern."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.datasource import (
+        FinancialApiDataSource,
+    )
+
+    spark.dataSource.register(FinancialApiDataSource)
+    q = (
+        spark.readStream.format("financial_api")
+        .option("mode", "ticks")
+        .option("tickers", "AAPL,MSFT,GOOG")
+        .option("rowsPerBatch", "8")
+        .option("maxSeq", "20")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ticks_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table("ticks_e2e").count() >= 20 * 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table("ticks_e2e")
+    assert out.count() == 20 * 3
+    assert out.select(F.count_distinct("seq")).collect()[0][0] == 20
+    # spot-check determinism of one cell: seq=5, ticker index 1 (MSFT)
+    row = out.filter("seq = 5 AND ticker = 'MSFT'").collect()[0]
+    assert row.price == 100.0 + ((5 * 31 + 17) % 1000) / 100.0
