@@ -2155,6 +2155,14 @@ _PH_N = 64  # pixels per asset (the 8x8 grid of classic aHash)
 _PH_BANDS = 4  # LSH bands over the 64-bit hash
 _PH_BAND_SIZE = 16
 _PH_MAX_HAMMING = 6
+# hot-band cap (the x02 hot-shingle / dedup hot_block_cap discipline,
+# IMPLEMENTED, not just documented): a band bucket larger than this is
+# dropped from candidate generation — a near-monochrome corpus would
+# otherwise concentrate |bucket|² pairs in one reducer. 64 leaves the
+# driver corpora untouched (twin buckets are ~2) while bounding the
+# quadratic term at any scale; near-dup evidence is redundant across
+# the other 3 bands, so recall degrades gracefully, exactly as in x02.
+_PH_BAND_CAP = 64
 _PH_PCOLS = [f"p{k}" for k in range(_PH_N)]
 _PH_PIXELS = [
     f"{e} AS p{k}" for k, e in enumerate(sql_pixels(_PH_N, "text"))
@@ -2188,7 +2196,15 @@ def _phash_oracle() -> str:
         SELECT doc_id * 2 + 1 AS asset_id, {', '.join(_PH_TWIN)} FROM px
     ),
     hashed AS (SELECT asset_id, {', '.join(_PH_BAND_EXPRS)} FROM assets),
-    bands AS ({bands_union}),
+    bands_raw AS ({bands_union}),
+    bands AS (
+        SELECT * FROM (
+            SELECT bands_raw.*,
+                   COUNT(*) OVER (PARTITION BY band_idx, band_val)
+                       AS __bucket_n
+            FROM bands_raw
+        ) WHERE __bucket_n <= {_PH_BAND_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
                {', '.join(f'a.band{i} AS a{i}' for i in range(_PH_BANDS))},
@@ -2225,8 +2241,9 @@ def _phash_oracle() -> str:
     no shuffle); the only exchanges are the band-bucket equi-join and
     the pair DISTINCT, both keyed on 16-bit band values — the
     hot-band analog of x02's hot-shingle risk (a monochrome-corpus
-    band would concentrate; production caps band buckets exactly like
-    dedup.py's hot_block_cap). Hamming dialect split is operator-only
+    band would concentrate |bucket|² pairs), mitigated by the
+    IMPLEMENTED _PH_BAND_CAP bucket-size gate whose window rides the
+    join's own exchange. Hamming dialect split is operator-only
     (Spark infix ^ vs DuckDB xor()).""",
 )
 def x78_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2281,6 +2298,13 @@ def x78_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asset_id", f"{b} AS band_idx", f"band{b} AS band_val", *_PH_BCOLS
         )
         bands = part if bands is None else bands.unionByName(part)
+    # hot-band cap (see _PH_BAND_CAP): the bucket-size window hashes on
+    # the SAME (band_idx, band_val) key the self-join uses, so the cap
+    # rides the exchange the join needs anyway
+    bands = bands.withColumn(
+        "__bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
+    ).filter(F.col("__bucket_n") <= _PH_BAND_CAP)
     left = bands.selectExpr(
         "asset_id AS asset_a", "band_idx", "band_val",
         *[f"band{i} AS a{i}" for i in range(_PH_BANDS)],
