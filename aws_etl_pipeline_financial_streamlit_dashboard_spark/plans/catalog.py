@@ -829,7 +829,7 @@ _SAMPLER_FRONT_R6 = [
     "x78_phash_near_dup", "x79_exif_extract", "x80_bpe_merges",
     "s17_streaming_jdbc_upsert", "q72_sharpe_sortino",
     "q73_flagship_bucketed", "x81_sequence_packing",
-    "q74_adjusted_close", "x82_repetition_filters",
+    "q74_adjusted_close", "x82_repetition_filters", "q75_var_cvar",
     # semantically touched this round (dim-chain fold, SHJ pin,
     # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
     # driver rows predate the change

@@ -1903,3 +1903,125 @@ def q74_adjusted_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_future_splits"),
         F.expr(_Q74_ADJ).alias("adj_value"),
     )
+
+
+# ===========================================================================
+# q75 — historical VaR / CVaR (exact order-statistic tail risk)
+# ===========================================================================
+
+# Historical-simulation Value-at-Risk: the k-th smallest return where
+# k = ceil(0.05 * n) (the 5% left-tail order statistic), and CVaR
+# (expected shortfall) = the mean of those k worst returns. Extends
+# the risk tier (q52 drawdown, q57 volatility, q72 Sharpe/Sortino)
+# with the tail-risk numbers a risk desk reports beside them. Exact
+# end to end: returns are int64 basis points (_RET_BP), the tail is
+# selected by an integer rank with a total-order tie-break
+# (r_bp, us, event_id), k is exact integer arithmetic
+# (floor((5n+99)/100) — 5n+99 < 2^53 so the double division cannot
+# cross an integer), and only the final mean rounds (HALF_UP, 4 dp,
+# shared expression).
+_Q75_K = "CAST(FLOOR((5 * n + 99) / 100.0) AS BIGINT)"
+_Q75_CVAR = (
+    "FLOOR(CAST(s_tail AS DOUBLE) / CAST(k_tail AS DOUBLE)"
+    " * 10000.0 + 0.5) / 10000.0"
+)
+
+_Q75_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, us, event_id,
+               {_RET_BP.format(w="w")} AS r_bp
+        FROM t
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ),
+    rk AS (
+        SELECT event_type, r_bp,
+               ROW_NUMBER() OVER
+                   (PARTITION BY event_type
+                    ORDER BY r_bp, us, event_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM r
+        WHERE r_bp IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               MAX(n) AS n_ret,
+               MAX({_Q75_K}) AS k_tail,
+               MAX(CASE WHEN rnk = {_Q75_K} THEN r_bp END) AS var95_bp,
+               SUM(CASE WHEN rnk <= {_Q75_K} THEN r_bp ELSE 0 END) AS s_tail
+        FROM rk
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_ret AS BIGINT) AS n_ret,
+           k_tail,
+           CAST(var95_bp AS BIGINT) AS var95_bp,
+           CAST({_Q75_CVAR} AS DOUBLE) AS cvar95_bp
+    FROM g
+"""
+
+
+@register(
+    "q75_var_cvar",
+    _Q75_ORACLE,
+    doc="""Historical-simulation VaR(95) and CVaR(95) per symbol: the
+    k = ceil(0.05·n)-th smallest basis-point return and the mean of
+    the k worst. Exact order statistics, not approximate percentiles —
+    the deterministic twin of q49's approx path for the one quantile
+    risk reporting cannot fudge. Rank ties break on the exchange
+    sequence (r_bp, us, event_id), so the tail set is total-ordered
+    and engine-independent; the only rounding is the CVaR mean's
+    HALF_UP 4 dp finish, shared verbatim with the oracle.
+
+    Plan: the returns window and the rank window both partition by
+    event_type, so Spark reuses ONE hash exchange for both sorts, and
+    the final group-by collapses map-side — one shuffle of the tick
+    stream total. At 100 TB the per-symbol sort is the same shape
+    q52's running-max already carries (a symbol-year of ticks sorts
+    in-partition); a corpus where single symbols outgrow a partition
+    moves to q49's approx-percentile path, which this entry's exact
+    numbers validate on samples.""",
+)
+def q75_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        ts_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    wret = "(PARTITION BY event_type ORDER BY us, event_id)"
+    r = t.select(
+        "event_type",
+        "us",
+        "event_id",
+        F.expr(_RET_BP.format(w=wret)).alias("r_bp"),
+    ).filter(F.col("r_bp").isNotNull())
+    rk = r.select(
+        "event_type",
+        "r_bp",
+        F.expr(
+            "ROW_NUMBER() OVER (PARTITION BY event_type"
+            " ORDER BY r_bp, us, event_id)"
+        ).alias("rnk"),
+        F.expr("COUNT(*) OVER (PARTITION BY event_type)").alias("n"),
+    )
+    g = rk.groupBy("event_type").agg(
+        F.expr("MAX(n)").alias("n_ret"),
+        F.expr(f"MAX({_Q75_K})").alias("k_tail"),
+        F.expr(f"MAX(CASE WHEN rnk = {_Q75_K} THEN r_bp END)").alias(
+            "var95_bp"
+        ),
+        F.expr(
+            f"SUM(CASE WHEN rnk <= {_Q75_K} THEN r_bp ELSE 0 END)"
+        ).alias("s_tail"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_ret").cast("long").alias("n_ret"),
+        "k_tail",
+        F.col("var95_bp").cast("long").alias("var95_bp"),
+        F.expr(f"CAST({_Q75_CVAR} AS DOUBLE)").alias("cvar95_bp"),
+    )

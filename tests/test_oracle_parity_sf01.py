@@ -83,6 +83,10 @@ SENSITIVE = [
     # arithmetic at 10x the assets)
     "q72_sharpe_sortino",
     "x78_phash_near_dup",
+    # round 6, second session: the VaR tail-sum rides the same int64
+    # bp-return headroom as q72, and the rank/k arithmetic only
+    # stresses at larger per-symbol return counts
+    "q75_var_cvar",
 ]
 
 

@@ -170,3 +170,43 @@ def test_x81_packing_invariants(spark, sf_dir):
         .set_index("doc_id")["n"]
     )
     assert (per_doc.sort_index() == expected.sort_index()).all()
+
+
+def test_q75_tail_invariants(spark, sf_dir):
+    """CVaR is the mean of the k worst returns, so it can never exceed
+    VaR (the best of those k); k is exactly ceil(0.05 * n)."""
+    p = QUERIES["q75_var_cvar"].spark(spark, sf_dir).toPandas()
+    assert len(p) > 0
+    assert (p.cvar95_bp <= p.var95_bp).all()
+    assert (p.k_tail == (5 * p.n_ret + 99) // 100).all()
+    assert (p.k_tail >= 1).all()
+
+
+def test_q75_single_tick_symbol_drops_out(spark):
+    """A symbol with one tick has no returns: it must vanish from the
+    report rather than surface a NULL/zero-row (the q72 n_ret=0
+    contract, inherited here by the r_bp IS NOT NULL gate)."""
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["AAA", "AAA", "AAA", "ONE"],
+            "value": [100.0, 110.0, 99.0, 50.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        base.to_parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["q75_var_cvar"].spark(spark, d).toPandas()
+    assert set(out.event_type) == {"AAA"}
+    row = out.iloc[0]
+    # returns: +1000bp, -1000bp; k = ceil(0.05*2) = 1 → tail = {-1000}
+    assert row.n_ret == 2 and row.k_tail == 1
+    assert row.var95_bp == -1000 and row.cvar95_bp == -1000.0
