@@ -1617,3 +1617,193 @@ def x77_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq.filter(F.col("vec_id") % mod == 1), fan_out(dq), k=k, dim=dim
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, approx, k)
+
+
+# ===========================================================================
+# x83 — LSH banding recall curve (dedup-quality eval)
+# ===========================================================================
+
+# The dedup counterpart of the x72/x74/x77 index-eval triad: before
+# committing a MinHash-LSH banding config at corpus scale, measure —
+# on a sample — what each (bands × rows) operating point on the
+# S-curve actually buys. For each config over the SAME 32-hash
+# signatures (16×2, 8×4, 4×8), count the candidate pairs it emits,
+# how many of the exact Jaccard ≥ 0.2 ground-truth pairs (x02's
+# inverted-index pipeline) it recovers, and the resulting recall /
+# precision in ppm. Every stage is deterministic integer/string
+# arithmetic (md5-derived hashes, fixed affine coefficients), so the
+# curve itself is fully value-hash-checked.
+
+# Spark parses bare decimal literals as DECIMAL (the 100.0 trap), so
+# the ppm finish casts everything to DOUBLE explicitly; shared
+# verbatim with the oracle.
+_X83_REC = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(n_hit AS DOUBLE)"
+    " / CAST(NULLIF(n_true, 0) AS DOUBLE) + 0.5) AS BIGINT)"
+)
+_X83_PREC = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(n_hit AS DOUBLE)"
+    " / CAST(NULLIF(n_cand, 0) AS DOUBLE) + 0.5) AS BIGINT)"
+)
+_X83_CONFIGS = (16, 8, 4)
+_X83_NH = 32
+
+
+def _x83_oracle(threshold: float = 0.2) -> str:
+    """DuckDB twin: x02's shingle/truth CTEs (jaccard_pairs_cte — the
+    same definition x02 itself runs, so truth cannot drift), x04's
+    md5/affine signature arithmetic, and one banded stream carrying a
+    ``bands`` config key so all three operating points share the
+    signature CTE."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(_X83_NH)
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    selects = []
+    for bands in _X83_CONFIGS:
+        rows = _X83_NH // bands
+        for b in range(bands):
+            concat = " || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            selects.append(
+                f"SELECT doc_id, {bands} AS bands, {b} AS band,"
+                f" {concat} AS bucket FROM sig"
+            )
+    banded = "\n        UNION ALL ".join(selects)
+    return jaccard_pairs_cte(threshold=threshold) + f""",
+    hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT % {MINHASH_P} AS BIGINT) AS h
+        FROM ex
+    ),
+    sig AS (SELECT doc_id,
+               {mins}
+            FROM hs GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.bands = b.bands AND a.band = b.band
+                      AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    nt AS (SELECT COUNT(*) AS n_true FROM dup),
+    j AS (
+        SELECT c.bands,
+               COUNT(*) AS n_cand,
+               CAST(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM cand c
+        LEFT JOIN dup d ON c.doc_a = d.doc_a AND c.doc_b = d.doc_b
+        GROUP BY c.bands
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST({_X83_NH} / bands AS BIGINT) AS rows_per_band,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true_pairs,
+           n_hit,
+           {_X83_REC} AS recall_ppm,
+           {_X83_PREC} AS precision_ppm
+    FROM j, nt
+    """
+
+
+@register(
+    "x83_lsh_band_recall",
+    _x83_oracle(),
+    doc="""MinHash-LSH banding recall curve: candidate count, recall
+    and precision (ppm) of three banding configs (16×2, 8×4, 4×8 over
+    the same 32 minhashes) against the exact n-gram-Jaccard ≥ 0.2
+    ground truth — the measurement a corpus team runs on a SAMPLE
+    before picking the S-curve operating point for the full 100 TB
+    dedup pass. Completes the eval family: x72/x74/x77 grade the ANN
+    index tiers, x83 grades the dedup tier (x04). Fully value-hash
+    oracle-checked — signatures, buckets, candidate pairs, truth
+    pairs, and the recall arithmetic are all deterministic.
+
+    Plan: ONE signature aggregate (32 codegen mins, map-side collapse
+    to 32 longs/doc) feeds all three configs via a 28-struct explode;
+    the candidate self-join keys on (bands, band, bucket) so every
+    config rides the same single exchange; the truth side is x02's
+    inverted-index join (candidates grow with true overlap, not n²).
+    Signatures and truth localCheckpoint once (q54's rationale: each
+    feeds two plan forks). At scale the sample predicate replaces the
+    full corpus scan; x78's bucket-size cap pattern applies unchanged
+    if a sampled bucket still runs hot.""",
+)
+def x83_lsh_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 0.2
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=_X83_NH
+    ).localCheckpoint(eager=True)
+    structs = []
+    for bands in _X83_CONFIGS:
+        rows = _X83_NH // bands
+        for b in range(bands):
+            structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("minhash", b * rows + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows)
+                        ],
+                    ).alias("bucket"),
+                )
+            )
+    banded = sigs.select(
+        "doc", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc", "bb.bands", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        cand.join(truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __t IS NOT NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_hit"),
+        )
+    )
+    nt = truth.agg(F.count("*").alias("n_true"))
+    return j.crossJoin(nt).select(
+        F.col("bands").cast("long").alias("bands"),
+        F.expr(f"CAST({_X83_NH} / bands AS BIGINT)").alias("rows_per_band"),
+        F.col("n_cand").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        "n_hit",
+        F.expr(_X83_REC).alias("recall_ppm"),
+        F.expr(_X83_PREC).alias("precision_ppm"),
+    )

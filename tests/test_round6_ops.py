@@ -210,3 +210,25 @@ def test_q75_single_tick_symbol_drops_out(spark):
     # returns: +1000bp, -1000bp; k = ceil(0.05*2) = 1 → tail = {-1000}
     assert row.n_ret == 2 and row.k_tail == 1
     assert row.var95_bp == -1000 and row.cvar95_bp == -1000.0
+
+
+def test_x83_band_nesting_invariants(spark, sf_dir):
+    """Band boundaries align across the three configs (an 8-row band
+    is a union of aligned 4-row and 2-row bands), so agreement on a
+    wide band implies agreement on its sub-bands: candidate and hit
+    counts must be monotone non-decreasing in the band count, and
+    hits can never exceed truth or candidates."""
+    p = (
+        QUERIES["x83_lsh_band_recall"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values("bands")
+        .reset_index(drop=True)
+    )
+    assert list(p.bands) == [4, 8, 16]
+    assert list(p.rows_per_band) == [8, 4, 2]
+    assert p.n_candidates.is_monotonic_increasing
+    assert p.n_hit.is_monotonic_increasing
+    assert (p.n_hit <= p.n_true_pairs).all()
+    assert (p.n_hit <= p.n_candidates).all()
+    assert p.n_true_pairs.nunique() == 1
