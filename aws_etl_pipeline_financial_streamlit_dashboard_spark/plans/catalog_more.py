@@ -2446,3 +2446,112 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
 )
 
 _Q["q73_flagship_bucketed"].oracle = _Q["q07_flagship_industry_avg"].oracle
+
+
+# ===========================================================================
+# x84 — join-key skew profile (heavy-hitter diagnostics)
+# ===========================================================================
+
+# The pre-flight measurement behind every skew decision in this repo
+# (salting q25/q42, AQE skew-join, x67's hot-host cap, x78's bucket
+# cap): for each candidate join key of the fact table, the top-10
+# heaviest keys with their share of the table (ppm) and their ratio
+# vs the mean key load (ppm) — "is any key hot enough to need a
+# mitigation, and by how much". One stacked pass over lineitem's
+# three join keys.
+_X84_K = 10
+_X84_PCT = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(cnt AS DOUBLE)"
+    " / CAST(total AS DOUBLE) + 0.5) AS BIGINT)"
+)
+_X84_SKEW = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(cnt AS DOUBLE)"
+    " * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) + 0.5) AS BIGINT)"
+)
+
+_X84_ORACLE = f"""
+    WITH kv AS (
+        SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey' AS col_name, l_partkey AS key FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey' AS col_name, l_suppkey AS key FROM lineitem
+    ),
+    c AS (
+        SELECT col_name, key, COUNT(*) AS cnt
+        FROM kv GROUP BY col_name, key
+    ),
+    s AS (
+        SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS total,
+               COUNT(*) AS n_keys
+        FROM c GROUP BY col_name
+    ),
+    r AS (
+        SELECT col_name, key, cnt,
+               ROW_NUMBER() OVER (PARTITION BY col_name
+                                  ORDER BY cnt DESC, key ASC) AS rk
+        FROM c
+    )
+    SELECT r.col_name, CAST(r.rk AS BIGINT) AS rk, r.key,
+           CAST(r.cnt AS BIGINT) AS cnt,
+           CAST(s.total AS BIGINT) AS total,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           {_X84_PCT} AS pct_ppm,
+           {_X84_SKEW} AS skew_x_ppm
+    FROM r JOIN s ON r.col_name = s.col_name
+    WHERE r.rk <= {_X84_K}
+"""
+
+
+@register(
+    "x84_join_key_skew_profile",
+    _X84_ORACLE,
+    doc="""Join-key skew profiler: for each of lineitem's three join
+    keys, the 10 heaviest keys with table share and ratio-vs-mean-key
+    (both ppm) — the diagnostic a pipeline runs BEFORE choosing
+    broadcast/salt/cap strategies (docs/SCALE.md's hot-key inventory,
+    produced by a query instead of by hand). Deterministic total
+    order (cnt DESC, key ASC); ppm finishes are pinned shared scalar
+    chains.
+
+    Plan: the stacked (col, key) stream count partial-collapses
+    map-side; the top-k then runs through grouped_topk (q48's
+    skew-safe two-phase window) — the profiler must itself survive
+    the pathology it measures, and with only 3 col-partitions a plain
+    window would rank millions of distinct keys on 3 reducers. The
+    per-column totals are 3 rows, joined back broadcast. At 100 TB:
+    one shuffle of (col, key) partial counts, k·splits rows per
+    column into the final rank.""",
+)
+def x84_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
+    li = read_table(spark, sf_dir, "lineitem")
+    kv = None
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        part = li.select(
+            F.lit(col).alias("col_name"), F.col(col).alias("key")
+        )
+        kv = part if kv is None else kv.unionByName(part)
+    c = kv.groupBy("col_name", "key").agg(F.count("*").alias("cnt"))
+    s = c.groupBy("col_name").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    r = grouped_topk(
+        c,
+        ["col_name"],
+        [F.col("cnt").desc(), F.col("key").asc()],
+        _X84_K,
+        rank_col="rk",
+    )
+    return r.join(F.broadcast(s), "col_name").select(
+        "col_name",
+        F.col("rk").cast("long").alias("rk"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        "total",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr(_X84_PCT).alias("pct_ppm"),
+        F.expr(_X84_SKEW).alias("skew_x_ppm"),
+    )

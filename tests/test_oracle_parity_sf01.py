@@ -87,6 +87,9 @@ SENSITIVE = [
     # bp-return headroom as q72, and the rank/k arithmetic only
     # stresses at larger per-symbol return counts
     "q75_var_cvar",
+    # the skew profiler's ppm products (1e6 * cnt * n_keys) only
+    # exercise the shared-double-chain determinism at real key counts
+    "x84_join_key_skew_profile",
 ]
 
 

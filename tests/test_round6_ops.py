@@ -232,3 +232,37 @@ def test_x83_band_nesting_invariants(spark, sf_dir):
     assert (p.n_hit <= p.n_true_pairs).all()
     assert (p.n_hit <= p.n_candidates).all()
     assert p.n_true_pairs.nunique() == 1
+
+
+def test_x84_profile_invariants(spark, sf_dir):
+    """Three profiled columns, ranks 1..10 each, counts non-increasing
+    in rank, and the share/skew arithmetic consistent with the raw
+    counts it was derived from."""
+    p = (
+        QUERIES["x84_join_key_skew_profile"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values(["col_name", "rk"])
+    )
+    assert set(p.col_name) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for _, g in p.groupby("col_name"):
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert g.cnt.is_monotonic_decreasing
+        assert (g.total == g.total.iloc[0]).all()
+    # skew ratio vs mean load: cnt * n_keys / total, in ppm
+    import math
+
+    for r in p.itertuples(index=False):
+        assert r.skew_x_ppm == math.floor(
+            1e6 * float(r.cnt) * float(r.n_keys) / float(r.total) + 0.5
+        )
+
+
+def test_x84_topk_is_two_phase(spark, sf_dir):
+    """The profiler must survive the skew it measures: the rank runs
+    as grouped_topk's salted partial window + final window (two Window
+    nodes), never one window over every distinct key of a column."""
+    df = QUERIES["x84_join_key_skew_profile"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "Python" not in plan
