@@ -2555,3 +2555,123 @@ def x84_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_X84_PCT).alias("pct_ppm"),
         F.expr(_X84_SKEW).alias("skew_x_ppm"),
     )
+
+
+# ===========================================================================
+# x85 — scene-change detection over sampled frames (video plumbing)
+# ===========================================================================
+
+# Composes x13's frame sampling with x78's deterministic probe-decode:
+# per sampled frame, a 16-probe brightness (sum of the byte values at
+# 16 evenly spaced offsets inside the frame — the luma-mean stand-in
+# for the stubbed video decoder), then the temporal diff per asset and
+# a threshold flag. This is the shot-boundary pass a video curation
+# pipeline runs between "frames sampled" and "frames embedded": cheap,
+# scan-side, and it prunes the expensive downstream decode to one
+# frame per detected scene. All integer arithmetic → full oracle.
+_X85_NPROBE = 16
+_X85_TAU = 64
+
+
+def _x85_brightness(col: str) -> str:
+    """Shared probe-sum: byte value at floor(k·L/16) for k in 0..15.
+    Empty frames sum to 0 (ascii('') = 0 in both engines)."""
+    length = f"LENGTH({col})"
+    return " + ".join(
+        f"ascii(SUBSTR({col},"
+        f" CAST(FLOOR({k} * {length} / {_X85_NPROBE}.0) AS INT) + 1, 1))"
+        for k in range(_X85_NPROBE)
+    )
+
+
+_X85_ORACLE = f"""
+    WITH fr AS (
+        SELECT doc_id,
+               f.frame_idx,
+               f.off AS byte_offset,
+               substr(text, f.off + 1, 64) AS frame_chars
+        FROM documents,
+             LATERAL (SELECT range(0, greatest(length(text), 1), 64) AS l) q,
+             UNNEST([{{'frame_idx': i - 1, 'off': l[i]}}
+                     FOR i IN range(1, least(len(l), 8) + 1)]) AS t(f)
+    ),
+    b AS (
+        SELECT doc_id, frame_idx, byte_offset,
+               CAST({_x85_brightness('frame_chars')} AS BIGINT) AS brightness
+        FROM fr
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, byte_offset, brightness,
+               brightness - LAG(brightness) OVER
+                   (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+        FROM b
+    )
+    SELECT doc_id, frame_idx, byte_offset, brightness, delta,
+           CAST(CASE WHEN ABS(delta) > {_X85_TAU} THEN 1 ELSE 0 END AS INT)
+               AS is_scene_change
+    FROM d
+"""
+
+
+@register(
+    "x85_scene_change",
+    _X85_ORACLE,
+    doc="""Scene-change (shot-boundary) detection over sampled frames:
+    x13's evenly spaced frame sampler feeds a 16-probe deterministic
+    brightness per frame (the luma stand-in for the stubbed video
+    decoder — x78's probe-decode pattern), then a per-asset temporal
+    LAG diff flags frames whose brightness jumps past the threshold.
+    The real decoder swaps in behind the same (asset, frame) schema;
+    offsets, fan-out, probe arithmetic and the temporal window are the
+    production distributed shape and carry a full value-hash oracle.
+
+    Plan: posexplode fan-out (≤8 rows/asset) → one narrow codegen
+    projection (16 substr probes, no explode-per-byte, no Python) →
+    ONE per-asset window exchange. At 100 TB the probe stage is
+    scan-side CPU; only (asset, frame_idx, brightness) shuffles —
+    this is the cheap gate that prunes the expensive full decode to
+    one frame per detected scene.""",
+)
+def x85_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = sample_frames(
+        docs, id_col="doc_id", payload_col="payload",
+        every_n_bytes=64, max_frames=8,
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        F.col("frame_bytes").cast("string").alias("frame_chars"),
+    )
+    b = frames.select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        F.expr(
+            f"CAST({_x85_brightness('frame_chars')} AS BIGINT)"
+        ).alias("brightness"),
+    )
+    d = b.withColumn(
+        "delta",
+        F.expr(
+            "brightness - LAG(brightness) OVER"
+            " (PARTITION BY doc_id ORDER BY frame_idx)"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        "brightness",
+        "delta",
+        F.expr(
+            f"CAST(CASE WHEN ABS(delta) > {_X85_TAU} THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("is_scene_change"),
+    )

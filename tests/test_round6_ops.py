@@ -266,3 +266,35 @@ def test_x84_topk_is_two_phase(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2
     assert "Python" not in plan
+
+
+def test_x85_scene_change_contract(spark, sf_dir):
+    """First frame of every asset has no predecessor (delta NULL,
+    never flagged); deltas re-derive from the brightness column; the
+    flag is exactly the |delta| > tau predicate."""
+    p = (
+        QUERIES["x85_scene_change"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    first = p[p.frame_idx == 0]
+    assert first.delta.isna().all()
+    assert (first.is_scene_change == 0).all()
+    for _, g in p.groupby("doc_id"):
+        rederived = g.brightness.diff()
+        got = g.delta.astype("float64")
+        assert ((rederived == got) | (rederived.isna() & got.isna())).all()
+    flagged = p[p.delta.notna()]
+    assert (
+        (flagged.delta.abs() > 64) == (flagged.is_scene_change == 1)
+    ).all()
+
+
+def test_x85_plan_is_python_free_single_window(spark, sf_dir):
+    """16 probes run as one narrow codegen projection (no per-byte
+    explode, no Python); exactly one Window (the temporal LAG)."""
+    df = QUERIES["x85_scene_change"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Window") == 1
