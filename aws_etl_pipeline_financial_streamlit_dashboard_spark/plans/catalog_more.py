@@ -2675,3 +2675,57 @@ def x85_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)"
         ).alias("is_scene_change"),
     )
+
+
+# ===========================================================================
+# q76 — min-cost supplier per part (correlated scalar subquery, TPC-H
+# Q2 shape)
+# ===========================================================================
+
+# q21 covers the UNcorrelated scalar subquery; this is the correlated
+# one — the classic "rows matching their group's extreme, located by
+# a subquery referencing the outer row" (TPC-H Q2's
+# ps_supplycost = (SELECT MIN(...) WHERE ps_partkey = p_partkey),
+# re-keyed onto lineitem since the driver schema has no partsupp).
+# Ties on the per-part minimum all surface (deterministic SET, no
+# arbitrary winner); prices pass through unchanged, so parity is raw
+# value equality, no arithmetic.
+_Q76_ORACLE = """
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+    )
+"""
+
+
+@register(
+    "q76_min_cost_supplier",
+    _Q76_ORACLE,
+    doc="""Correlated scalar subquery (TPC-H Q2 shape): for every
+    part, the supplier rows offering its minimum observed price —
+    `WHERE l_extendedprice = (SELECT MIN(...) WHERE l2.l_partkey =
+    p_partkey)`. Spark runs the identical SQL text as the oracle;
+    Catalyst DE-CORRELATES the subquery into a per-part MIN aggregate
+    joined back on partkey (visible in the plan as an Aggregate under
+    a join, never a per-outer-row re-execution) — which is exactly
+    the 100 TB strategy a hand-written version would pick: one
+    partial-aggregating shuffle of (partkey, min_price) + one
+    equi-join, dims broadcast. Ties all surface (set semantics, no
+    arbitrary winner).""",
+)
+def q76_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__q76_{t}")
+    sql = _Q76_ORACLE
+    for t in ("part", "lineitem", "supplier", "nation"):
+        # word-boundary-safe: table names appear as "FROM part p" /
+        # "JOIN lineitem l" tokens only
+        sql = sql.replace(f" {t} ", f" __q76_{t} ")
+    return spark.sql(sql)

@@ -298,3 +298,33 @@ def test_x85_plan_is_python_free_single_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("Window") == 1
+
+
+def test_q76_subquery_is_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery into a
+    per-part MIN aggregate + equi-join: the executed plan carries no
+    Subquery node (per-outer-row re-execution), no cartesian product,
+    and at least one Aggregate feeding the joins."""
+    df = QUERIES["q76_min_cost_supplier"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan
+    assert "Cartesian" not in plan
+    assert "Aggregate" in plan
+    assert "Python" not in plan
+
+
+def test_q76_emits_all_ties(spark, sf_dir):
+    """Every returned row's price equals its part's true minimum, and
+    every part with lineitems appears at least once (ties are a set,
+    not an arbitrary winner)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    df = QUERIES["q76_min_cost_supplier"].spark(spark, sf_dir).toPandas()
+    li = read_table(spark, sf_dir, "lineitem").toPandas()
+    true_min = li.groupby("l_partkey").l_extendedprice.min()
+    assert set(df.p_partkey) == set(true_min.index)
+    merged = df.merge(
+        true_min.rename("true_min"), left_on="p_partkey", right_index=True
+    )
+    assert (merged.min_price == merged.true_min).all()
