@@ -84,3 +84,67 @@ def test_bpe_matches_sequential_reference(spark, corpus):
     for r in final_seq.orderBy("doc_id", "pos").collect():
         got_docs[r.doc_id].append(r.tok)
     assert got_docs == {d: t for d, t in ref_docs.items()}
+
+
+def _ref_var_cvar(values):
+    """Sequential reference for q75: _RET_BP quantization, then the
+    exact 5% order-statistic tail. Tie order cannot change VaR (the
+    k-th smallest VALUE) or CVaR (sum of the k smallest values)."""
+    import math
+
+    rets = []
+    for prev, cur in zip(values, values[1:]):
+        if prev is None or cur is None or prev == 0.0:
+            continue
+        r = min(max(cur / prev - 1.0, -10.0), 10.0)
+        rets.append(math.floor(r * 10000.0 + 0.5))
+    if not rets:
+        return None
+    rets.sort()
+    n = len(rets)
+    k = (5 * n + 99) // 100
+    var = rets[k - 1]
+    cvar = math.floor(sum(rets[:k]) / k * 10000.0 + 0.5) / 10000.0
+    return n, k, var, cvar
+
+
+def test_q75_matches_sequential_reference(spark, tmp_path):
+    """30 seeded random symbols (including a zero-price tick — the
+    NULL-return path — and a 100x jump — the +-10 clamp path) through
+    the real catalog entry vs the pure-Python reference."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+
+    rng = np.random.default_rng(42)
+    rows = []
+    eid = 0
+    expected = {}
+    for s in range(30):
+        sym = f"SYM{s:02d}"
+        n = int(rng.integers(2, 60))
+        vals = list(np.round(rng.uniform(10, 200, size=n), 2))
+        if s == 0:
+            vals[len(vals) // 2] = 0.0       # NULL-return path
+        if s == 1:
+            vals.append(vals[-1] * 100.0)    # clamp path (+10.0)
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=eid),
+                 1, sym, float(v), "{}")
+            )
+            eid += 1
+        ref = _ref_var_cvar([float(v) for v in vals])
+        if ref is not None:
+            expected[sym] = ref
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = QUERIES["q75_var_cvar"].spark(spark, str(tmp_path)).toPandas()
+    got_map = {
+        r.event_type: (r.n_ret, r.k_tail, r.var95_bp, r.cvar95_bp)
+        for r in got.itertuples(index=False)
+    }
+    assert got_map == expected
