@@ -831,7 +831,7 @@ _SAMPLER_FRONT_R6 = [
     "q73_flagship_bucketed", "x81_sequence_packing",
     "q74_adjusted_close", "x82_repetition_filters", "q75_var_cvar",
     "x83_lsh_band_recall", "x84_join_key_skew_profile",
-    "x85_scene_change", "q76_min_cost_supplier",
+    "x85_scene_change", "q76_min_cost_supplier", "x86_link_graph",
     # semantically touched this round (dim-chain fold, SHJ pin,
     # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
     # driver rows predate the change

@@ -292,3 +292,127 @@ def x76_html_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SPARK_FIELDS["markup_pct"]).alias("markup_pct"),
         )
     )
+
+
+# ===========================================================================
+# x86 — link-graph extraction + in-link aggregation
+# ===========================================================================
+
+# The step between x76 (HTML parsed) and x46 (PageRank): pull every
+# anchor target out of the page markup, canonicalize the target host
+# with the SAME rules the source URLs go through (x65's contract —
+# one canonicalization, both ends of the edge), and aggregate in-link
+# authority per target host. Edge extraction is scan-side regexp;
+# the aggregation is TWO levels — (dst, src) first, then dst — so a
+# heavy-hitter destination host spreads over its source hosts in the
+# first exchange (the hot-key story of every link graph: in-links are
+# Zipf by construction, see SCALE.md).
+_X86_HREFS = "regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)"
+_X86_TOPW = (
+    "ROW_NUMBER() OVER (PARTITION BY dst_host"
+    " ORDER BY links DESC, src_host ASC)"
+)
+
+
+def _x86_oracle() -> str:
+    link_host = sql_canon_parts("link_url", "duckdb")["host"]
+    return f"""
+    WITH pages AS (
+        SELECT doc_id, {_DUCK_PARTS["host"]} AS src_host, {_HTML} AS html
+        FROM (SELECT doc_id, source, text, {_RAW} AS raw_url
+              FROM documents)
+    ),
+    edges AS (
+        SELECT doc_id, src_host, {link_host} AS dst_host
+        FROM (SELECT doc_id, src_host,
+                     unnest({_X86_HREFS}) AS link_url
+              FROM pages)
+    ),
+    l1 AS (
+        SELECT dst_host, src_host,
+               COUNT(*) AS links,
+               COUNT(DISTINCT doc_id) AS pages
+        FROM edges GROUP BY dst_host, src_host
+    ),
+    l2 AS (
+        SELECT dst_host,
+               CAST(SUM(links) AS BIGINT) AS n_links,
+               CAST(SUM(pages) AS BIGINT) AS n_src_pages,
+               COUNT(*) AS n_src_hosts
+        FROM l1 GROUP BY dst_host
+    ),
+    top AS (
+        SELECT dst_host, src_host AS top_src_host,
+               CAST(links AS BIGINT) AS top_src_links
+        FROM (SELECT dst_host, src_host, links, {_X86_TOPW} AS rk FROM l1)
+        WHERE rk = 1
+    )
+    SELECT l2.dst_host, l2.n_links, l2.n_src_pages,
+           CAST(l2.n_src_hosts AS BIGINT) AS n_src_hosts,
+           top.top_src_host, top.top_src_links
+    FROM l2 JOIN top ON l2.dst_host = top.dst_host
+    """
+
+
+@register(
+    "x86_link_graph",
+    _x86_oracle(),
+    doc="""Link-graph build: extract every anchor target from the page
+    markup (x76's synthesized HTML — multiplicity kept, a page linking
+    a host three times contributes three links), canonicalize the
+    target host with x65's rules, and aggregate in-link authority per
+    destination host (total links, distinct linking pages and hosts,
+    and the top linking host with a deterministic (links DESC, host
+    ASC) tie-break). This is the edge-list the graph tier consumes:
+    x46's PageRank and x61's triangles run on exactly this output
+    shape. Full value-hash oracle — extraction regexp, canonical
+    hosts and counts are identical text in both engines.
+
+    Plan: scan-side regexp explode (no Python), then a TWO-LEVEL
+    aggregate — (dst, src) partial first, so a Zipf-hot destination
+    host spreads across its source hosts before the per-dst collapse;
+    the top-host window runs on host-pair-scale rows (|src|×|dst|,
+    corpus-independent), never on the edge stream.""",
+)
+def x86_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    link_host = sql_canon_parts("link_url", "spark")["host"]
+    pages = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", F.expr(_RAW).alias("raw_url"))
+        .select(
+            "doc_id",
+            F.expr(_SPARK_PARTS["host"]).alias("src_host"),
+            F.expr(_HTML).alias("html"),
+        )
+    )
+    edges = pages.select(
+        "doc_id",
+        "src_host",
+        F.explode(F.expr(_X86_HREFS)).alias("link_url"),
+    ).select("doc_id", "src_host", F.expr(link_host).alias("dst_host"))
+    l1 = edges.groupBy("dst_host", "src_host").agg(
+        F.count("*").alias("links"),
+        F.countDistinct("doc_id").alias("pages"),
+    )
+    l2 = l1.groupBy("dst_host").agg(
+        F.expr("CAST(SUM(links) AS BIGINT)").alias("n_links"),
+        F.expr("CAST(SUM(pages) AS BIGINT)").alias("n_src_pages"),
+        F.count("*").alias("n_src_hosts"),
+    )
+    top = (
+        l1.withColumn("rk", F.expr(_X86_TOPW))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dst_host",
+            F.col("src_host").alias("top_src_host"),
+            F.col("links").cast("long").alias("top_src_links"),
+        )
+    )
+    return l2.join(top, "dst_host").select(
+        "dst_host",
+        "n_links",
+        "n_src_pages",
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+        "top_src_host",
+        "top_src_links",
+    )

@@ -328,3 +328,19 @@ def test_q76_emits_all_ties(spark, sf_dir):
         true_min.rename("true_min"), left_on="p_partkey", right_index=True
     )
     assert (merged.min_price == merged.true_min).all()
+
+
+def test_x86_multiplicity_and_plan(spark, sf_dir):
+    """Anchor multiplicity must survive extraction: total links equal
+    the sum of each doc's synthesized anchor count (doc_id % 4), and
+    the edge pipeline stays Python-free."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    df = QUERIES["x86_link_graph"].spark(spark, sf_dir)
+    p = df.toPandas()
+    docs = read_table(spark, sf_dir, "documents").toPandas()
+    assert p.n_links.sum() == (docs.doc_id % 4).sum()
+    assert (p.top_src_links <= p.n_links).all()
+    assert (p.n_src_hosts <= p.n_src_pages).all()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
