@@ -2489,7 +2489,8 @@ _X84_ORACLE = f"""
     r AS (
         SELECT col_name, key, cnt,
                ROW_NUMBER() OVER (PARTITION BY col_name
-                                  ORDER BY cnt DESC, key ASC) AS rk
+                                  ORDER BY cnt DESC,
+                                           key ASC NULLS LAST) AS rk
         FROM c
     )
     SELECT r.col_name, CAST(r.rk AS BIGINT) AS rk, r.key,
@@ -2538,10 +2539,13 @@ def x84_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"),
         F.count("*").alias("n_keys"),
     )
+    # asc_nulls_last pins the NULL group's rank position: Spark ASC is
+    # NULLS FIRST, DuckDB's is NULLS LAST — divergent tie placement on
+    # a nullable key column would break parity at the top-10 boundary
     r = grouped_topk(
         c,
         ["col_name"],
-        [F.col("cnt").desc(), F.col("key").asc()],
+        [F.col("cnt").desc(), F.col("key").asc_nulls_last()],
         _X84_K,
         rank_col="rk",
     )
@@ -2561,27 +2565,29 @@ def x84_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x85 — scene-change detection over sampled frames (video plumbing)
 # ===========================================================================
 
-# Composes x13's frame sampling with x78's deterministic probe-decode:
-# per sampled frame, a 16-probe brightness (sum of the byte values at
-# 16 evenly spaced offsets inside the frame — the luma-mean stand-in
-# for the stubbed video decoder), then the temporal diff per asset and
-# a threshold flag. This is the shot-boundary pass a video curation
-# pipeline runs between "frames sampled" and "frames embedded": cheap,
-# scan-side, and it prunes the expensive downstream decode to one
-# frame per detected scene. All integer arithmetic → full oracle.
+# Composes x13's frame sampling with x78's deterministic probe-decode
+# (sql_pixels — ONE definition of the probe formula, shared with the
+# aHash entry): per sampled frame, a 16-probe brightness (sum of the
+# code points at 16 evenly spaced offsets inside the frame — the
+# luma-mean stand-in for the stubbed video decoder), then the temporal
+# diff per asset and a threshold flag. This is the shot-boundary pass
+# a video curation pipeline runs between "frames sampled" and "frames
+# embedded": cheap, scan-side, and it prunes the expensive downstream
+# decode to one frame per detected scene. All integer arithmetic →
+# full oracle. Frames slice the text column directly (CHARACTER
+# semantics in both engines — bytes on this ASCII corpus; a real
+# binary payload would slice bytes, same plan shape).
 _X85_NPROBE = 16
 _X85_TAU = 64
 
 
 def _x85_brightness(col: str) -> str:
-    """Shared probe-sum: byte value at floor(k·L/16) for k in 0..15.
-    Empty frames sum to 0 (ascii('') = 0 in both engines)."""
-    length = f"LENGTH({col})"
-    return " + ".join(
-        f"ascii(SUBSTR({col},"
-        f" CAST(FLOOR({k} * {length} / {_X85_NPROBE}.0) AS INT) + 1, 1))"
-        for k in range(_X85_NPROBE)
-    )
+    """Shared probe-sum over sql_pixels' probe formula (x78's decode):
+    code point at floor(k·L/16) for k in 0..15. Empty frames sum to 0
+    (ascii('') = 0 in both engines)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.multimodal import sql_pixels
+
+    return " + ".join(sql_pixels(_X85_NPROBE, col))
 
 
 _X85_ORACLE = f"""
@@ -2637,17 +2643,19 @@ def x85_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id"), F.encode("text", "UTF-8").alias("payload")
-    )
+    # slice the text column directly: F.length/F.substring are
+    # CHARACTER-semantics on strings, matching the oracle's substr
+    # (the x12-style encode() would count BYTES and diverge on any
+    # non-ASCII corpus the driver regenerates)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     frames = sample_frames(
-        docs, id_col="doc_id", payload_col="payload",
+        docs, id_col="doc_id", payload_col="text",
         every_n_bytes=64, max_frames=8,
     ).select(
         "doc_id",
         "frame_idx",
         "byte_offset",
-        F.col("frame_bytes").cast("string").alias("frame_chars"),
+        F.col("frame_bytes").alias("frame_chars"),
     )
     b = frames.select(
         "doc_id",
@@ -2721,11 +2729,9 @@ _Q76_ORACLE = """
     arbitrary winner).""",
 )
 def q76_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # house pattern (q30 etc.): register temp views under the REAL
+    # table names and run the oracle text unmodified — no fragile
+    # string substitution
     for t in ("part", "lineitem", "supplier", "nation"):
-        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__q76_{t}")
-    sql = _Q76_ORACLE
-    for t in ("part", "lineitem", "supplier", "nation"):
-        # word-boundary-safe: table names appear as "FROM part p" /
-        # "JOIN lineitem l" tokens only
-        sql = sql.replace(f" {t} ", f" __q76_{t} ")
-    return spark.sql(sql)
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q76_ORACLE)

@@ -69,6 +69,9 @@ def main() -> None:
             results = json.load(f)
     except FileNotFoundError:
         results = {}
+    # prune records for renamed/removed entries so incremental updates
+    # can never leave stale greens inflating the summary counts
+    results = {k: v for k, v in results.items() if k in qs}
 
     names = [
         n for n in qs
