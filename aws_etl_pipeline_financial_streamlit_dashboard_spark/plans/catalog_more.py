@@ -2735,3 +2735,87 @@ def q76_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "lineitem", "supplier", "nation"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q76_ORACLE)
+
+
+# ===========================================================================
+# x87 — cluster-aware train/val/test split (leak-free by construction)
+# ===========================================================================
+
+# x31's content-hash split handles EXACT duplicates (same text → same
+# bucket) but near-duplicates hash apart and leak across train/test —
+# the classic eval-contamination bug. The correct unit of assignment
+# is the near-dup CLUSTER: resolve x18's connected components, hash
+# the canonical member's text once, and give every member the
+# cluster's split. Composes three existing operators (x02 pairs →
+# x18 components → x31's bucket rule) into the split a production
+# corpus build actually ships.
+_X87_ORACLE = _COMPONENTS_CTES + """
+    , comp AS (
+        SELECT node AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    rep AS (
+        SELECT c.doc_id, c.component_id,
+               ('0x' || substr(md5(d.text), 1, 8))::UBIGINT % 100 AS b
+        FROM comp c JOIN documents d ON d.doc_id = c.component_id
+    )
+    SELECT doc_id, component_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+"""
+
+
+@register(
+    "x87_cluster_aware_split",
+    _X87_ORACLE,
+    doc="""Cluster-aware 80/10/10 split: every near-dup cluster (x18's
+    transitive closure over x02's Jaccard pairs) is assigned WHOLE to
+    one split by content-hashing its canonical member's text — the
+    leak-free construction x31's per-document hash cannot give (near
+    duplicates hash apart; the standing test exhibits a real cluster
+    the naive rule splits across train/test and this rule does not).
+    Deterministic end to end: same pairs, same min-label components,
+    same md5 bucket rule, so the oracle replays the identical closure
+    with a recursive CTE.
+
+    Plan: the component resolution is x18's one-shuffle-per-round
+    min-label loop (O(diameter) rounds, lineage truncated per round);
+    the split itself adds ONE broadcast-size join (cluster reps are
+    |clusters| rows) + a narrow bucket projection. At 100 TB the
+    expensive term is the closure the dedup pass already computes —
+    a corpus build gets this split for the cost of a join against an
+    artifact it has anyway.""",
+)
+def x87_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    reps = SP.hash_split(
+        docs.select(
+            F.col("doc_id").alias("component_id"), F.col("text")
+        ),
+        "text",
+    ).select("component_id", "split")
+    return labeled.join(reps, "component_id").select(
+        "doc_id", "component_id", "split"
+    )

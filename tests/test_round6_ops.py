@@ -344,3 +344,26 @@ def test_x86_multiplicity_and_plan(spark, sf_dir):
     assert (p.n_src_hosts <= p.n_src_pages).all()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_x87_clusters_never_span_splits_but_naive_does(spark, sf_dir):
+    """The construction guarantee: every near-dup cluster lands whole
+    in one split. And the bug it fixes is REAL on this corpus: at
+    least one multi-member cluster exists whose members the naive
+    per-document content-hash rule (x31) would scatter across
+    different splits."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["x87_cluster_aware_split"].spark(spark, sf_dir).toPandas()
+    assert p.groupby("component_id").split.nunique().max() == 1
+    assert set(p.split.unique()) <= {"train", "val", "test"}
+    assert p.doc_id.is_unique
+
+    docs = read_table(spark, sf_dir, "documents")
+    naive = SP.hash_split(docs, "text").select("doc_id", "split").toPandas()
+    merged = p[["doc_id", "component_id"]].merge(naive, on="doc_id")
+    naive_spans = merged.groupby("component_id").split.nunique()
+    assert (naive_spans > 1).any(), (
+        "corpus has no cluster the naive rule splits - exhibit lost"
+    )
