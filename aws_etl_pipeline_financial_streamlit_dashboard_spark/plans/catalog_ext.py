@@ -1807,3 +1807,103 @@ def x83_lsh_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_X83_REC).alias("recall_ppm"),
         F.expr(_X83_PREC).alias("precision_ppm"),
     )
+
+
+# ===========================================================================
+# x88 — IVF cell-occupancy diagnostics (index-balance eval)
+# ===========================================================================
+
+# The cost-side companion of the recall evals (x72/x74/x77 measure
+# what an index BUYS; this measures what it COSTS): per IVF cell, the
+# vector count, corpus share, ratio vs the mean cell (ppm — x84's
+# skew arithmetic applied to the index), and the quantization error
+# (mean/max integer d² to the final centroid). A lopsided cell list
+# is the ANN version of a hot key: probe latency concentrates in the
+# overfull cells. Parameters match x58's index (8 cells, 2 Lloyd
+# rounds), so this profiles the exact index x58 queries.
+_X88_CELLS = 8
+_X88_SHARE = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(n_vectors AS DOUBLE)"
+    " / CAST(total AS DOUBLE) + 0.5) AS BIGINT)"
+)
+_X88_SKEW = (
+    f"CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(n_vectors AS DOUBLE)"
+    f" * CAST({_X88_CELLS} AS DOUBLE)"
+    " / CAST(total AS DOUBLE) + 0.5) AS BIGINT)"
+)
+_X88_AVG_D2 = (
+    "CAST(FLOOR(CAST(sum_d2 AS DOUBLE) / CAST(n_vectors AS DOUBLE) + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def _x88_oracle() -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _kmeans_cte_parts,
+    )
+
+    parts, a_last, _ = _kmeans_cte_parts(
+        "embeddings", _X88_CELLS, 2, 64, "vec_id", "embedding", 9973
+    )
+    body = "\n".join(parts).rstrip(",")
+    return f"""{body},
+    occ AS (
+        SELECT cell,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(d2) AS BIGINT) AS sum_d2,
+               CAST(MAX(d2) AS BIGINT) AS max_d2_mic2
+        FROM {a_last} GROUP BY cell
+    ),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM occ)
+    SELECT cell,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           {_X88_SHARE} AS share_ppm,
+           {_X88_SKEW} AS skew_x_ppm,
+           {_X88_AVG_D2} AS avg_d2_mic2,
+           max_d2_mic2
+    FROM occ, tot
+    """
+
+
+@register(
+    "x88_ivf_cell_occupancy",
+    _x88_oracle(),
+    doc="""IVF index-balance diagnostics: per cell of x58's
+    deterministic 8-cell IVF, the occupancy, corpus share and
+    ratio-vs-mean-cell (ppm — x84's skew arithmetic pointed at the
+    index), plus mean/max integer quantization error to the final
+    centroid. Completes the index-eval story: x72/x74/x77 price
+    recall, x88 prices cost balance — an operator a serving team runs
+    before choosing n_probe (a 3x-overfull cell means probes landing
+    there scan 3x the mean). Fully value-hash-checked because the
+    whole index is the deterministic integer k-means (x51's seeding
+    and DIV centroid updates, unrolled CTEs in the oracle).
+
+    Plan: the Lloyd rounds are x51's (explode + codegen integer sums,
+    one exchange per round); the diagnostics add ONE 8-row aggregate
+    + a 1-row total crossJoin — free at any corpus size. The avg-d²
+    finish is a pinned shared double chain (sums can exceed 2^53;
+    both engines evaluate the identical expression text, so the
+    rounding is IEEE-deterministic either way).""",
+)
+def x88_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        kmeans_deterministic,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_deterministic(emb, k=_X88_CELLS, n_iters=2, dim=64)
+    occ = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr("CAST(SUM(d2) AS BIGINT)").alias("sum_d2"),
+        F.expr("CAST(MAX(d2) AS BIGINT)").alias("max_d2_mic2"),
+    )
+    tot = occ.agg(F.expr("CAST(SUM(n_vectors) AS BIGINT)").alias("total"))
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr(_X88_SHARE).alias("share_ppm"),
+        F.expr(_X88_SKEW).alias("skew_x_ppm"),
+        F.expr(_X88_AVG_D2).alias("avg_d2_mic2"),
+        "max_d2_mic2",
+    )

@@ -2025,3 +2025,104 @@ def q75_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("var95_bp").cast("long").alias("var95_bp"),
         F.expr(f"CAST({_Q75_CVAR} AS DOUBLE)").alias("cvar95_bp"),
     )
+
+
+# ===========================================================================
+# q77 — tick-stream continuity audit (gap detection)
+# ===========================================================================
+
+# The time-series data-quality check beside q63's row-constraint
+# report: per symbol, inter-tick gap statistics and outage counts —
+# "did the feed drop, and for how long". A feed consumer runs this
+# before trusting any window computation (q37/q55/q60 all assume the
+# stream is dense enough for their frames). All integer micros; the
+# mean gap is the only rounded figure (HALF_UP to whole µs, shared
+# expression).
+_Q77_OUTAGE_US = 3_600_000_000  # 1 hour
+
+_Q77_ORACLE = rf"""
+    WITH t AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, us,
+               us - LAG(us) OVER
+                   (PARTITION BY event_type ORDER BY us, event_id) AS gap
+        FROM t
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n_ticks,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               MAX(gap) AS max_gap_us,
+               CAST(SUM(CASE WHEN gap > {_Q77_OUTAGE_US} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outages,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap,
+               MIN(us) AS first_us,
+               MAX(us) AS last_us
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_ticks AS BIGINT) AS n_ticks,
+           n_gaps,
+           CAST(max_gap_us AS BIGINT) AS max_gap_us,
+           n_outages,
+           CAST(FLOOR(CAST(sum_gap AS DOUBLE) / CAST(NULLIF(n_gaps, 0)
+                AS DOUBLE) + 0.5) AS BIGINT) AS avg_gap_us,
+           CAST(last_us - first_us AS BIGINT) AS span_us
+    FROM s
+"""
+
+
+@register(
+    "q77_tick_gap_audit",
+    _Q77_ORACLE,
+    doc="""Tick-stream continuity audit: per symbol, the inter-tick
+    gap count, maximum gap, number of outages (gaps over one hour),
+    HALF_UP mean gap and total span — the feed-health report a
+    consumer checks before trusting q37/q55/q60's dense-stream
+    assumptions. Sum of gaps is exact int64 (µs deltas), the mean is
+    the single rounded figure, NULL-safe on one-tick symbols
+    (n_gaps = 0 → NULL mean, zero outages).
+
+    Plan: one per-symbol LAG window + one partial-aggregating shuffle
+    of 7 longs per symbol — the q57/q72 exchange profile; O(1) window
+    state per row at any scale.""",
+)
+def q77_tick_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "events").select(
+        "event_type", ts_micros("ts").alias("us"), "event_id"
+    )
+    g = t.select(
+        "event_type",
+        "us",
+        F.expr(
+            "us - LAG(us) OVER"
+            " (PARTITION BY event_type ORDER BY us, event_id)"
+        ).alias("gap"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").alias("n_ticks"),
+        F.expr("CAST(COUNT(gap) AS BIGINT)").alias("n_gaps"),
+        F.max("gap").alias("max_gap_us"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN gap > {_Q77_OUTAGE_US} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_outages"),
+        F.expr("CAST(SUM(gap) AS BIGINT)").alias("sum_gap"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        "n_gaps",
+        F.col("max_gap_us").cast("long").alias("max_gap_us"),
+        "n_outages",
+        F.expr(
+            "CAST(FLOOR(CAST(sum_gap AS DOUBLE) / CAST(NULLIF(n_gaps, 0)"
+            " AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("avg_gap_us"),
+        F.expr("CAST(last_us - first_us AS BIGINT)").alias("span_us"),
+    )

@@ -367,3 +367,30 @@ def test_x87_clusters_never_span_splits_but_naive_does(spark, sf_dir):
     assert (naive_spans > 1).any(), (
         "corpus has no cluster the naive rule splits - exhibit lost"
     )
+
+
+def test_q77_gap_audit_invariants(spark, sf_dir):
+    """Gaps re-derive: n_gaps = n_ticks - 1 per symbol (every symbol
+    here has >= 2 ticks), outages never exceed gap count, the max gap
+    bounds the mean, and the span is at least the sum of gaps."""
+    p = QUERIES["q77_tick_gap_audit"].spark(spark, sf_dir).toPandas()
+    assert len(p) > 0
+    assert (p.n_gaps == p.n_ticks - 1).all()
+    assert (p.n_outages <= p.n_gaps).all()
+    assert (p.avg_gap_us <= p.max_gap_us).all()
+    assert (p.span_us >= p.max_gap_us).all()
+
+
+def test_x88_occupancy_invariants(spark, sf_dir):
+    """Shares sum to ~1e6 over the cells, every vector is assigned
+    exactly once (occupancies re-sum to the corpus), and the error
+    stats are ordered."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["x88_ivf_cell_occupancy"].spark(spark, sf_dir).toPandas()
+    n_emb = read_table(spark, sf_dir, "embeddings").count()
+    assert p.n_vectors.sum() == n_emb
+    assert len(p) <= 8 and p.cell.between(1, 8).all()
+    assert abs(p.share_ppm.sum() - 1_000_000) <= len(p)  # rounding slack
+    assert (p.avg_d2_mic2 <= p.max_d2_mic2).all()
+    assert (p.skew_x_ppm >= 0).all()
