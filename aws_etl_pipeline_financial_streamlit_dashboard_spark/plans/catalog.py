@@ -833,7 +833,8 @@ _SAMPLER_FRONT_R6 = [
     "x83_lsh_band_recall", "x84_join_key_skew_profile",
     "x85_scene_change", "q76_min_cost_supplier", "x86_link_graph",
     "x87_cluster_aware_split", "q77_tick_gap_audit",
-    "x88_ivf_cell_occupancy",
+    "x88_ivf_cell_occupancy", "x89_vocab_growth",
+    "q78_lead_time_histogram",
     # semantically touched this round (dim-chain fold, SHJ pin,
     # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
     # driver rows predate the change

@@ -2686,3 +2686,98 @@ def x82_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_pct",
         f"CAST({_X82_KEEP} AS INT) AS keep",
     )
+
+
+# ===========================================================================
+# x89 — vocabulary growth curve (Heaps'-law checkpoints)
+# ===========================================================================
+
+# Corpus-diversity measurement: walk the corpus in deterministic
+# doc_id order, split it into four equal-count quartiles, and report
+# per quartile the token occurrences, the NEW vocabulary first seen
+# there, and the cumulative vocabulary — the four-point Heaps'-law
+# curve. A healthy diverse corpus keeps minting vocabulary in Q4; a
+# templated/duplicated one flatlines — the corpus-level signal beside
+# x33's per-doc lengths and x36's source overlap.
+_X89_Q = "CAST(FLOOR((rnk - 1) * 4.0 / n) AS INT) + 1"
+
+_X89_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    r AS (
+        SELECT w,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM d
+    ),
+    tq AS (SELECT {_X89_Q} AS quartile, unnest(w) AS tok FROM r),
+    occ AS (
+        SELECT quartile, COUNT(*) AS n_occurrences
+        FROM tq GROUP BY quartile
+    ),
+    fq AS (SELECT tok, MIN(quartile) AS first_q FROM tq GROUP BY tok),
+    nw AS (
+        SELECT first_q AS quartile, COUNT(*) AS n_new_tokens
+        FROM fq GROUP BY first_q
+    )
+    SELECT o.quartile,
+           CAST(o.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(COALESCE(w.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+           CAST(SUM(COALESCE(w.n_new_tokens, 0))
+                OVER (ORDER BY o.quartile) AS BIGINT) AS n_cum_tokens
+    FROM occ o LEFT JOIN nw w ON o.quartile = w.quartile
+"""
+
+
+@register(
+    "x89_vocab_growth",
+    _X89_ORACLE,
+    doc="""Vocabulary growth (Heaps'-law) curve: the corpus in
+    deterministic doc_id order, cut into four equal-count quartiles;
+    per quartile the token occurrences, newly minted vocabulary, and
+    cumulative vocabulary. The diversity diagnostic a corpus team
+    reads next to the dedup rates — new-token flatline means the
+    tail of the corpus is re-treading the head.
+
+    Plan: the doc rank comes from operators/shuffle.global_rank (range
+    exchange + per-partition row_number + offset broadcast — NEVER the
+    single-partition ORDER-BY window the oracle can afford at sf), the
+    corpus count rides a 1-row broadcast crossJoin, first-appearance
+    is one (token)-keyed aggregate (map-side collapse: hot tokens
+    collapse per partition before the exchange), and the final cumsum
+    window runs over exactly 4 rows. At 100 TB the only corpus-scale
+    exchanges are the range partition and the token aggregate — both
+    minimal for the semantics.""",
+)
+def x89_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import global_rank
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = global_rank(docs, ["doc_id"], rank_col="rnk")
+    tot = docs.agg(F.count("*").alias("n"))
+    tq = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(_X89_Q).alias("quartile"),
+            F.explode(F.expr(r"split(trim(text), '\\s+')")).alias("tok"),
+        )
+    )
+    occ = tq.groupBy("quartile").agg(F.count("*").alias("n_occurrences"))
+    fq = tq.groupBy("tok").agg(F.min("quartile").alias("first_q"))
+    nw = fq.groupBy("first_q").agg(F.count("*").alias("n_new_tokens"))
+    joined = occ.join(
+        nw.withColumnRenamed("first_q", "quartile"), "quartile", "left"
+    )
+    return joined.select(
+        "quartile",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.expr("CAST(COALESCE(n_new_tokens, 0) AS BIGINT)").alias(
+            "n_new_tokens"
+        ),
+        F.expr(
+            "CAST(SUM(COALESCE(n_new_tokens, 0))"
+            " OVER (ORDER BY quartile) AS BIGINT)"
+        ).alias("n_cum_tokens"),
+    )

@@ -2819,3 +2819,105 @@ def x87_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(reps, "component_id").select(
         "doc_id", "component_id", "split"
     )
+
+
+# ===========================================================================
+# q78 — order lead-time histogram per priority
+# ===========================================================================
+
+# Fulfillment analytics over the orders⋈lineitem pair: lead time =
+# days from order date to the LAST line shipment, bucketed into weeks
+# and distributed per order priority — "does priority actually buy
+# shipping speed". Day arithmetic is pure epoch-micros integers
+# (FLOOR of an exact µs delta over 86400e6 — no date/TZ types
+# anywhere, the q55 discipline); the per-priority share is the x84
+# ppm chain.
+_Q78_LEAD = (
+    "CAST(FLOOR((ship_us - ord_us) / 86400000000.0) AS BIGINT)"
+)
+_Q78_PCT = (
+    "CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+    " / CAST(total AS DOUBLE) + 0.5) AS BIGINT)"
+)
+
+_Q78_ORACLE = rf"""
+    WITH ll AS (
+        SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS ship_us
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    lead AS (
+        SELECT o.o_orderpriority,
+               {_Q78_LEAD} AS lead_days
+        FROM ll JOIN (SELECT o_orderkey, o_orderpriority,
+                             epoch_us(o_orderdate) AS ord_us
+                      FROM orders) o
+             ON ll.l_orderkey = o.o_orderkey
+    ),
+    h AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(lead_days / 7.0) AS BIGINT) AS week_bucket,
+               COUNT(*) AS n_orders
+        FROM lead GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT o_orderpriority, CAST(SUM(n_orders) AS BIGINT) AS total
+        FROM h GROUP BY o_orderpriority
+    )
+    SELECT h.o_orderpriority, h.week_bucket,
+           CAST(h.n_orders AS BIGINT) AS n_orders,
+           {_Q78_PCT} AS pct_ppm
+    FROM h JOIN t ON h.o_orderpriority = t.o_orderpriority
+"""
+
+
+@register(
+    "q78_lead_time_histogram",
+    _Q78_ORACLE,
+    doc="""Order lead-time distribution per priority: days from order
+    date to the last line shipment, in week buckets with each
+    bucket's share of its priority (ppm) — the fulfillment-SLA
+    histogram (does 1-URGENT actually ship faster). All integer
+    arithmetic over epoch micros; ppm is the pinned shared chain.
+    The driver's synthetic shipdates are not constrained to follow
+    the order date, so negative week buckets appear and are reported
+    as-is (flagging them is q63's constraint-report job, not the
+    histogram's).
+
+    Plan: the per-order MAX(shipdate) is an eager orderkey rollup
+    BELOW the orders join (q16's pattern — the join input shrinks to
+    one row per order before the fact-fact exchange); the histogram
+    is a two-level aggregate whose second level is |priorities| ×
+    |weeks| rows, and the totals join back broadcast. One orderkey
+    exchange each side, everything after is bounded by the histogram
+    size, not the fact table.""",
+)
+def q78_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
+
+    ll = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", ts_micros("l_shipdate").alias("us"))
+        .groupBy("l_orderkey")
+        .agg(F.max("us").alias("ship_us"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        ts_micros("o_orderdate").alias("ord_us"),
+    )
+    lead = ll.join(o, ll.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.expr(_Q78_LEAD).alias("lead_days")
+    )
+    h = lead.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(lead_days / 7.0) AS BIGINT)").alias("week_bucket"),
+    ).agg(F.count("*").alias("n_orders"))
+    t = h.groupBy("o_orderpriority").agg(
+        F.expr("CAST(SUM(n_orders) AS BIGINT)").alias("total")
+    )
+    return h.join(F.broadcast(t), "o_orderpriority").select(
+        "o_orderpriority",
+        "week_bucket",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.expr(_Q78_PCT).alias("pct_ppm"),
+    )

@@ -394,3 +394,51 @@ def test_x88_occupancy_invariants(spark, sf_dir):
     assert abs(p.share_ppm.sum() - 1_000_000) <= len(p)  # rounding slack
     assert (p.avg_d2_mic2 <= p.max_d2_mic2).all()
     assert (p.skew_x_ppm >= 0).all()
+
+
+def test_x89_vocab_growth_invariants(spark, sf_dir):
+    """Four quartiles; cumulative vocabulary re-sums from the
+    per-quartile new-token counts and is non-decreasing; total new
+    tokens equal the corpus's distinct whitespace-token count; the
+    rank comes from global_rank (no single-partition corpus window)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    df = QUERIES["x89_vocab_growth"].spark(spark, sf_dir)
+    p = df.toPandas().sort_values("quartile").reset_index(drop=True)
+    assert list(p.quartile) == [1, 2, 3, 4]
+    assert (p.n_new_tokens.cumsum() == p.n_cum_tokens).all()
+    docs = read_table(spark, sf_dir, "documents")
+    n_vocab = (
+        docs.select(F.explode(F.expr(r"split(trim(text), '\\s+')")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert p.n_cum_tokens.iloc[-1] == n_vocab
+    assert p.n_occurrences.sum() == docs.select(
+        F.sum(F.size(F.expr(r"split(trim(text), '\\s+')")))
+    ).collect()[0][0]
+
+
+def test_q78_histogram_invariants(spark, sf_dir):
+    """Every priority's bucket shares sum to ~1e6; order counts re-sum
+    to the order table (every order has lineitems in this data); lead
+    times are non-negative."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["q78_lead_time_histogram"].spark(spark, sf_dir).toPandas()
+    n_orders_with_lines = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert p.n_orders.sum() == n_orders_with_lines
+    # the synthetic shipdates are NOT constrained to follow the order
+    # date (~20% negative leads) — the histogram must report them
+    # as-is (flagging them is q63's constraint-report job)
+    assert (p.week_bucket < 0).any()
+    shares = p.groupby("o_orderpriority").pct_ppm.sum()
+    sizes = p.groupby("o_orderpriority").size()
+    assert ((shares - 1_000_000).abs() <= sizes).all()
