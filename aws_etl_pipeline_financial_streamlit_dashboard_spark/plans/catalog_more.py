@@ -2921,3 +2921,110 @@ def q78_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.expr(_Q78_PCT).alias("pct_ppm"),
     )
+
+
+# ===========================================================================
+# q79 — RFM customer segmentation
+# ===========================================================================
+
+# The classic marketing segmentation the reference's dashboard domain
+# implies: per customer, Recency (days since last order, vs the
+# corpus's latest order date — deterministic, no wall clock),
+# Frequency (order count) and Monetary (exact cent-quantized spend),
+# each cut into exact quartiles with a total-order tie-break, then
+# customer counts and spend per (R, F, M) cell. Quartile 1 is always
+# the "best" end (most recent / most frequent / highest spend).
+_Q79_CENTS = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+_Q79_RDAYS = (
+    "CAST(FLOOR((max_us - last_us) / 86400000000.0) AS BIGINT)"
+)
+
+_Q79_ORACLE = rf"""
+    WITH per_cust AS (
+        SELECT o_custkey AS c,
+               MAX(epoch_us(o_orderdate)) AS last_us,
+               COUNT(*) AS frequency,
+               CAST(SUM({_Q79_CENTS}) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(last_us) AS max_us FROM per_cust),
+    rfm AS (
+        SELECT c, {_Q79_RDAYS} AS recency_days, frequency, monetary_cents
+        FROM per_cust, mx
+    ),
+    q AS (
+        SELECT c,
+               NTILE(4) OVER (ORDER BY recency_days ASC, c ASC) AS r_q,
+               NTILE(4) OVER (ORDER BY frequency DESC, c ASC) AS f_q,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, c ASC) AS m_q,
+               monetary_cents
+        FROM rfm
+    )
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM q GROUP BY r_q, f_q, m_q
+"""
+
+
+@register(
+    "q79_rfm_segmentation",
+    _Q79_ORACLE,
+    doc="""RFM segmentation: recency (days since last order, anchored
+    to the corpus's latest order — no wall clock), frequency, and
+    cent-exact monetary per customer, each quartiled with a
+    total-order (metric, custkey) tie-break, rolled up to customer
+    count and spend per (R, F, M) cell — 64 cells max. NTILE's
+    remainder rule is engine-standard, and q59 already pins that
+    ntile_at_scale reproduces it exactly.
+
+    Plan: corpus-scale work is ONE per-custkey rollup of orders (the
+    exchange the segmentation rides); the three quartile cuts run
+    ntile_at_scale (range exchange + offset broadcast each — never a
+    single-partition NTILE window) over the already-aggregated
+    per-customer rows; the anchor date is a 1-row broadcast
+    crossJoin. At 100 TB the three range exchanges price
+    |customers|-scale, not order-scale.""",
+)
+def q79_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import ts_micros
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
+
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            ts_micros("o_orderdate").alias("us"),
+            F.expr(_Q79_CENTS).alias("cents"),
+        )
+        .groupBy("c")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count("*").alias("frequency"),
+            F.expr("CAST(SUM(cents) AS BIGINT)").alias("monetary_cents"),
+        )
+    )
+    mx = per_cust.agg(F.max("last_us").alias("max_us"))
+    rfm = per_cust.crossJoin(F.broadcast(mx)).select(
+        "c",
+        F.expr(_Q79_RDAYS).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    q = ntile_at_scale(
+        rfm, [F.col("recency_days").asc(), F.col("c").asc()], k=4,
+        out_col="r_q",
+    )
+    q = ntile_at_scale(
+        q, [F.col("frequency").desc(), F.col("c").asc()], k=4, out_col="f_q"
+    )
+    q = ntile_at_scale(
+        q, [F.col("monetary_cents").desc(), F.col("c").asc()], k=4,
+        out_col="m_q",
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.expr("CAST(SUM(monetary_cents) AS BIGINT)").alias("segment_cents"),
+    )

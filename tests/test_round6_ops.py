@@ -442,3 +442,28 @@ def test_q78_histogram_invariants(spark, sf_dir):
     shares = p.groupby("o_orderpriority").pct_ppm.sum()
     sizes = p.groupby("o_orderpriority").size()
     assert ((shares - 1_000_000).abs() <= sizes).all()
+
+
+def test_q79_rfm_invariants(spark, sf_dir):
+    """Each dimension's marginal bucket sizes are NTILE-balanced
+    (max-min <= 1), the cells partition the customer base exactly,
+    and segment spend re-sums to the corpus's cent-quantized total."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["q79_rfm_segmentation"].spark(spark, sf_dir).toPandas()
+    orders = read_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert p.n_customers.sum() == n_cust
+    for dim in ("r_q", "f_q", "m_q"):
+        marg = p.groupby(dim).n_customers.sum()
+        assert sorted(marg.index) == [1, 2, 3, 4]
+        assert marg.max() - marg.min() <= 1
+    total_cents = orders.select(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        )
+    ).collect()[0][0]
+    assert p.segment_cents.sum() == total_cents
