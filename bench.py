@@ -245,6 +245,28 @@ def main() -> None:
             except Exception as exc:
                 errors[f"split:{name}"] = repr(exc)[:200]
 
+    # Serving-layout headline: q73 is q07's oracle-identical twin over
+    # custkey-bucketed storage (q34 — already in the headline set — is
+    # q16's). Timed through the IDENTICAL protocol and emitted
+    # alongside, so the per-round artifact itself records what the
+    # load-time layout buys (docs/PERF.md "Serving-layout headline");
+    # the headline `value` stays the raw-layout number.
+    serving_timings: dict[str, float] = {}
+    if not errors and "q73_flagship_bucketed" in QUERIES:
+        for name in ("q73_flagship_bucketed",):
+            fn = QUERIES[name].spark
+            try:
+                for _ in range(2):  # first pass also builds the buckets
+                    fn(spark, sf_dir).collect()
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                serving_timings[name] = round(best, 4)
+            except Exception as exc:
+                errors[f"serving:{name}"] = repr(exc)[:200]
+
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or sf_dir
     try:
         sf_value: float | str = float(sf_label)
@@ -273,6 +295,18 @@ def main() -> None:
     if split_timings:
         out["queries_split_scan"] = split_timings
         out["split_total_sec"] = round(sum(split_timings.values()), 4)
+    if serving_timings:
+        out["queries_serving_layout"] = serving_timings
+        # the headline set on its best measured layout: q07→q73 (q34
+        # already bucketed); everything else as timed above
+        swap = {"q07_flagship_industry_avg": "q73_flagship_bucketed"}
+        out["serving_headline_total_sec"] = round(
+            sum(
+                serving_timings.get(swap.get(n, ""), timings[n])
+                for n in timings
+            ),
+            4,
+        )
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
