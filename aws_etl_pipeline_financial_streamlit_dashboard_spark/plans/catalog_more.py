@@ -3028,3 +3028,59 @@ def q79_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.expr("CAST(SUM(monetary_cents) AS BIGINT)").alias("segment_cents"),
     )
+
+
+# ===========================================================================
+# q80 — VARIANT-typed semi-structured extraction (Spark 4 surface)
+# ===========================================================================
+
+# q18/q55 read props with get_json_object — a string reparse per
+# access. Spark 4's VARIANT is the native answer: parse once into the
+# binary-encoded open type, then typed variant_get accesses (and, on
+# a real lakehouse, shredded storage + pushdown). This entry runs the
+# whole VARIANT path — parse_json → variant_get(..., 'bigint') —
+# and rolls the typed values up per symbol; the oracle extracts the
+# same values via DuckDB's JSON casts, so parity proves the typed
+# variant accesses equal the JSON semantics they replace.
+_Q80_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "q80_variant_extract",
+    _Q80_ORACLE,
+    doc="""Semi-structured extraction through Spark 4's VARIANT type:
+    parse_json(props) once into the binary-encoded open type, typed
+    variant_get(v, '$.k', 'bigint') accesses, per-symbol rollup. The
+    modern replacement for q18's per-access get_json_object string
+    reparse — on a lakehouse VARIANT shreds into columnar storage and
+    the typed access prunes/pushes down. Oracle extracts the same
+    values via JSON casts: parity proves the typed variant path equals
+    the JSON semantics it replaces.
+
+    Plan: parse + typed get are one narrow codegen projection
+    (scan-side CPU, the only place per-row parsing can live at
+    100 TB); the rollup is one partial-aggregating exchange of 4 longs
+    per symbol.""",
+)
+def q80_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "variant_get(parse_json(props), '$.k', 'bigint') AS k",
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
+        F.expr("CAST(MIN(k) AS BIGINT)").alias("min_k"),
+        F.expr("CAST(MAX(k) AS BIGINT)").alias("max_k"),
+    )
