@@ -2744,12 +2744,14 @@ _X89_ORACLE = rf"""
     Plan: the doc rank comes from operators/shuffle.global_rank (range
     exchange + per-partition row_number + offset broadcast — NEVER the
     single-partition ORDER-BY window the oracle can afford at sf), the
-    corpus count rides a 1-row broadcast crossJoin, first-appearance
-    is one (token)-keyed aggregate (map-side collapse: hot tokens
-    collapse per partition before the exchange), and the final cumsum
-    window runs over exactly 4 rows. At 100 TB the only corpus-scale
-    exchanges are the range partition and the token aggregate — both
-    minimal for the semantics.""",
+    corpus count rides a 1-row broadcast crossJoin, and the token
+    stream collapses ONCE into (quartile, token) counts (map-side:
+    hot tokens collapse per partition before the exchange) from which
+    both the occurrence totals and the first-appearance minima derive
+    — the corpus-scale explode runs exactly once, checkpointed at
+    vocab×4 scale. The final cumsum window runs over exactly 4 rows.
+    At 100 TB the only corpus-scale exchanges are the range partition
+    and the one token aggregate — both minimal for the semantics.""",
 )
 def x89_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import global_rank
@@ -2764,8 +2766,20 @@ def x89_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(r"split(trim(text), '\\s+')")).alias("tok"),
         )
     )
-    occ = tq.groupBy("quartile").agg(F.count("*").alias("n_occurrences"))
-    fq = tq.groupBy("tok").agg(F.min("quartile").alias("first_q"))
+    # collapse the token stream ONCE to (quartile, tok) counts —
+    # vocab×4-scale — and derive both consumers from it; feeding occ
+    # and fq from tq directly would run the corpus-scale tokenize +
+    # explode twice (and checkpointing tq would materialize every
+    # token occurrence instead of the collapsed counts)
+    c = (
+        tq.groupBy("quartile", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    occ = c.groupBy("quartile").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_occurrences")
+    )
+    fq = c.groupBy("tok").agg(F.min("quartile").alias("first_q"))
     nw = fq.groupBy("first_q").agg(F.count("*").alias("n_new_tokens"))
     joined = occ.join(
         nw.withColumnRenamed("first_q", "quartile"), "quartile", "left"

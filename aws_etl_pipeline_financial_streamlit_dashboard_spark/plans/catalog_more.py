@@ -2782,11 +2782,14 @@ _X87_ORACLE = _COMPONENTS_CTES + """
 
     Plan: the component resolution is x18's one-shuffle-per-round
     min-label loop (O(diameter) rounds, lineage truncated per round);
-    the split itself adds ONE broadcast-size join (cluster reps are
-    |clusters| rows) + a narrow bucket projection. At 100 TB the
-    expensive term is the closure the dedup pass already computes —
-    a corpus build gets this split for the cost of a join against an
-    artifact it has anyway.""",
+    the split itself hashes only the |clusters| canonical texts (the
+    min-label winner is a member, so doc_id == component_id selects
+    them without a distinct) and adds one component_id equi-join —
+    |clusters| approaches |docs| on a clean corpus, so the engine
+    picks broadcast vs shuffle by size. At 100 TB the expensive term
+    is the closure the dedup pass already computes — a corpus build
+    gets this split for the cost of a join against an artifact it has
+    anyway.""",
 )
 def x87_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
@@ -2810,9 +2813,16 @@ def x87_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # hash only the canonical members' texts (the min-label winner is
+    # itself a member, so doc_id == component_id picks exactly one row
+    # per cluster) — hashing every document and dropping non-canonical
+    # rows in the join would md5 the whole corpus for nothing
+    canon = labeled.filter(F.col("doc_id") == F.col("component_id")).select(
+        "component_id"
+    )
     reps = SP.hash_split(
-        docs.select(
-            F.col("doc_id").alias("component_id"), F.col("text")
+        docs.join(canon, docs.doc_id == canon.component_id).select(
+            "component_id", "text"
         ),
         "text",
     ).select("component_id", "split")

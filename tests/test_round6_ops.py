@@ -423,8 +423,9 @@ def test_x89_vocab_growth_invariants(spark, sf_dir):
 
 def test_q78_histogram_invariants(spark, sf_dir):
     """Every priority's bucket shares sum to ~1e6; order counts re-sum
-    to the order table (every order has lineitems in this data); lead
-    times are non-negative."""
+    to the set of orders that HAVE lineitems; and the synthetic data's
+    negative leads (shipdates unconstrained by order date) must be
+    reported as-is, so negative week buckets exist."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
 
     p = QUERIES["q78_lead_time_histogram"].spark(spark, sf_dir).toPandas()
