@@ -989,3 +989,62 @@ def dequantize_int8(
         F.col(vec_col),
         F.expr(parts["scale"]).alias("__scale"),
     ).select(id_col, F.expr(parts["deq"]).alias(vec_col))
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the ``k`` nearest corpus vectors with a DIFFERENT label —
+    the semantically-closest wrong answers, which are the examples a
+    contrastive loss learns most from (random negatives are trivially
+    far at corpus scale).
+
+    Same shape as :func:`knn_join_brute_force` (broadcast queries,
+    pinned rounded cosine, skew-safe two-phase top-k) with the
+    label-mismatch predicate applied at candidate time — a query never
+    ranks its own class, so the candidate stream shrinks by the
+    query's class share before the top-k. Exact and deterministic:
+    (cosine desc, id asc) total order.
+    """
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlab"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    if dim is None:
+        sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    else:
+        q = with_l2_norm(q, "__qvec", dim, "__qnrm")
+        c = with_l2_norm(c, "__cvec", dim, "__cnrm")
+        sim = rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("__qlab"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            sim.alias("cosine_sim"),
+        )
+    )
+    return grouped_topk(
+        cands,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        k,
+        rank_col="rn",
+    )

@@ -1907,3 +1907,87 @@ def x88_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_X88_AVG_D2).alias("avg_d2_mic2"),
         "max_d2_mic2",
     )
+
+
+# ===========================================================================
+# x90 — hard-negative mining (contrastive-training data op)
+# ===========================================================================
+
+# For every sampled query vector, the 5 nearest corpus vectors with a
+# DIFFERENT label — the semantically-closest wrong answers, the
+# examples a contrastive loss learns most from (random negatives are
+# trivially far at corpus scale, so mining the hard ones is a
+# standard step in embedding-model training-data builds). Exact,
+# deterministic (pinned rounded cosine, id tie-break), full oracle.
+_X90_MOD = 29
+_X90_K = 5
+
+
+def _x90_oracle() -> str:
+    cos = S.duckdb_cosine_sql("e.embedding", "q.qv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id % {_X90_MOD} = 1),
+    cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               {cos} AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.label <> q.qlab
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rn
+        FROM cand
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id,
+           CAST(neighbor_label AS BIGINT) AS neighbor_label,
+           cosine_sim
+    FROM r WHERE rn <= {_X90_K}
+    """
+
+
+@register(
+    "x90_hard_negatives",
+    _x90_oracle(),
+    doc="""Hard-negative mining for contrastive training: per sampled
+    query (vec_id % 29 = 1), the 5 nearest corpus vectors with a
+    DIFFERENT label (operators/similarity.hard_negative_topk) — the
+    training-data op between the dedup/mix tiers and an embedding
+    model's dataloader. Exact and fully value-hash-checked: the same
+    pinned rounded-cosine + id tie-break convention as the x72/x74/
+    x77 eval triad, with the label-mismatch predicate applied at
+    candidate time (a query never ranks its own class).
+
+    Plan: broadcast query side, label filter BEFORE ranking (the
+    candidate stream shrinks by the query's class share), skew-safe
+    two-phase top-k (grouped_topk) so no reducer ranks a query's full
+    candidate stream. At corpus scale the mining runs per training
+    batch over an IVF/LSH-pruned candidate set (x58/x59's indexes);
+    this exact form is the ground truth that x72-style recall evals
+    grade those approximations against.""",
+)
+def x90_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    out = hard_negative_topk(
+        fan_out(emb),
+        emb.filter(F.col("vec_id") % _X90_MOD == 1),
+        k=_X90_K,
+        dim=64,
+    )
+    return out.select(
+        "query_id",
+        F.col("rn").cast("long").alias("rn"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        "cosine_sim",
+    )

@@ -468,3 +468,24 @@ def test_q79_rfm_invariants(spark, sf_dir):
         )
     ).collect()[0][0]
     assert p.segment_cents.sum() == total_cents
+
+
+def test_x90_hard_negative_contract(spark, sf_dir):
+    """Every mined negative carries a label different from its query's;
+    ranks are a dense 1..5 per query; similarities are non-increasing
+    in rank (the 'hard' in hard negatives)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["x90_hard_negatives"].spark(spark, sf_dir).toPandas()
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .toPandas()
+        .set_index("vec_id")["label"]
+    )
+    assert len(p) > 0
+    merged = p.assign(qlab=p.query_id.map(emb))
+    assert (merged.neighbor_label != merged.qlab).all()
+    for _, g in p.sort_values("rn").groupby("query_id"):
+        assert list(g.rn) == list(range(1, len(g) + 1))
+        assert g.cosine_sim.is_monotonic_decreasing or len(g) == 1
