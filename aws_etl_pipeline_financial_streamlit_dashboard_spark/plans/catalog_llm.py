@@ -2795,3 +2795,116 @@ def x89_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OVER (ORDER BY quartile) AS BIGINT)"
         ).alias("n_cum_tokens"),
     )
+
+
+# ===========================================================================
+# x91 — span corruption (T5-style denoising pair generation)
+# ===========================================================================
+
+# The transform step that turns curated text into (input, target)
+# training pairs for span-corruption denoising objectives: ~15% of
+# tokens masked in length-3 spans, each span replaced by a sentinel in
+# the input and emitted after its sentinel in the target. The RNG of
+# the published recipe is replaced by a deterministic position rule —
+# a span starts at every token position ≡ 7 (mod 20) (3/20 = 15%
+# corruption, spans can never overlap by construction) — which is
+# what makes the pairs reproducible across runs/engines and the entry
+# fully value-hash-checkable.
+_X91_IN_SPAN = "(pos >= 7 AND (pos - 7) % 20 <= 2)"
+_X91_START = "(pos >= 7 AND (pos - 7) % 20 = 0)"
+_X91_K = "CAST(FLOOR((pos - 7) / 20.0) AS BIGINT)"
+_X91_SENT = f"'<extra_id_' || CAST({_X91_K} AS STRING) || '>'"
+_X91_IN_PIECE = (
+    f"CASE WHEN NOT {_X91_IN_SPAN} THEN tok"
+    f" WHEN {_X91_START} THEN {_X91_SENT} END"
+)
+_X91_TGT_PIECE = (
+    f"CASE WHEN {_X91_START} THEN {_X91_SENT} || ' ' || tok"
+    f" WHEN {_X91_IN_SPAN} THEN tok END"
+)
+
+_X91_ORACLE = rf"""
+    WITH tk AS (
+        SELECT doc_id,
+               t.tok,
+               CAST(t.pos AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents),
+             UNNEST([{{'pos': i, 'tok': w[i]}}
+                     FOR i IN range(1, len(w) + 1)]) AS u(t)
+    ),
+    p AS (
+        SELECT doc_id, pos, tok,
+               {_X91_IN_PIECE} AS in_piece,
+               {_X91_TGT_PIECE} AS tgt_piece,
+               CASE WHEN {_X91_IN_SPAN} THEN {_X91_K} END AS k
+        FROM tk
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupted,
+           COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '')
+               AS input_text,
+           COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+               AS target_text
+    FROM p
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x91_span_corruption",
+    _X91_ORACLE,
+    doc="""Span-corruption pair generation (the T5 denoising recipe,
+    deterministic): length-3 spans at every token position ≡ 7
+    (mod 20) — 15% corruption, never overlapping — each replaced by a
+    numbered sentinel in the input and emitted after its sentinel in
+    the target. The step between the curation tiers (dedup, mix,
+    packing) and the dataloader; the hash-based position rule replaces
+    the recipe's RNG so every pair is reproducible across engines,
+    runs, and re-partitioning. Fully value-hash-checked including the
+    generated strings.
+
+    Plan: posexplode → one narrow piece classification (pure codegen
+    CASE arithmetic) → ONE per-doc aggregate whose ordered
+    reassembly is array_sort(collect_list(struct(pos, piece))) —
+    embarrassingly parallel per doc, the exchange carries (doc, pos,
+    two pieces), and nothing is corpus-global. At 100 TB this runs as
+    the map stage of the dataloader export, same shape as x81's
+    packing.""",
+)
+def x91_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(r"split(trim(text), '\\s+')")).alias("p0", "tok"),
+    ).select(
+        "doc_id", F.expr("CAST(p0 + 1 AS BIGINT)").alias("pos"), "tok"
+    )
+    p = tk.select(
+        "doc_id",
+        "pos",
+        F.expr(_X91_IN_PIECE).alias("in_piece"),
+        F.expr(_X91_TGT_PIECE).alias("tgt_piece"),
+        F.expr(f"CASE WHEN {_X91_IN_SPAN} THEN {_X91_K} END").alias("k"),
+    )
+
+    def _joined(piece: str) -> str:
+        return (
+            "COALESCE(array_join(transform(array_sort(collect_list("
+            f"CASE WHEN {piece} IS NOT NULL THEN struct(pos, {piece} AS pc)"
+            " END)), s -> s.pc), ' '), '')"
+        )
+
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("CAST(COUNT(DISTINCT k) AS BIGINT)").alias("n_spans"),
+        F.expr(
+            "CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_corrupted"),
+        F.expr(_joined("in_piece")).alias("input_text"),
+        F.expr(_joined("tgt_piece")).alias("target_text"),
+    )

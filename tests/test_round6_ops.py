@@ -489,3 +489,33 @@ def test_x90_hard_negative_contract(spark, sf_dir):
     for _, g in p.sort_values("rn").groupby("query_id"):
         assert list(g.rn) == list(range(1, len(g) + 1))
         assert g.cosine_sim.is_monotonic_decreasing or len(g) == 1
+
+
+def test_x91_roundtrip_reconstruction(spark, sf_dir):
+    """The denoising pair must be lossless: splicing each target span
+    back over its sentinel in the input reproduces the original
+    (whitespace-normalized) document, for every document."""
+    import re
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["x91_span_corruption"].spark(spark, sf_dir).toPandas()
+    orig = (
+        read_table(spark, sf_dir, "documents")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    assert len(p) == len(orig)
+    for r in p.itertuples(index=False):
+        spans = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", r.target_text
+        ):
+            spans[m.group(1)] = m.group(2).strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[m.group(1)], r.input_text
+        )
+        expected = " ".join(str(orig[r.doc_id]).strip().split())
+        assert " ".join(rebuilt.split()) == expected, r.doc_id
+        assert r.n_spans == len(spans)
+        assert r.n_corrupted == sum(len(s.split()) for s in spans.values())
