@@ -1991,3 +1991,117 @@ def x90_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_label").cast("long").alias("neighbor_label"),
         "cosine_sim",
     )
+
+
+# ===========================================================================
+# x92 — embedding outlier audit (distance to own-label centroid)
+# ===========================================================================
+
+# Mislabel/outlier detection for embedding corpora: every vector's
+# integer squared distance to its OWN label's centroid, with the 5%
+# farthest per label flagged for review — the mislabel screen a
+# curation team runs before trusting the label column that x90's
+# negative mining and x57's propagation consume. Rank-based (exact
+# order statistic, q75's ceil(0.05·n) convention) rather than a
+# mean-multiple: random high-dim distances concentrate so tightly
+# around the mean that fixed multiples never fire — the review queue
+# is a fraction, not a multiple. Same integer-micro discipline as the
+# k-means family (x51's quantization, truncating integer-mean
+# centroids), so distances and flags are bit-exact.
+_X92_K = "CAST(FLOOR((5 * n + 99) / 100.0) AS BIGINT)"
+_X92_FLAG = f"CASE WHEN rnk <= {_X92_K} THEN 1 ELSE 0 END"
+
+
+def _x92_oracle(dim: int = 64) -> str:
+    vm = S.duckdb_vm_sql("embedding", dim)
+    d2 = (
+        "list_sum([(v.xm[i] - c.cm[i]) * (v.xm[i] - c.cm[i])"
+        f" FOR i IN range(1, {dim} + 1)])"
+    )
+    return f"""
+    WITH vm AS (SELECT vec_id, label, {vm} AS xm FROM embeddings),
+    ex AS (SELECT label, t.range AS i,
+                  SUM(xm[CAST(t.range AS INT)]) AS s, COUNT(*) AS c
+           FROM vm, range(1, {dim} + 1) t GROUP BY 1, 2),
+    cm AS (SELECT label, list(s // c ORDER BY i) AS cm
+           FROM ex GROUP BY label),
+    d AS (SELECT v.vec_id, v.label, {d2} AS d2
+          FROM vm v JOIN cm c ON v.label = c.label),
+    r AS (SELECT vec_id, label, d2,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY d2 DESC, vec_id) AS rnk,
+                 COUNT(*) OVER (PARTITION BY label) AS n
+          FROM d)
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(d2 AS BIGINT) AS d2,
+           CAST({_X92_FLAG} AS INT) AS is_outlier
+    FROM r
+    """
+
+
+@register(
+    "x92_label_outliers",
+    _x92_oracle(),
+    doc="""Embedding outlier audit: every vector's integer squared
+    distance (micro² — x51's quantization, truncating integer-mean
+    centroids) to its own label's centroid, flagged when it exceeds
+    2× the label's mean — the mislabel screen a curation team runs
+    before trusting the label column that x90's hard-negative mining
+    and x57's propagation consume. The review queue is the exact 5%
+    farthest per label (ceil(0.05·n), total order (d2 DESC, vec_id) —
+    q75's order-statistic convention; a mean-multiple never fires on
+    concentrated high-dim distances). Fully value-hash-checked: the
+    centroid, every distance, and the flag are exact integer
+    arithmetic.
+
+    Plan: one (label, pos) centroid aggregate (map-side collapse of
+    the exploded components), a |labels|-row broadcast back onto the
+    vectors for a single narrow codegen distance projection, then the
+    per-label rank window. With few labels that window is the q47
+    shape (one sorted partition per label); at corpus scale swap the
+    exact rank for a per-label 95th-percentile d2 threshold
+    (approx_percentile, broadcast back) — the flags this exact form
+    produces are the ground truth that swap is graded against.""",
+)
+def x92_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _int_dist2_sql,
+        _quantize_sql,
+    )
+
+    dim = 64
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_quantize_sql("embedding", dim)).alias("xm"),
+    )
+    cents = (
+        pts.select("label", F.posexplode("xm").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.expr("SUM(x) div COUNT(*)").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cm"))
+    )
+    d = pts.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.expr(_int_dist2_sql("xm", "cm", dim)).alias("d2"),
+    )
+    r = d.select(
+        "vec_id",
+        "label",
+        "d2",
+        F.expr(
+            "ROW_NUMBER() OVER (PARTITION BY label"
+            " ORDER BY d2 DESC, vec_id)"
+        ).alias("rnk"),
+        F.expr("COUNT(*) OVER (PARTITION BY label)").alias("n"),
+    )
+    return r.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("d2").cast("long").alias("d2"),
+        F.expr(f"CAST({_X92_FLAG} AS INT)").alias("is_outlier"),
+    )

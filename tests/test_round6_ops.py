@@ -519,3 +519,26 @@ def test_x91_roundtrip_reconstruction(spark, sf_dir):
         assert " ".join(rebuilt.split()) == expected, r.doc_id
         assert r.n_spans == len(spans)
         assert r.n_corrupted == sum(len(s.split()) for s in spans.values())
+
+
+def test_x92_outlier_contract(spark, sf_dir):
+    """Every vector is audited exactly once; exactly ceil(0.05*n)
+    flag per label; and the flagged set is precisely the k farthest
+    by the (d2 DESC, vec_id) total order."""
+    p = QUERIES["x92_label_outliers"].spark(spark, sf_dir).toPandas()
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    n_emb = read_table(spark, sf_dir, "embeddings").count()
+    assert len(p) == n_emb and p.vec_id.is_unique
+    for lab, g in p.groupby("label"):
+        k = (5 * len(g) + 99) // 100
+        assert g.is_outlier.sum() == k
+        flagged_min = g.loc[g.is_outlier == 1, "d2"].min()
+        kept_max_rank = (
+            g.sort_values(["d2", "vec_id"], ascending=[False, True])
+            .head(k)
+            .is_outlier
+        )
+        assert (kept_max_rank == 1).all(), lab
+        assert flagged_min >= g.loc[g.is_outlier == 0, "d2"].quantile(0.5)
+    assert 0 < p.is_outlier.mean() < 1
