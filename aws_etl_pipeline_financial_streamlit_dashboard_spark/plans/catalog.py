@@ -836,7 +836,7 @@ _SAMPLER_FRONT_R6 = [
     "x88_ivf_cell_occupancy", "x89_vocab_growth",
     "q78_lead_time_histogram", "q79_rfm_segmentation",
     "q80_variant_extract", "x90_hard_negatives", "x91_span_corruption",
-    "x92_label_outliers",
+    "x92_label_outliers", "q81_idle_rich_customers",
     # semantically touched this round (dim-chain fold, SHJ pin,
     # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
     # driver rows predate the change

@@ -3094,3 +3094,74 @@ def q80_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MIN(k) AS BIGINT)").alias("min_k"),
         F.expr("CAST(MAX(k) AS BIGINT)").alias("max_k"),
     )
+
+
+# ===========================================================================
+# q81 — above-average idle customers (TPC-H Q22 shape)
+# ===========================================================================
+
+# The "global scalar aggregate gates a filtered anti-join" decision-
+# support composition (TPC-H Q22 re-keyed onto this schema): customers
+# whose balance exceeds the positive-balance average AND who have no
+# orders, counted per nation. The float-average comparison is made
+# EXACT by integer cross-multiplication — cents·n > Σcents — so no
+# engine's summation order can flip a boundary customer (the q75/x84
+# discipline applied to a predicate instead of an output).
+_Q81_CENTS = "CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+
+_Q81_ORACLE = f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, {_Q81_CENTS} AS cents
+        FROM customer
+    ),
+    ab AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+               COUNT(*) AS n_pos
+        FROM c WHERE cents > 0
+    )
+    SELECT c.c_nationkey AS nation,
+           COUNT(*) AS n_custs,
+           CAST(SUM(c.cents) AS BIGINT) AS total_bal_cents
+    FROM c, ab
+    WHERE c.cents * ab.n_pos > ab.total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "q81_idle_rich_customers",
+    _Q81_ORACLE,
+    doc="""TPC-H Q22 shape: customers above the positive-balance
+    average with NO orders, counted per nation — the global-scalar +
+    anti-join composition (q21 has the scalar, q30 the anti-join;
+    this is the decision-support combination of both). The average
+    comparison is exact integer cross-multiplication (cents·n_pos >
+    Σcents), so distributed float summation order cannot flip a
+    boundary customer in either engine.
+
+    Plan: ONE 2-long global aggregate broadcast onto the customer
+    scan (crossJoin of a 1-row frame), a broadcast/shuffle anti-join
+    against the orders keys, one partial-aggregating nation rollup.
+    At 100 TB the anti-join is the only fact-scale exchange; the
+    scalar gate is free.""",
+)
+def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.expr(_Q81_CENTS).alias("cents")
+    )
+    ab = c.filter(F.col("cents") > 0).agg(
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_cents"),
+        F.count("*").alias("n_pos"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    gated = (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.expr("cents * n_pos > total_cents"))
+        .join(orders, c.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return gated.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_custs"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_bal_cents"),
+    )

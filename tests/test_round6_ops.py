@@ -542,3 +542,31 @@ def test_x92_outlier_contract(spark, sf_dir):
         assert (kept_max_rank == 1).all(), lab
         assert flagged_min >= g.loc[g.is_outlier == 0, "d2"].quantile(0.5)
     assert 0 < p.is_outlier.mean() < 1
+
+
+def test_q81_gate_and_antijoin_contract(spark, sf_dir):
+    """Every reported customer group contains only order-less customers
+    above the exact positive-balance mean; totals re-derive in pandas."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["q81_idle_rich_customers"].spark(spark, sf_dir).toPandas()
+    cust = read_table(spark, sf_dir, "customer").toPandas()
+    orders = read_table(spark, sf_dir, "orders").toPandas()
+    import math
+
+    cents = cust.c_acctbal.apply(lambda v: math.floor(v * 100.0 + 0.5))
+    pos = cents[cents > 0]
+    total, n_pos = pos.sum(), len(pos)
+    has_order = set(orders.o_custkey)
+    keep = cust[
+        (cents * n_pos > total) & (~cust.c_custkey.isin(has_order))
+    ]
+    expect = (
+        keep.assign(cents=cents[keep.index])
+        .groupby("c_nationkey")
+        .agg(n=("c_custkey", "size"), s=("cents", "sum"))
+    )
+    got = p.set_index("nation").sort_index()
+    assert list(got.index) == sorted(expect.index)
+    assert (got.n_custs.values == expect.sort_index().n.values).all()
+    assert (got.total_bal_cents.values == expect.sort_index().s.values).all()
