@@ -171,6 +171,20 @@ def brute_force_topk(
     )
 
 
+def _pairwise_sim(q, c, dim):
+    """ONE definition of the pinned pairwise-cosine convention (rhu 6dp;
+    precomputed norms + unrolled dot when dim is known) shared by every
+    brute-force ranking op — knn_join_brute_force and
+    hard_negative_topk must never diverge on it, or their oracles'
+    shared arithmetic (the x72/x74/x77 triad convention) silently
+    splits. Returns (q, c, sim_column); expects __qvec/__cvec."""
+    if dim is None:
+        return q, c, rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    q = with_l2_norm(q, "__qvec", dim, "__qnrm")
+    c = with_l2_norm(c, "__cvec", dim, "__cnrm")
+    return q, c, rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
+
+
 def knn_join_brute_force(
     queries: DataFrame,
     corpus: DataFrame,
@@ -206,12 +220,7 @@ def knn_join_brute_force(
     c = corpus.select(
         F.col(corpus_id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
-    if dim is None:
-        sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
-    else:
-        q = with_l2_norm(q, "__qvec", dim, "__qnrm")
-        c = with_l2_norm(c, "__cvec", dim, "__cnrm")
-        sim = rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
+    q, c, sim = _pairwise_sim(q, c, dim)
     q = F.broadcast(q)
     cands = (
         c.crossJoin(q)
@@ -1025,12 +1034,7 @@ def hard_negative_topk(
         F.col(vec_col).alias("__cvec"),
         F.col(label_col).alias("neighbor_label"),
     )
-    if dim is None:
-        sim = rhu(cosine(F.col("__cvec"), F.col("__qvec")), 6)
-    else:
-        q = with_l2_norm(q, "__qvec", dim, "__qnrm")
-        c = with_l2_norm(c, "__cvec", dim, "__cnrm")
-        sim = rhu(cosine_pre("__cvec", "__qvec", "__cnrm", "__qnrm", dim), 6)
+    q, c, sim = _pairwise_sim(q, c, dim)
     cands = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_label") != F.col("__qlab"))

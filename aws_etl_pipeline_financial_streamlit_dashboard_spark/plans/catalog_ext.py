@@ -2044,10 +2044,10 @@ def _x92_oracle(dim: int = 64) -> str:
     _x92_oracle(),
     doc="""Embedding outlier audit: every vector's integer squared
     distance (micro² — x51's quantization, truncating integer-mean
-    centroids) to its own label's centroid, flagged when it exceeds
-    2× the label's mean — the mislabel screen a curation team runs
-    before trusting the label column that x90's hard-negative mining
-    and x57's propagation consume. The review queue is the exact 5%
+    centroids) to its own label's centroid — the mislabel screen a
+    curation team runs before trusting the label column that x90's
+    hard-negative mining and x57's propagation consume. The review
+    queue is the exact 5%
     farthest per label (ceil(0.05·n), total order (d2 DESC, vec_id) —
     q75's order-statistic convention; a mean-multiple never fires on
     concentrated high-dim distances). Fully value-hash-checked: the

@@ -3102,12 +3102,17 @@ def q80_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The "global scalar aggregate gates a filtered anti-join" decision-
 # support composition (TPC-H Q22 re-keyed onto this schema): customers
-# whose balance exceeds the positive-balance average AND who have no
-# orders, counted per nation. The float-average comparison is made
-# EXACT by integer cross-multiplication — cents·n > Σcents — so no
-# engine's summation order can flip a boundary customer (the q75/x84
-# discipline applied to a predicate instead of an output).
+# whose balance exceeds the positive-balance average AND who have
+# LAPSED — no orders since the cutoff (the data spans 1995–2001-08;
+# every customer has SOME order, so Q22's literal "no orders at all"
+# would be vacuously empty at every scale factor — caught by review
+# before it shipped as a 0-vs-0 oracle match). The float-average
+# comparison is made EXACT by integer cross-multiplication —
+# cents·n > Σcents — so no engine's summation order can flip a
+# boundary customer (the q75/x84 discipline applied to a predicate
+# instead of an output).
 _Q81_CENTS = "CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+_Q81_CUTOFF = "2001-01-01"
 
 _Q81_ORACLE = f"""
     WITH c AS (
@@ -3125,7 +3130,8 @@ _Q81_ORACLE = f"""
     FROM c, ab
     WHERE c.cents * ab.n_pos > ab.total_cents
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{_Q81_CUTOFF}')
     GROUP BY c.c_nationkey
 """
 
@@ -3134,12 +3140,15 @@ _Q81_ORACLE = f"""
     "q81_idle_rich_customers",
     _Q81_ORACLE,
     doc="""TPC-H Q22 shape: customers above the positive-balance
-    average with NO orders, counted per nation — the global-scalar +
-    anti-join composition (q21 has the scalar, q30 the anti-join;
-    this is the decision-support combination of both). The average
-    comparison is exact integer cross-multiplication (cents·n_pos >
-    Σcents), so distributed float summation order cannot flip a
-    boundary customer in either engine.
+    average with no orders since 2001-01-01 (lapsed), counted per
+    nation — the global-scalar + anti-join composition (q21 has the
+    scalar, q30 the anti-join; this is the decision-support
+    combination of both). The average comparison is exact integer
+    cross-multiplication (cents·n_pos > Σcents), so distributed float
+    summation order cannot flip a boundary customer in either engine.
+    The window keeps the entry non-vacuous: every customer in the
+    generated data has SOME order, so the literal "no orders at all"
+    form verified an empty set.
 
     Plan: ONE 2-long global aggregate broadcast onto the customer
     scan (crossJoin of a 1-row frame), a broadcast/shuffle anti-join
@@ -3155,11 +3164,15 @@ def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_cents"),
         F.count("*").alias("n_pos"),
     )
-    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.expr(f"o_orderdate >= TIMESTAMP '{_Q81_CUTOFF}'"))
+        .select("o_custkey")
+    )
     gated = (
         c.crossJoin(F.broadcast(ab))
         .filter(F.expr("cents * n_pos > total_cents"))
-        .join(orders, c.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
     )
     return gated.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count("*").alias("n_custs"),

@@ -557,9 +557,11 @@ def test_q81_gate_and_antijoin_contract(spark, sf_dir):
     cents = cust.c_acctbal.apply(lambda v: math.floor(v * 100.0 + 0.5))
     pos = cents[cents > 0]
     total, n_pos = pos.sum(), len(pos)
-    has_order = set(orders.o_custkey)
+    recent = set(
+        orders.loc[orders.o_orderdate >= "2001-01-01", "o_custkey"]
+    )
     keep = cust[
-        (cents * n_pos > total) & (~cust.c_custkey.isin(has_order))
+        (cents * n_pos > total) & (~cust.c_custkey.isin(recent))
     ]
     expect = (
         keep.assign(cents=cents[keep.index])
@@ -567,6 +569,7 @@ def test_q81_gate_and_antijoin_contract(spark, sf_dir):
         .agg(n=("c_custkey", "size"), s=("cents", "sum"))
     )
     got = p.set_index("nation").sort_index()
+    assert len(got) > 0  # the windowed predicate must verify REAL rows
     assert list(got.index) == sorted(expect.index)
     assert (got.n_custs.values == expect.sort_index().n.values).all()
     assert (got.total_bal_cents.values == expect.sort_index().s.values).all()
