@@ -252,7 +252,11 @@ def main() -> None:
     # load-time layout buys (docs/PERF.md "Serving-layout headline");
     # the headline `value` stays the raw-layout number.
     serving_timings: dict[str, float] = {}
-    if not errors and "q73_flagship_bucketed" in QUERIES:
+    if (
+        not errors
+        and "q73_flagship_bucketed" in QUERIES
+        and not extra  # a custom query list breaks the set's meaning
+    ):
         for name in ("q73_flagship_bucketed",):
             fn = QUERIES[name].spark
             try:
