@@ -573,3 +573,30 @@ def test_q81_gate_and_antijoin_contract(spark, sf_dir):
     assert list(got.index) == sorted(expect.index)
     assert (got.n_custs.values == expect.sort_index().n.values).all()
     assert (got.total_bal_cents.values == expect.sort_index().s.values).all()
+
+
+def test_catalog_index_is_current():
+    """docs/CATALOG.md claims to be generated from the live registry —
+    pin it: the committed file must byte-match the generator's output
+    (regenerate with tools/gen_catalog_index.py after adding entries)."""
+    import importlib
+    import os
+
+    gen = importlib.import_module("tools.gen_catalog_index")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = [gen.HEADER]
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES as Q
+
+    for name in sorted(Q):
+        kind = "oracle" if Q[name].oracle is not None else "rows-only"
+        lines.append(f"| {name} | {kind} | {gen.first_sentence(Q[name].doc)} |\n")
+    n_oracle = sum(1 for s in Q.values() if s.oracle is not None)
+    lines.append(
+        f"\n{len(Q)} entries: {n_oracle} full value-hash oracle, "
+        f"{len(Q) - n_oracle} rows-only by design.\n"
+    )
+    with open(os.path.join(root, "docs", "CATALOG.md")) as fh:
+        committed = fh.read()
+    assert committed == "".join(lines), (
+        "docs/CATALOG.md is stale - run python tools/gen_catalog_index.py"
+    )
