@@ -837,6 +837,7 @@ _SAMPLER_FRONT_R6 = [
     "q78_lead_time_histogram", "q79_rfm_segmentation",
     "q80_variant_extract", "x90_hard_negatives", "x91_span_corruption",
     "x92_label_outliers", "q81_idle_rich_customers",
+    "x93_source_drift_chi2",
     # semantically touched this round (dim-chain fold, SHJ pin,
     # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
     # driver rows predate the change

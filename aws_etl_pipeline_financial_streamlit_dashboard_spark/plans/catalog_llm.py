@@ -2908,3 +2908,109 @@ def x91_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_joined("in_piece")).alias("input_text"),
         F.expr(_joined("tgt_piece")).alias("target_text"),
     )
+
+
+# ===========================================================================
+# x93 — corpus drift detection (chi-square per source vs corpus)
+# ===========================================================================
+
+# The distribution-drift monitor a corpus pipeline runs on every
+# refresh: does any source's document-length distribution diverge
+# from the corpus's? Pearson chi-square over x33's fixed 50-char
+# buckets: observed o_sb vs expected e_sb = n_s·n_b/N, statistic
+# Σ(o−e)²/e per source. Chi-square (not PSI/KL) deliberately: the
+# statistic is RATIONAL in the counts, so one pinned double chain is
+# engine-deterministic — ln() has no cross-engine rounding guarantee.
+# All inputs are exact integers < 2^53 (cast to double exactly); the
+# only rounding is the shared 6 dp finish.
+_X93_TERM = (
+    "(CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " / CAST(nn AS DOUBLE))"
+)
+_X93_CHI2 = (
+    f"FLOOR(SUM({_X93_TERM} * {_X93_TERM}"
+    " / (CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(nn AS DOUBLE)))"
+    " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+_X93_ORACLE = f"""
+    WITH b AS (
+        SELECT source,
+               LEAST(CAST(FLOOR(n_chars / 50) AS BIGINT), 9) AS bucket
+        FROM documents
+    ),
+    o AS (SELECT source, bucket, COUNT(*) AS o
+          FROM b GROUP BY source, bucket),
+    s AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+          FROM o GROUP BY source),
+    k AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS n_b
+          FROM o GROUP BY bucket),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM o),
+    g AS (
+        SELECT s.source, s.n_s, k.bucket, k.n_b, n.nn,
+               COALESCE(o.o, 0) AS o
+        FROM s CROSS JOIN k CROSS JOIN n
+        LEFT JOIN o ON o.source = s.source AND o.bucket = k.bucket
+    )
+    SELECT source,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST({_X93_CHI2} AS DOUBLE) AS chi2
+    FROM g
+    GROUP BY source
+"""
+
+
+@register(
+    "x93_source_drift_chi2",
+    _X93_ORACLE,
+    doc="""Corpus drift monitor: per source, the Pearson chi-square of
+    its document-length distribution against the whole corpus's
+    (x33's fixed 50-char buckets; expected counts n_s·n_b/N, zero
+    cells included — a source missing a bucket the corpus has IS
+    drift evidence). Chi-square instead of PSI/KL deliberately: the
+    statistic is rational in the counts, so the pinned shared double
+    chain is engine-deterministic where ln() would not be. The
+    refresh-over-refresh version is this same query with the corpus
+    margin replaced by the previous snapshot's histogram.
+
+    Plan: one (source, bucket) count (map-side collapse, ≤
+    |sources|·10 rows out), the three margins derived from THAT
+    aggregate (never the corpus again), a |sources|×10 dense grid via
+    two bounded cross joins, one final per-source fold. The corpus is
+    scanned exactly once at any scale.""",
+)
+def x93_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "LEAST(CAST(FLOOR(n_chars / 50) AS BIGINT), 9)"
+        ).alias("bucket"),
+    )
+    o = docs.groupBy("source", "bucket").agg(F.count("*").alias("o"))
+    o = o.localCheckpoint(eager=True)  # three margin consumers below
+    s = o.groupBy("source").agg(
+        F.expr("CAST(SUM(o) AS BIGINT)").alias("n_s")
+    )
+    k = o.groupBy("bucket").agg(
+        F.expr("CAST(SUM(o) AS BIGINT)").alias("n_b")
+    )
+    n = o.agg(F.expr("CAST(SUM(o) AS BIGINT)").alias("nn"))
+    g = (
+        s.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_s",
+            "bucket",
+            "n_b",
+            "nn",
+            F.expr("COALESCE(o, 0)").alias("o"),
+        )
+    )
+    return g.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) - 1 AS BIGINT)").alias("dof"),
+        F.expr("CAST(MAX(n_s) AS BIGINT)").alias("n_docs"),
+        F.expr(f"CAST({_X93_CHI2} AS DOUBLE)").alias("chi2"),
+    )

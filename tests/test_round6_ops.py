@@ -600,3 +600,29 @@ def test_catalog_index_is_current():
     assert committed == "".join(lines), (
         "docs/CATALOG.md is stale - run python tools/gen_catalog_index.py"
     )
+
+
+def test_x93_chi2_matches_scipy_free_reference(spark, sf_dir):
+    """The statistic re-derives in pandas (pure-python chi-square over
+    the same contingency margins, zero cells included); dof is
+    buckets-1 and every source appears once."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    p = QUERIES["x93_source_drift_chi2"].spark(spark, sf_dir).toPandas()
+    docs = read_table(spark, sf_dir, "documents").toPandas()
+    docs["bucket"] = (docs.n_chars // 50).clip(upper=9)
+    ct = docs.groupby(["source", "bucket"]).size().unstack(fill_value=0)
+    # dense grid over the buckets the CORPUS has
+    n_b = ct.sum(axis=0)
+    n_s = ct.sum(axis=1)
+    nn = float(ct.values.sum())
+    import math
+
+    for r in p.itertuples(index=False):
+        e = n_s[r.source] * n_b / nn
+        o = ct.loc[r.source]
+        chi2 = float(((o - e) ** 2 / e).sum())
+        assert r.dof == len(n_b) - 1
+        assert r.n_docs == n_s[r.source]
+        assert abs(r.chi2 - math.floor(chi2 * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert p.source.is_unique and len(p) == len(n_s)
