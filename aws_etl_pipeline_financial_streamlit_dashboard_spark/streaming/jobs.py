@@ -330,6 +330,22 @@ def run_foreach_batch_upsert(
 # ---------------------------------------------------------------------------
 
 
+def _checked_ident(name: str) -> str:
+    """SQL-identifier discipline for the raw JDBC statements below: the
+    table names are interpolated into SQL text, so they must be plain
+    unquoted identifiers — assert it rather than assume it. We validate
+    instead of double-quoting because the tables are CREATED unquoted
+    (by Spark's JDBC writer / ensure_jdbc_ledger) and therefore
+    case-folded by the database (Derby folds to upper); a quoted
+    lowercase name would reference a DIFFERENT table. Optionally
+    schema-qualified (one dot)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", name):
+        raise ValueError(f"not a plain SQL identifier: {name!r}")
+    return name
+
+
 def jdbc_exactly_once_commit(
     spark: SparkSession,
     url: str,
@@ -354,13 +370,18 @@ def jdbc_exactly_once_commit(
     this transaction only moves rows database-side, so the driver
     round-trip is O(1) statements regardless of batch size.
     """
+    stage_table = _checked_ident(stage_table)
+    target_table = _checked_ident(target_table)
+    ledger_table = _checked_ident(ledger_table)
+    if not isinstance(batch_id, int) or isinstance(batch_id, bool):
+        raise TypeError(f"batch_id must be an int, got {type(batch_id).__name__}")
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
         rs = st.executeQuery(
-            f"SELECT batch_id FROM {ledger_table} WHERE batch_id = {int(batch_id)}"
+            f"SELECT batch_id FROM {ledger_table} WHERE batch_id = {batch_id}"
         )
         seen = rs.next()
         rs.close()
@@ -371,7 +392,7 @@ def jdbc_exactly_once_commit(
             f"INSERT INTO {target_table} SELECT * FROM {stage_table}"
         )
         st.executeUpdate(
-            f"INSERT INTO {ledger_table} (batch_id) VALUES ({int(batch_id)})"
+            f"INSERT INTO {ledger_table} (batch_id) VALUES ({batch_id})"
         )
         conn.commit()
         return True
@@ -383,6 +404,7 @@ def ensure_jdbc_ledger(spark: SparkSession, url: str, ledger_table: str) -> None
     """Create the batch-id ledger table if absent (Derby has no
     CREATE TABLE IF NOT EXISTS; the 'already exists' SQLState X0Y32 is
     the expected idempotent path)."""
+    ledger_table = _checked_ident(ledger_table)
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:

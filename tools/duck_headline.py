@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """DuckDB side of the headline bench: run each headline entry's oracle
 SQL over the same parquet directory, same steady-state protocol as
-bench.py (2 warm-up passes, then min of 3 timed passes, fresh
+bench.py (2 warm-up passes, then min of N timed passes —
+``$SPARK_GRAFT_BENCH_REPS``, default 5 — fresh
 ``con.execute(...).fetchall()`` per pass), threads matched to the Spark
 session's core count. Prints one JSON line mirroring bench.py's shape
-so the two artifacts diff cleanly.
+(including the median + [min,max] band fields over per-pass paired
+sums) so the two artifacts diff cleanly and ratios can be taken on
+distributions, not single windows.
 
 Usage: SPARK_GRAFT_SF_DIR=... python tools/duck_headline.py
 """
@@ -13,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,35 +45,59 @@ def main() -> None:
                 f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
 
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
-    for name, spec in sorted(headline_queries().items()):
-        sql = spec.oracle
+    passes: dict[str, list[float]] = {}
+    names = sorted(headline_queries())
+    specs = headline_queries()
+    for name in names:
+        sql = specs[name].oracle
         for _ in range(2):
             con.execute(sql).fetchall()
-        best = float("inf")
-        for _ in range(3):
+        runs: list[float] = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        passes[name] = runs
+        timings[name] = round(min(runs), 4)
+
+    def _dist(rep_sums: list[float]) -> tuple[float, list[float]]:
+        return (
+            round(statistics.median(rep_sums), 4),
+            [round(min(rep_sums), 4), round(max(rep_sums), 4)],
+        )
+
+    seq_sums = [sum(passes[n][r] for n in names) for r in range(reps)]
+    # serving-layout comparable subset: Spark's serving set {q73, q08,
+    # q34, q17} maps to the oracles of {q07, q08, q34, q17} (q73 shares
+    # q07's oracle) = headline total minus q16
+    srv_names = [n for n in names if n != "q16_star_join_revenue"]
+    srv_sums = [sum(passes[n][r] for n in srv_names) for r in range(reps)]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or sf_dir
     try:
         sf_value: float | str = float(sf_label)
     except ValueError:
         sf_value = sf_label
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_headline_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_value,
-                "threads": int(cpus),
-            }
-        )
+    out = {
+        "metric": "duckdb_headline_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+        "threads": int(cpus),
+        "reps": reps,
+    }
+    out["headline_total_median_sec"], out["headline_total_band_sec"] = _dist(seq_sums)
+    out["serving_headline_total_sec"] = round(
+        sum(timings[n] for n in srv_names), 4
     )
+    (
+        out["serving_headline_median_sec"],
+        out["serving_headline_band_sec"],
+    ) = _dist(srv_sums)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
