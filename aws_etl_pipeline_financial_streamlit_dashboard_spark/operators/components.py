@@ -28,6 +28,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -35,6 +37,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     probe_convergence: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Return (node, component_id) for every node appearing in
     ``edges``, where component_id = min node id in the component.
@@ -49,6 +52,12 @@ def connected_components(
     to the probed mode whenever ``max_iter`` ≥ the graph diameter
     (min-label propagation is monotone: once converged, further rounds
     are no-ops).
+
+    ``reliable=True`` swaps every per-round lineage truncation for a
+    durable checkpoint (operators/lineage.py) — the edge closure and
+    label state are corpus-scale at 100 TB, so on a preemptible cluster
+    the default executor-local blocks would turn one executor loss into
+    a dead job.
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -58,9 +67,9 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    labels = truncate_lineage(labels, reliable)
+    sym = truncate_lineage(sym, reliable)
 
     label_type = labels.schema["label"].dataType
     for _ in range(max_iter):
@@ -74,12 +83,12 @@ def connected_components(
             F.col("label"),
             F.lit(None).cast(label_type).alias("old"),
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.select("node", "label", F.col("label").alias("old"))
             .union(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label"), F.min("old").alias("old")),
+            reliable,
         )
         labels = new_labels.select("node", "label")
         if probe_convergence:
@@ -94,6 +103,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    reliable: bool = False,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components —
     the O(log n)-round variant for adversarial diameters.
@@ -130,8 +140,8 @@ def connected_components_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = truncate_lineage(e, reliable)
     prev_sig = None
     converged = False
     for _ in range(max_iter):
@@ -155,11 +165,11 @@ def connected_components_star(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
         attach_self = mins2.select("u", F.col("m").alias("v"))
-        e2 = (
+        e2 = truncate_lineage(
             attach_nbrs.union(attach_self)
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            reliable,
         )
         # Fixed-point probe: (count, two INDEPENDENT order-free hash
         # sums) of the edge set. One xxhash64 sum alone has a ~2⁻⁶⁴
@@ -205,7 +215,8 @@ def connected_components_star(
 
 
 def triangle_count(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame, a_col: str = "a", b_col: str = "b",
+    reliable: bool = False,
 ) -> DataFrame:
     """Global triangle count by DEGREE ORDERING (the Chiba–Nishizeki /
     MapReduce orientation trick): orient every undirected edge from its
@@ -242,8 +253,8 @@ def triangle_count(
         )
         .filter(F.col("ea") < F.col("eb"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = truncate_lineage(e, reliable)
     deg = (
         e.select(F.col("ea").alias("v"))
         .union(e.select(F.col("eb").alias("v")))
@@ -261,7 +272,8 @@ def triangle_count(
         F.when(a_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
         F.when(a_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    ).localCheckpoint(eager=True)
+    )
+    directed = truncate_lineage(directed, reliable)
     d1 = directed.select(
         F.col("src"), F.col("dst").alias("v"), F.col("dst_deg").alias("v_deg")
     )

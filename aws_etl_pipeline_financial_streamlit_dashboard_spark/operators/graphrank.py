@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 DAMP_US = 850_000  # 0.85 damping in micro-units
 BASE_US = 150_000  # (1 - 0.85)
 MICRO = 1_000_000
@@ -50,24 +52,31 @@ def pagerank_int(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Deterministic integer PageRank over an UNDIRECTED graph given as
     an edge list (each edge contributes both directions). Returns
     (node, rank_us) with rank in bigint micro-units; isolated nodes
     don't appear (callers union them at BASE_US + DAMP_US·0 if needed).
+
+    ``reliable=True``: the edge closure and per-round rank state are
+    graph-scale — durably checkpoint them (operators/lineage.py) so an
+    executor loss mid-iteration recomputes from storage instead of
+    killing the job.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = truncate_lineage(sym, reliable)
     degrees = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    out = sym.join(degrees, "u").localCheckpoint(eager=True)
+    out = truncate_lineage(sym.join(degrees, "u"), reliable)
 
-    ranks = degrees.select(
-        "u", F.lit(MICRO).cast("long").alias("rank_us")
-    ).localCheckpoint(eager=True)
+    ranks = truncate_lineage(
+        degrees.select("u", F.lit(MICRO).cast("long").alias("rank_us")),
+        reliable,
+    )
 
     for _ in range(iterations):
         # `div` = exact integer division on longs in BOTH engines
@@ -95,8 +104,8 @@ def pagerank_int(
                     f"AS BIGINT)"
                 ).alias("rank_us"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = truncate_lineage(ranks, reliable)
     return ranks.select(F.col("u").alias("node"), "rank_us")
 
 

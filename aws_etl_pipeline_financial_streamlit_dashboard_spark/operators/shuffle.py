@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 _KEY = "__shuffle_key"
 _PART = "__shuffle_part"
 _LOCAL = "__local_pos"
@@ -52,6 +54,7 @@ def deterministic_shuffle(
     key_col: str,
     seed: int = 42,
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Assign every row a contiguous global ``shuffle_pos`` (1-based)
     in the seed-determined pseudo-random order.
@@ -65,6 +68,7 @@ def deterministic_shuffle(
         [F.col(_KEY), F.col(key_col)],
         rank_col="shuffle_pos",
         num_partitions=num_partitions,
+        reliable=reliable,
     ).drop(_KEY)
 
 
@@ -73,6 +77,7 @@ def global_rank(
     order_cols,
     rank_col: str = "global_rank",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Contiguous 1-based global rank in ``order_cols`` order WITHOUT a
     single-partition window (an ORDER-BY-only ``Window`` collapses the
@@ -102,8 +107,12 @@ def global_rank(
     # re-evaluate the exchange independently — correct only as long as
     # every upstream source is deterministic, which a caller can't
     # always promise (same discipline as components.py / graphrank.py).
-    local = marked.withColumn(_LOCAL, F.row_number().over(local_w)).localCheckpoint(
-        eager=True
+    # reliable=True swaps the executor-local checkpoint for a durable
+    # one (operators/lineage.py): the checkpointed frame here is
+    # CORPUS-SIZED, so on a preemptible cluster a lost executor would
+    # otherwise kill the whole enumeration.
+    local = truncate_lineage(
+        marked.withColumn(_LOCAL, F.row_number().over(local_w)), reliable
     )
 
     # |partitions|-row side table: each range partition's start offset.
@@ -130,13 +139,14 @@ def ntile_at_scale(
     k: int,
     out_col: str = "bucket",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """SQL-standard NTILE(k) without the single-partition window: the
     bucket is a closed-form function of the global rank and the total
     count (first n mod k buckets get one extra row), both computed by
     :func:`global_rank`'s two-phase enumeration plus a 1-row broadcast
     of the total. Bit-identical to engine NTILE for a total order."""
-    ranked = global_rank(df, order_cols, "__r", num_partitions)
+    ranked = global_rank(df, order_cols, "__r", num_partitions, reliable=reliable)
     total = ranked.groupBy().agg(F.count("*").alias("__nt"))
     q = "(__nt div {k})".format(k=k)
     rem = "(__nt % {k})".format(k=k)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .lineage import truncate_lineage
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import round_half_up as rhu
 
 # Marker stopwords per language for the heuristic language classifier.
@@ -169,7 +171,7 @@ def rolling_hash_fingerprint(
 
 
 def bpe_merge_rounds(
-    seq: DataFrame, k: int
+    seq: DataFrame, k: int, reliable: bool = False
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Run ``k`` exact greedy BPE merge rounds over a symbol sequence
     ``(doc_id, pos, tok)`` (pos orders symbols within a doc; gaps are
@@ -190,10 +192,14 @@ def bpe_merge_rounds(
     left-join-on-TRUE (the q63 1-row-combine shape, made safe for the
     EMPTY winner: a round with no pairs left is a no-op instead of a
     corpus-annihilating cross join). Each round ends in an
-    eager ``localCheckpoint``: round r+1's plan reads round r's 10⁴-row
-    result instead of re-deriving it — without this the lineage (and
-    every recomputation) doubles per round (the x46/x51 unrolled-loop
-    discipline).
+    eager lineage truncation: round r+1's plan reads round r's
+    materialized result instead of re-deriving it — without this the
+    lineage (and every recomputation) doubles per round (the x46/x51
+    unrolled-loop discipline). ``reliable=True`` makes the per-round
+    sequence checkpoints durable (operators/lineage.py): the sequence
+    state is CORPUS-sized, so on a preemptible cluster the default
+    executor-local blocks turn one executor loss into a dead training
+    run.
 
     Returns ``(final_seq, [winner_1, …, winner_k])`` where each winner
     is a ≤1-row DataFrame (a, b, cnt) — EMPTY for a round that found
@@ -218,6 +224,9 @@ def bpe_merge_rounds(
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
+            # the winner is <=1 row — executor-local truncation is
+            # always fine here; only the corpus-scale seq below gets
+            # the durable tier
             .localCheckpoint(eager=True)
         )
         winners.append(best)
@@ -287,6 +296,6 @@ def bpe_merge_rounds(
                 .otherwise(F.col("tok"))
                 .alias("tok"),
             )
-            .localCheckpoint(eager=True)
         )
+        seq = truncate_lineage(seq, reliable)
     return seq, winners
