@@ -345,3 +345,132 @@ def ivf_oracle_sql(
         f"SELECT neighbor_id, cosine_sim FROM sims"
         f" ORDER BY cosine_sim DESC, neighbor_id LIMIT {k}"
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the
+    DETERMINISTIC k-means above, then within each cluster drop every
+    vector whose cosine similarity to a LOWER-id cluster-mate reaches
+    ``threshold`` (keep-first greedy — the canonical member of a
+    semantic near-dup group is its min id, the x69 representative
+    rule). Lexical tiers (x01 exact hash, x03 SimHash, x04
+    MinHash-LSH) cannot see these duplicates: a paraphrase shares no
+    shingles, but its embedding is nearly parallel.
+
+    Returns one row per input vector: (id, cell, keep, max_lower_sim)
+    where ``max_lower_sim`` is the pinned 6dp cosine
+    (similarity._pairwise_sim convention) to the nearest lower-id
+    cluster-mate, NULL for each cluster's min id. Every stage is
+    deterministic — integer-micro k-means cells, the pinned cosine
+    kernel, an id-based keep rule — so the whole output value-hash
+    matches the unrolled-CTE oracle (x94).
+
+    Scale: clustering bounds the quadratic — the pair join is
+    cell-blocked, Σ|cell|² work, exactly the SemDeDup economics (k
+    grows with the corpus so |cell| stays ~constant; the paper runs
+    k=11k on 100M docs). The cosine kernel stays codegen
+    (precomputed norms + unrolled dot, similarity.with_l2_norm
+    rationale); the only data-scale exchanges are the k-means
+    assignment aggregate and the cell-keyed pair shuffle.
+    """
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars import (
+        round_half_up as rhu,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        cosine_pre,
+        with_l2_norm,
+    )
+
+    assigned, _ = _kmeans_core(
+        embeddings, k, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    cells = assigned.select("pid", "cell")
+    vec = with_l2_norm(
+        cells.join(
+            embeddings.select(F.col(id_col).alias("pid"), F.col(vec_col)),
+            "pid",
+        ),
+        vec_col,
+        dim,
+        "__nrm",
+    )
+    lo = vec.select(
+        F.col("pid").alias("lo_id"),
+        "cell",
+        F.col(vec_col).alias("__lvec"),
+        F.col("__nrm").alias("__lnrm"),
+    )
+    hi = vec.select(
+        F.col("pid").alias("hi_id"),
+        "cell",
+        F.col(vec_col).alias("__hvec"),
+        F.col("__nrm").alias("__hnrm"),
+    )
+    sim = rhu(cosine_pre("__hvec", "__lvec", "__hnrm", "__lnrm", dim), 6)
+    mx = (
+        lo.join(hi, "cell")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .select("hi_id", sim.alias("__sim"))
+        .groupBy("hi_id")
+        .agg(F.max("__sim").alias("max_lower_sim"))
+    )
+    return (
+        cells.join(mx, cells.pid == mx.hi_id, "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cell",
+            (
+                F.col("max_lower_sim").isNull()
+                | (F.col("max_lower_sim") < F.lit(threshold))
+            ).alias("keep"),
+            "max_lower_sim",
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    table: str = "embeddings",
+    threshold: float = 0.40,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 9973,
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the unrolled k-means CTEs, the
+    cell-blocked lower-id pair join with the pinned cosine text, and
+    the same keep rule."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        duckdb_cosine_sql,
+    )
+
+    parts, a_last, _ = _kmeans_cte_parts(
+        table, k, n_iters, dim, id_col, vec_col, seed_mod
+    )
+    body = "\n".join(parts).rstrip(",")
+    cos = duckdb_cosine_sql(f"el.{vec_col}", f"eh.{vec_col}")
+    return f"""{body},
+    pairs AS (
+        SELECT hi.pid AS hi_id, {cos} AS sim
+        FROM {a_last} lo JOIN {a_last} hi
+          ON lo.cell = hi.cell AND lo.pid < hi.pid
+        JOIN {table} el ON el.{id_col} = lo.pid
+        JOIN {table} eh ON eh.{id_col} = hi.pid
+    ),
+    mx AS (SELECT hi_id, MAX(sim) AS max_lower_sim FROM pairs GROUP BY hi_id)
+    SELECT a.pid AS {id_col}, a.cell,
+           (m.max_lower_sim IS NULL OR m.max_lower_sim < {threshold})
+               AS keep,
+           m.max_lower_sim
+    FROM {a_last} a LEFT JOIN mx m ON a.pid = m.hi_id"""

@@ -3014,3 +3014,44 @@ def x93_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(n_s) AS BIGINT)").alias("n_docs"),
         F.expr(f"CAST({_X93_CHI2} AS DOUBLE)").alias("chi2"),
     )
+
+
+# ===========================================================================
+# x94 — semantic dedup (SemDeDup-shape: cluster, then prune within-cluster
+# cosine near-dups keeping the min-id representative)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (  # noqa: E402
+    semdedup,
+    semdedup_oracle_sql,
+)
+
+
+@register(
+    "x94_semantic_dedup",
+    semdedup_oracle_sql("embeddings", threshold=0.40),
+    doc="""Semantic deduplication (operators/clustering.semdedup;
+    SemDeDup, Abbas et al. 2023): x51's deterministic integer-micro
+    k-means clusters the embedding corpus, then within each cluster
+    every vector whose pinned 6dp cosine to a LOWER-id cluster-mate
+    reaches 0.40 is dropped — keep-first greedy, the min id as the
+    x69-style canonical representative. The dedup tier the lexical
+    ladder (x01 exact / x03 SimHash / x04 MinHash-LSH) cannot provide:
+    a paraphrase shares no shingles but its embedding is nearly
+    parallel (tests/test_round7_ops.py exhibits exactly such a pair
+    that all three lexical tiers miss and this entry removes).
+
+    Output: one row per vector — (vec_id, cell, keep, max_lower_sim);
+    29 of 500 dropped at sf0.01, so the gate is non-vacuous. Oracle:
+    the x51 unrolled k-means CTEs + the cell-blocked lower-id pair
+    join with the shared cosine text — every stage value-hash checked.
+
+    Scale: the cluster blocks bound the quadratic (Σ|cell|² pairs; k
+    grows with the corpus so |cell| stays ~constant — the paper's
+    k=11k at 100M docs), the cosine kernel is codegen (precomputed
+    norms + unrolled dot), and the only corpus-scale exchanges are the
+    k-means assignment aggregate and one cell-keyed pair shuffle.""",
+)
+def x94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup(emb, threshold=0.40)

@@ -100,3 +100,75 @@ def test_bpe_vocab_encode_roundtrip(spark):
     }
     for doc, text in _CORPUS.items():
         assert decoded[doc] == text.split(), doc
+
+
+# ---------------------------------------------------------------------------
+# x94 semantic dedup — removes a near-dup the lexical tiers all miss
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_catches_paraphrase_lexical_tiers_miss(spark):
+    """The reason x94 exists: two PARAPHRASES share no shingles (so x01
+    exact hash, x03 SimHash, and x04 MinHash-LSH all keep both) but
+    their embeddings are nearly parallel (so semdedup drops the
+    higher-id one)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        semdedup,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_dedup,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the yard",
+        2: "a speedy auburn vulpine leaps above an idle canine outside",
+        3: "financial statements for the quarter show rising net income",
+        4: "weather today is cold with heavy snowfall across the region",
+        5: "the recipe calls for two cups of flour and one egg",
+        6: "astronomers observed a distant galaxy through the telescope",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+
+    # lexical tier 1 — exact hash: all six docs survive
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 6
+    # lexical tier 2 — SimHash 0-distance collapse: all six survive
+    assert simhash_dedup(docs).count() == 6
+    # lexical tier 3 — MinHash-LSH candidate pairs: docs 1 and 2 are
+    # never even a candidate pair (zero shared shingles)
+    pairs = minhash_lsh_pairs(docs, threshold=0.2).collect()
+    assert not any({r[0], r[1]} == {1, 2} for r in pairs)
+
+    # the semantic tier: doc 2's embedding is a tiny perturbation of
+    # doc 1's; the rest point in (nearly) orthogonal directions
+    dim = 8
+
+    def unit(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps:
+            v[(axis + 1) % dim] = eps
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (1, unit(0)),
+            (2, unit(0, eps=0.05)),  # cosine vs doc 1 ≈ 0.9988
+            (3, unit(2)),
+            (4, unit(3)),
+            (5, unit(4)),
+            (6, unit(5)),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, threshold=0.9, k=2, dim=dim).collect()
+    }
+    assert len(out) == 6
+    assert not out[2]["keep"], "paraphrase must be dropped"
+    assert out[2]["max_lower_sim"] >= 0.99
+    assert all(out[i]["keep"] for i in (1, 3, 4, 5, 6))
