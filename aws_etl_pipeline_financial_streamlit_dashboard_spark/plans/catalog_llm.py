@@ -3055,3 +3055,98 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering i
 def x94_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return semdedup(emb, threshold=0.40)
+
+
+# ===========================================================================
+# x95 — learned linear quality classifier (hashed-feature scoring path)
+# ===========================================================================
+
+# The weight vector a trained linear model (fastText / logistic
+# regression over hashed bag-of-words, the standard production corpus
+# filter beyond heuristics) would ship: 256 hashed-token buckets, one
+# integer weight each. Stand-in "training": a fixed Knuth-hash ramp —
+# deterministic, full-range, and (what the pipeline cares about)
+# structurally identical to loading real learned weights; swap the
+# literal list for the model's quantized weights and nothing else
+# changes. Integer-quantized (milli-units) so the dot product is exact
+# on any engine — the float weights of a real model quantize the same
+# way (x39's int8 audit prices that step).
+_X95_D = 256
+_X95_W = [((b * 2654435761 + 97) % 2001) - 1000 for b in range(_X95_D)]
+_X95_W_SQL = "array(" + ",".join(str(w) for w in _X95_W) + ")"
+_X95_W_DUCK = "[" + ",".join(str(w) for w in _X95_W) + "]"
+
+# score = Σ_tokens W[md5-bucket(token)] — ONE fold per document (an
+# interpreted HOF, but a single per-row fold over the token array; the
+# x03 failure mode was 64 folds/row in a pair kernel). The codegen
+# alternative (explode + two-level aggregate) costs a corpus-scale
+# (doc, partial) exchange; here the only exchange is the |sources|-row
+# final aggregate, which is the better trade for a scoring gate that
+# reads every document once.
+_X95_SCORE_SPARK = (
+    "aggregate(split(trim(text), '\\\\s+'), CAST(0 AS BIGINT), (acc, t) -> "
+    f"acc + element_at({_X95_W_SQL}, "
+    "CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), "
+    f"{_X95_D}) AS INT) + 1))"
+)
+
+_X95_ORACLE = f"""
+    WITH scored AS (
+        SELECT source,
+               list_sum([({_X95_W_DUCK})[
+                   CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT
+                        % {_X95_D} AS INT) + 1]
+                   FOR t IN regexp_split_to_array(trim(text), '\\s+')])
+                   AS score
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST((1000000 * SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS keep_rate_ppm
+    FROM scored
+    GROUP BY source
+"""
+
+
+@register(
+    "x95_quality_classifier",
+    _X95_ORACLE,
+    doc="""Learned linear quality classifier — the scoring path of the
+    standard production corpus filter beyond heuristics (x06) and
+    corpus statistics (x41/x82): each document's tokens hash into 256
+    feature buckets (the portable md5 idiom), a broadcast
+    integer-quantized weight vector scores them as ONE dot-product
+    fold, and a division-free threshold gates keep/drop; output is the
+    per-source keep-rate audit (n_docs, n_keep, keep_rate_ppm). The
+    weight literal stands in for a trained model's quantized weights —
+    swap the list, nothing else changes.
+
+    Plan shape (pinned): scan → one narrow projection (the fold) → one
+    |sources|-row aggregate — no UDF, no explode, no corpus-scale
+    exchange. At 100 TB the score is embarrassingly parallel per row
+    and the only shuffle carries |sources| partial rows.""",
+)
+def x95_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.expr(_X95_SCORE_SPARK).alias("score")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("CAST((1000000 * n_keep) div n_docs AS BIGINT)").alias(
+                "keep_rate_ppm"
+            ),
+        )
+    )

@@ -98,3 +98,14 @@ def test_no_row_python_udf_in_any_batch_entry(spark, sf_dir):
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
                 f"{name} plans Python execution outside the multimodal allowlist"
             )
+
+
+def test_quality_classifier_one_projection_one_aggregate(spark, sf_dir):
+    """x95: the learned-classifier scoring path must be scan → narrow
+    fold projection → ONE aggregate exchange (|sources| rows) — no UDF,
+    no explode, no corpus-scale shuffle."""
+    df = QUERIES["x95_quality_classifier"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan  # no Python UDF
+    assert "Generate" not in plan  # no explode — the fold is per-row

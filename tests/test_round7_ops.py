@@ -172,3 +172,20 @@ def test_semdedup_catches_paraphrase_lexical_tiers_miss(spark):
     assert not out[2]["keep"], "paraphrase must be dropped"
     assert out[2]["max_lower_sim"] >= 0.99
     assert all(out[i]["keep"] for i in (1, 3, 4, 5, 6))
+
+
+def test_quality_classifier_gate_nonvacuous(spark, sf_dir):
+    """x95's keep gate must actually split the corpus — an
+    all-keep/all-drop threshold would be the q81 vacuous-green trap."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    rows = QUERIES["x95_quality_classifier"].spark(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_keep"] for r in rows)
+    assert 0 < kept < total
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["keep_rate_ppm"] == (1_000_000 * r["n_keep"]) // r["n_docs"]
