@@ -3150,3 +3150,76 @@ def x95_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# x96 — semantic decontamination (embedding-space eval-set leakage screen)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (  # noqa: E402
+    duckdb_cosine_sql as _ddb_cos,
+    _pairwise_sim,
+)
+
+_X96_THR = 0.35
+
+_X96_ORACLE = f"""
+    WITH ev AS (
+        SELECT vec_id AS eid, embedding FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    tr AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 <> 0
+    ),
+    sims AS (
+        SELECT c.vec_id, MAX({_ddb_cos('c.embedding', 'e.embedding')}) AS max_eval_sim
+        FROM tr c CROSS JOIN ev e
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_eval_sim,
+           (max_eval_sim >= {_X96_THR}) AS contaminated
+    FROM sims
+"""
+
+
+@register(
+    "x96_semantic_decontamination",
+    _X96_ORACLE,
+    doc="""Semantic decontamination — the embedding-space twin of x30's
+    lexical doc-drop and x53's span splice: flag every TRAINING vector
+    whose pinned 6dp cosine to ANY held-out eval vector (the
+    deterministic vec_id % 101 = 0 subset stands in for the benchmark
+    embeddings) reaches 0.35. Lexical 5-gram decontamination misses a
+    PARAPHRASED benchmark item — no shared shingles — but its embedding
+    stays nearly parallel, the same blind spot x94 closes for dedup,
+    here closed for eval leakage (9 of 500 flagged at sf0.01 —
+    non-vacuous).
+
+    Output: one row per training vector (vec_id, max_eval_sim,
+    contaminated). Scale: the eval side is benchmark-sized and
+    BROADCAST (the x30 discipline — never shuffle the corpus by
+    candidate key); per training vector the work is |eval| codegen'd
+    dot products (precomputed norms, unrolled dot) feeding one
+    corpus-keyed max aggregate — one exchange total. For benchmark
+    suites too large to broadcast whole, shard the eval side and OR
+    the flags (associative max).""",
+)
+def x96_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
+        F.col("embedding").alias("__qvec")
+    )
+    tr = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) != 0).select(
+        "vec_id", F.col("embedding").alias("__cvec")
+    )
+    ev, tr, sim = _pairwise_sim(ev, tr, 64)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", sim.alias("__sim"))
+        .groupBy("vec_id")
+        .agg(F.max("__sim").alias("max_eval_sim"))
+        .select(
+            "vec_id",
+            "max_eval_sim",
+            (F.col("max_eval_sim") >= F.lit(_X96_THR)).alias("contaminated"),
+        )
+    )

@@ -109,3 +109,13 @@ def test_quality_classifier_one_projection_one_aggregate(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan  # no Python UDF
     assert "Generate" not in plan  # no explode — the fold is per-row
+
+
+def test_semantic_decontamination_broadcasts_eval(spark, sf_dir):
+    """x96: the eval side must reach the corpus as a BROADCAST (the x30
+    discipline); one corpus-keyed aggregate exchange only."""
+    df = QUERIES["x96_semantic_decontamination"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan

@@ -189,3 +189,18 @@ def test_quality_classifier_gate_nonvacuous(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_keep"] <= r["n_docs"]
         assert r["keep_rate_ppm"] == (1_000_000 * r["n_keep"]) // r["n_docs"]
+
+
+def test_semantic_decontamination_nonvacuous(spark, sf_dir):
+    """x96 must flag SOME but not ALL training vectors at sf0.001/0.01
+    — an empty or total flag set would be the vacuous-green trap."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    rows = QUERIES["x96_semantic_decontamination"].spark(spark, sf_dir).collect()
+    assert rows
+    flagged = [r for r in rows if r["contaminated"]]
+    assert 0 < len(flagged) < len(rows)
+    for r in rows:
+        assert (r["max_eval_sim"] >= 0.35) == r["contaminated"]
