@@ -3178,3 +3178,326 @@ def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         F.expr("CAST(SUM(cents) AS BIGINT)").alias("total_bal_cents"),
     )
+
+
+# ===========================================================================
+# q82–q86 — decision-support subquery shapes (TPC-H Q4/Q12/Q19/Q15/Q21
+# re-keyed onto this schema): correlated EXISTS with a non-equi term,
+# conditional-flag aggregation over a fact-fact join, disjunctive
+# predicate pushdown, scalar-subquery argmax over a derived view, and
+# the double-correlated EXISTS/NOT EXISTS de-correlated into one
+# per-order aggregate.
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (  # noqa: E402
+    _dbl,
+)
+
+_Q82_ORACLE = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q82_late_orders_by_priority",
+    _Q82_ORACLE,
+    doc="""TPC-H Q4 shape: orders placed in 1997 with AT LEAST ONE line
+    shipped more than 60 days after the order date, counted per order
+    priority — the correlated EXISTS whose predicate mixes an equi key
+    (orderkey) with a NON-equi term referencing the outer row
+    (l_shipdate > o_orderdate + 60d). The Spark side states the
+    de-correlated form directly: a LEFT SEMI join on the key carrying
+    the non-equi term as a residual condition — exactly what Catalyst
+    rewrites the EXISTS into; the oracle keeps the correlated text, so
+    the comparison cross-checks the de-correlation, not just the
+    arithmetic.
+
+    Scale: the semi join shuffles both sides by orderkey once (the
+    date filter prunes orders first); the semi form stops probing an
+    order at its first late line, and the 5-row rollup is free.""",
+)
+def q82_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01'"
+        )
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_late_orders"))
+    )
+
+
+_Q83_ORACLE = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l.l_returnflag
+"""
+
+
+@register(
+    "q83_priority_split_by_flag",
+    _Q83_ORACLE,
+    doc="""TPC-H Q12 shape: lines shipped in 1998 split per return flag
+    into high-priority (URGENT/HIGH) vs low-priority counts — the
+    conditional-flag aggregation whose flags live on the OTHER side of
+    a fact-fact join. The Spark side applies the q16 eager-aggregation
+    discipline: lineitem pre-rolls (orderkey, returnflag, n_li) below
+    the join, so the orderkey shuffle carries one row per (order,
+    flag) instead of one per line; the priority CASE then weights the
+    pre-counts. The oracle keeps the join-then-aggregate text —
+    regrouped integer sums are exact, so the rewrite is value-checked,
+    not assumed.
+
+    Scale: the one fact-scale exchange is the pre-rolled orderkey
+    shuffle (SHUFFLE_HASH pinned — orders never broadcasts at real
+    scale); the 3-row final rollup is free.""",
+)
+def q83_priority_split_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1998-01-01' "
+                "AND l_shipdate < TIMESTAMP '1999-01-01'"
+            )
+        )
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count("*").alias("n_li"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {hi} THEN n_li ELSE 0 END) AS BIGINT)"
+            ).alias("high_line_count"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT ({hi}) THEN n_li ELSE 0 END) AS BIGINT)"
+            ).alias("low_line_count"),
+        )
+    )
+
+
+_Q84_DISJ = (
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+    " AND l_quantity BETWEEN 1 AND 11)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+    " AND l_quantity BETWEEN 10 AND 20)"
+    " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+    " AND l_quantity BETWEEN 20 AND 30)"
+)
+
+_Q84_ORACLE = f"""
+    SELECT {_dbl(sql_dec_sum("l_extendedprice * (1 - l_discount)", 2))}
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q84_DISJ}
+"""
+
+
+@register(
+    "q84_disjunctive_promo_revenue",
+    _Q84_ORACLE,
+    doc="""TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    clauses over the lineitem⋈part join — the disjunctive predicate
+    that defeats naive pushdown because each disjunct mixes columns of
+    BOTH sides. The Spark side applies the classic Q19 factoring
+    explicitly: the part side pre-filters on the UNION of its
+    per-disjunct terms (brand+size), the lineitem side on the quantity
+    hull [1, 30], and only then does the (broadcast) join apply the
+    full disjunction as the residual — so each scan reads a fraction
+    of its table even though the predicate spans both. The oracle
+    keeps the unfactored text.
+
+    Scale: part prunes to the three brands before broadcasting;
+    lineitem's quantity hull pushes to parquet row-group stats; the
+    residual runs codegen inside the join — zero extra exchanges.""",
+)
+def q84_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        F.expr(
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5)"
+            " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10)"
+            " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15)"
+        )
+    ).select("p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_quantity BETWEEN 1 AND 30")
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.expr(_Q84_DISJ))
+        .agg(
+            F.expr(
+                _dbl(sql_dec_sum("l_extendedprice * (1 - l_discount)", 2))
+            ).alias("revenue"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_matches"),
+        )
+    )
+
+
+_Q85_MIC = (
+    "CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+    " * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+)
+
+_Q85_ORACLE = f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_Q85_MIC} AS total_revenue_mic
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_mic
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_mic = (SELECT MAX(total_revenue_mic) FROM rev)
+"""
+
+
+@register(
+    "q85_top_revenue_supplier",
+    _Q85_ORACLE,
+    doc="""TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — the scalar-subquery argmax over a derived view (q21 has
+    the scalar subquery over a base table; this one ranges over the
+    aggregation itself, Q15's defining feature). Revenue is exact
+    integer micros (per-line HALF_UP quantization, then a bigint sum),
+    so the max-equality can never be flipped by float summation order
+    — and ties (all suppliers at the max) surface in BOTH engines
+    identically, the Q15 contract.
+
+    Spark states the de-correlated plan directly: the rollup is
+    computed once, its 1-row MAX broadcast back onto it (the q63
+    1-row-combine shape), suppliers broadcast onto the winners. Scale:
+    one suppkey-keyed fact exchange; everything after is
+    dimension-sized.""",
+)
+def q85_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1998-01-01' "
+                "AND l_shipdate < TIMESTAMP '1998-04-01'"
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(F.expr(_Q85_MIC).alias("total_revenue_mic"))
+    )
+    mx = rev.agg(F.max("total_revenue_mic").alias("__mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_mic") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_mic")
+    )
+
+
+_Q86_ORACLE = """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+"""
+
+
+@register(
+    "q86_sole_late_supplier",
+    _Q86_ORACLE,
+    doc="""TPC-H Q21 shape — the hardest subquery composition in the
+    suite: per supplier, the number of late lines (shipped > 90 days
+    after the order date) in MULTI-supplier orders where this supplier
+    was the ONLY late one; top 10 by count. The oracle keeps the
+    double-correlated EXISTS + NOT EXISTS text (the NOT EXISTS even
+    references TWO outer tables — l1's key and o's date).
+
+    The Spark side is the textbook distributed de-correlation: join
+    lineitem⋈orders once into a (orderkey, suppkey, late) stream, ONE
+    per-order aggregate computes (distinct suppliers, distinct LATE
+    suppliers), and a line qualifies iff it is late ∧ n_supps > 1 ∧
+    n_late_supps = 1 — each correlated subquery becomes a column of
+    the same aggregate instead of its own join against the fact table.
+    Value-hash equality against the EXISTS text checks the rewrite's
+    semantics, not just its arithmetic.
+
+    Scale: two orderkey-keyed fact exchanges total (the lo stream and
+    its per-order rollup) instead of Q21's naive THREE fact self-joins;
+    the top-10 is a TakeOrderedAndProject (distributed heaps, no
+    global sort).""",
+)
+def q86_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")
+            ).alias("late"),
+        )
+    )
+    per_ord = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    qual = (
+        lo.filter(F.col("late"))
+        .join(
+            per_ord.filter(
+                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

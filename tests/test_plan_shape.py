@@ -227,3 +227,38 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_q82_semi_join_with_residual(spark, sf_dir):
+    """q82 (TPC-H Q4 shape): the EXISTS must execute as a LEFT SEMI
+    join carrying the non-equi term as a residual — never a full join
+    + distinct."""
+    plan = _plan(QUERIES["q82_late_orders_by_priority"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_q84_disjunction_factored_to_scans(spark, sf_dir):
+    """q84 (TPC-H Q19 shape): the factored per-side hulls must reach
+    the scans — part prunes on brand/size, lineitem on the quantity
+    hull — even though the full disjunction spans both sides."""
+    plan = _formatted(
+        QUERIES["q84_disjunctive_promo_revenue"].spark(spark, sf_dir)
+    )
+    assert "PushedFilters" in plan
+    # the part side must broadcast (three brands of a dim table)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q86_two_fact_exchanges(spark, sf_dir):
+    """q86 (TPC-H Q21 shape): the de-correlated form must run on TWO
+    orderkey-keyed fact exchanges (the lo stream and its per-order
+    rollup) — the naive EXISTS/NOT EXISTS plan would self-join the
+    fact table three times."""
+    df = QUERIES["q86_sole_late_supplier"].spark(spark, sf_dir)
+    plan = _plan(df)
+    # TakeOrderedAndProject — distributed heap top-k, no global sort
+    assert "TakeOrderedAndProject" in plan
+    # lineitem appears in the plan exactly twice (lo + its rollup fork),
+    # never a third self-join for the NOT EXISTS
+    assert plan.count("lineitem") <= 2
