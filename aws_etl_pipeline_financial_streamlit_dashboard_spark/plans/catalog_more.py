@@ -3501,3 +3501,248 @@ def q86_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+# ===========================================================================
+# q87–q90 — second decision-support batch (TPC-H Q18/Q17/Q3/Q10 shapes):
+# HAVING-gated semi-join back to detail, correlated per-group average
+# gate, top-k by derived measure, and the returned-item report.
+# ===========================================================================
+
+# exact deci-quantity: l_quantity is a whole number stored as double;
+# ×10 HALF_UP to bigint makes every sum/compare integer-exact (the
+# q75/x84 discipline — no float summation order in any predicate)
+_DECIQTY = "CAST(FLOOR(l_quantity * 10.0 + 0.5) AS BIGINT)"
+
+_Q87_ORACLE = f"""
+    WITH big AS (
+        SELECT l_orderkey, SUM({_DECIQTY}) AS qty_deci
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM({_DECIQTY}) > 2500
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           {{tp}} AS total_price, b.qty_deci
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+""".format(tp="CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)")
+
+
+@register(
+    "q87_large_volume_orders",
+    _Q87_ORACLE,
+    doc="""TPC-H Q18 shape: orders whose total quantity exceeds 250
+    units, reported with the customer — the HAVING-gated aggregate
+    whose survivors join BACK to detail tables. Quantities are exact
+    deci-unit bigints (×10 HALF_UP), so the HAVING boundary can never
+    be flipped by float summation order; the price is exact cents.
+
+    Scale: the fact rolls up by orderkey once (map-side partials); the
+    HAVING gate shrinks the survivors to a sliver BEFORE any join, so
+    the orders/customer joins probe with a tiny build side — the
+    shape's whole point. One fact exchange total.""",
+)
+def q87_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.expr(f"SUM({_DECIQTY})").alias("qty_deci"))
+        .filter(F.col("qty_deci") > 2500)
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "total_price"
+            ),
+            "qty_deci",
+        )
+    )
+
+
+_Q88_ORACLE = f"""
+    WITH pa AS (
+        SELECT l_partkey, SUM({_DECIQTY}) AS s, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {{rev}} AS small_lot_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lots
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE 5 * {_DECIQTY.replace('l_quantity', 'l.l_quantity')} * pa.n < pa.s
+""".format(rev=_dbl(sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 2)))
+
+
+@register(
+    "q88_small_lot_revenue",
+    _Q88_ORACLE,
+    doc="""TPC-H Q17 shape: revenue from lines whose quantity is under
+    20% of that part's average order quantity — the correlated
+    per-group average gate. The float comparison qty < 0.2·avg is made
+    EXACT by integer cross-multiplication in deci-units
+    (5·qty·n < Σqty — the q81 discipline applied to a per-group
+    average instead of a global one), so no engine's division or
+    summation order can flip a boundary line.
+
+    Spark states the de-correlation directly: one per-partkey (sum,
+    count) aggregate joined back to the fact by partkey — at 100 TB
+    the aggregate output is |parts|-sized, and the join reuses the
+    partkey partitioning Catalyst gives both sides.""",
+)
+def q88_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.expr(f"SUM({_DECIQTY})").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        li.select(
+            "l_partkey",
+            F.expr(_DECIQTY).alias("__dq"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .join(pa.hint("shuffle_hash"), "l_partkey")
+        .filter(F.expr("5 * __dq * n < s"))
+        .agg(
+            F.expr(
+                _dbl(sql_dec_sum("l_extendedprice * (1 - l_discount)", 2))
+            ).alias("small_lot_revenue"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_small_lots"),
+        )
+    )
+
+
+_Q89_MIC = (
+    "CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+    " * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+)
+
+_Q89_ORACLE = f"""
+    SELECT l.l_orderkey, {_Q89_MIC} AS revenue_mic, o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2000-07-01'
+      AND l.l_shipdate  > TIMESTAMP '2000-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_mic DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "q89_shipping_priority",
+    _Q89_ORACLE,
+    doc="""TPC-H Q3 shape: the 10 highest-revenue orders from BUILDING
+    customers placed before the cutoff with lines still shipping after
+    it — the segment-filter + date-window + top-k-by-derived-measure
+    composition. Revenue is exact integer micros, and the (revenue,
+    orderkey) order is total, so the LIMIT 10 frontier is
+    deterministic in both engines — no float ranking ties.
+
+    Scale: the customer segment filter broadcasts onto orders (q16's
+    dim discipline), the date predicates push to both fact scans, the
+    per-order rollup reuses the join's orderkey partitioning, and the
+    top-10 is TakeOrderedAndProject — distributed heaps, no global
+    sort.""",
+)
+def q89_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderdate < TIMESTAMP '2000-07-01'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_shipdate > TIMESTAMP '2000-07-01'"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(_Q89_MIC).alias("revenue_mic"))
+        .select("l_orderkey", "revenue_mic", "o_orderdate")
+        .orderBy(F.col("revenue_mic").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q90_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, {_Q89_MIC} AS lost_revenue_mic
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o.o_orderdate <  TIMESTAMP '2000-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue_mic DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q90_returned_item_report",
+    _Q90_ORACLE,
+    doc="""TPC-H Q10 shape: the 20 customers who returned the most
+    revenue in 2000-Q1 — the returned-item report joining the flagged
+    fact slice through orders to the customer/nation dims. Exact
+    integer-micro revenue + custkey tiebreak make the top-20 frontier
+    deterministic.
+
+    Scale: the returnflag + date predicates prune both facts at scan;
+    the q16 eager-aggregation discipline applies — lineitem pre-rolls
+    returned revenue per orderkey BELOW the fact-fact join, so the
+    orderkey exchange carries one row per order; the customer rollup
+    then reuses dims via broadcast. TakeOrderedAndProject top-20.""",
+)
+def q90_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+                " * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("__rev_mic")
+        )
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            F.expr(
+                "o_orderdate >= TIMESTAMP '2000-01-01' "
+                "AND o_orderdate < TIMESTAMP '2000-04-01'"
+            )
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr("CAST(SUM(__rev_mic) AS BIGINT)").alias("lost_revenue_mic"))
+        .orderBy(F.col("lost_revenue_mic").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
