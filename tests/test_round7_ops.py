@@ -204,3 +204,80 @@ def test_semantic_decontamination_nonvacuous(spark, sf_dir):
     assert 0 < len(flagged) < len(rows)
     for r in rows:
         assert (r["max_eval_sim"] >= 0.35) == r["contaminated"]
+
+
+def test_semdedup_invariants(spark):
+    """Structural invariants of the SemDeDup operator on a random-ish
+    deterministic corpus: (1) every input id appears exactly once;
+    (2) each cluster's min id is always kept (it has no lower-id
+    cluster-mate); (3) the keep set is MONOTONE in the threshold —
+    raising it can only keep more."""
+    import math
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        semdedup,
+    )
+
+    dim = 8
+    rows = [
+        (
+            i,
+            [math.sin(0.7 * i + 1.3 * j) for j in range(dim)],
+        )
+        for i in range(1, 41)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    lo = semdedup(emb, threshold=0.30, k=3, dim=dim).collect()
+    hi = semdedup(emb, threshold=0.60, k=3, dim=dim).collect()
+
+    assert sorted(r["vec_id"] for r in lo) == list(range(1, 41))
+    for res in (lo, hi):
+        by_cell: dict[int, list] = {}
+        for r in res:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell_rows in by_cell.values():
+            m = min(r["vec_id"] for r in cell_rows)
+            (mr,) = [r for r in cell_rows if r["vec_id"] == m]
+            assert mr["keep"] and mr["max_lower_sim"] is None
+    kept_lo = {r["vec_id"] for r in lo if r["keep"]}
+    kept_hi = {r["vec_id"] for r in hi if r["keep"]}
+    assert kept_lo <= kept_hi
+    # cells must agree between the two runs (threshold only affects keep)
+    assert {(r["vec_id"], r["cell"]) for r in lo} == {
+        (r["vec_id"], r["cell"]) for r in hi
+    }
+
+
+def test_quality_classifier_score_matches_pure_python(spark):
+    """Pin x95's scoring SEMANTICS against a third, pure-Python
+    implementation (the Spark/DuckDB oracle pair share SQL idioms; this
+    pins what the idiom is supposed to compute: md5-bucket feature
+    hashing into the fixed weight ramp, summed per token)."""
+    import hashlib
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_llm import (
+        _X95_D,
+        _X95_SCORE_SPARK,
+        _X95_W,
+    )
+
+    def py_score(text: str) -> int:
+        total = 0
+        for t in text.strip().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _X95_D
+            total += _X95_W[b]
+        return total
+
+    texts = [
+        "the quick brown fox",
+        "net income rose sharply last quarter",
+        "a",
+        "repeated repeated repeated tokens tokens",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).select(
+        "text", F.expr(_X95_SCORE_SPARK).alias("score")
+    )
+    got = {r["text"]: r["score"] for r in df.collect()}
+    for t in texts:
+        assert got[t] == py_score(t), t
