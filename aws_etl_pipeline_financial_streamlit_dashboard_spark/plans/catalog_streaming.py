@@ -1023,3 +1023,65 @@ def _s17_db(spark: SparkSession) -> tuple[str, str]:
             atexit.register(_cleanup)
         _S17_DB["n"] += 1
         return f"jdbc:derby:{_S17_DB['db']};create=true", f"s17_{_S17_DB['n']}"
+
+
+# ===========================================================================
+# s18 — streaming quality gate (x95's learned classifier in-stream)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_llm import (  # noqa: E402
+    _X95_ORACLE,
+    _X95_SCORE_SPARK,
+)
+
+
+@register(
+    "s18_streaming_quality_gate",
+    _X95_ORACLE,
+    doc="""x95's learned linear quality classifier run as a REAL
+    streaming query — the shape of a continuous-ingestion corpus
+    filter: newly crawled documents stream in (file source), the
+    hashed-feature dot-product scores each row as the same narrow
+    per-row fold (stateless — no watermark, no join, the score needs
+    only the row), and a per-source running (n_docs, n_keep) aggregate
+    maintains the keep-rate audit in complete mode. Shares x95's
+    oracle verbatim: at Trigger.AvailableNow over the full file the
+    running aggregate equals the batch answer — which is exactly the
+    invariant that makes a streaming gate trustworthy.
+
+    Scale: per-row scoring is embarrassingly parallel with zero state;
+    the only stateful piece is the |sources|-row aggregate. On a live
+    feed the same query runs unmodified with a processing-time
+    trigger; the keep decision per document (score >= 0) would feed a
+    foreachBatch router in production.""",
+)
+def s18_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .format("parquet")
+        .load(glob)
+    )
+    agg = (
+        stream.select("source", F.expr(_X95_SCORE_SPARK).alias("score"))
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_keep"),
+        )
+    )
+    out = _drain_to_memory(agg, "complete", "stream_quality")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.expr("CAST((1000000 * n_keep) div n_docs AS BIGINT)").alias(
+            "keep_rate_ppm"
+        ),
+    )
