@@ -1022,6 +1022,44 @@ def hard_negative_topk(
     query's class share before the top-k. Exact and deterministic:
     (cosine desc, id asc) total order.
     """
+    return _labeled_topk(
+        emb, queries, k, id_col, vec_col, label_col, dim, same_label=False
+    )
+
+
+def anchor_positive_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Anchor→positive mining — the dual of :func:`hard_negative_topk`
+    completing the contrastive-pair build: for every anchor, the ``k``
+    nearest corpus vectors with the SAME label (the anchor itself
+    excluded). Same broadcast-queries / candidate-time-label-filter /
+    skew-safe top-k shape; the label-EQUALITY predicate shrinks the
+    candidate stream to the anchor's own class share."""
+    return _labeled_topk(
+        emb, queries, k, id_col, vec_col, label_col, dim, same_label=True
+    )
+
+
+def _labeled_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int | None,
+    same_label: bool,
+) -> DataFrame:
+    """Shared core of hard-negative / anchor-positive mining: one
+    broadcast of the query side, the label predicate applied at
+    candidate time, the pinned cosine, grouped_topk ranking."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
 
     q = queries.select(
@@ -1035,9 +1073,15 @@ def hard_negative_topk(
         F.col(label_col).alias("neighbor_label"),
     )
     q, c, sim = _pairwise_sim(q, c, dim)
+    if same_label:
+        pred = (F.col("neighbor_label") == F.col("__qlab")) & (
+            F.col("neighbor_id") != F.col("query_id")
+        )
+    else:
+        pred = F.col("neighbor_label") != F.col("__qlab")
     cands = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_label") != F.col("__qlab"))
+        .filter(pred)
         .select(
             "query_id",
             "neighbor_id",

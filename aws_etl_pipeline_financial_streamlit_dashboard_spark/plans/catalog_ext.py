@@ -2105,3 +2105,78 @@ def x92_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").cast("long").alias("d2"),
         F.expr(f"CAST({_X92_FLAG} AS INT)").alias("is_outlier"),
     )
+
+
+# ===========================================================================
+# x98 — anchor-positive mining (the dual of x90, completing the
+# contrastive-pair build)
+# ===========================================================================
+
+_X98_MOD = 29
+_X98_K = 3
+
+
+def _x98_oracle() -> str:
+    cos = S.duckdb_cosine_sql("e.embedding", "q.qv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id % {_X98_MOD} = 1),
+    cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               e.label AS neighbor_label,
+               {cos} AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.label = q.qlab AND e.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id)
+                   AS rn
+        FROM cand
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rn, neighbor_id,
+           CAST(neighbor_label AS BIGINT) AS neighbor_label,
+           cosine_sim
+    FROM r WHERE rn <= {_X98_K}
+    """
+
+
+@register(
+    "x98_anchor_positives",
+    _x98_oracle(),
+    doc="""Anchor→positive mining — the dual of x90's hard negatives,
+    completing the contrastive-pair build (an InfoNCE batch needs both
+    sides): per sampled anchor (vec_id % 29 = 1), the 3 nearest corpus
+    vectors with the SAME label, the anchor itself excluded
+    (operators/similarity.anchor_positive_topk — one shared
+    _labeled_topk core with x90, so the two miners can never diverge
+    on the pinned cosine or the ranking convention).
+
+    Plan: broadcast anchor side, label-EQUALITY filter at candidate
+    time (the stream shrinks to the anchor's own class share before
+    any ranking), skew-safe two-phase top-k. Exact ground truth for
+    grading index-pruned production miners, like x90.""",
+)
+def x98_anchor_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        anchor_positive_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    out = anchor_positive_topk(
+        fan_out(emb),
+        emb.filter(F.col("vec_id") % _X98_MOD == 1),
+        k=_X98_K,
+        dim=64,
+    )
+    return out.select(
+        "query_id",
+        F.col("rn").cast("long").alias("rn"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        "cosine_sim",
+    )
