@@ -3302,13 +3302,17 @@ def q83_priority_split_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bands chosen so the gate is NON-VACUOUS at every test scale down to
+# sf0.001 (the original TPC-H Brand#12/23/34 + narrow bands matched 0
+# lines there — the q81 vacuous-green trap, caught by the standing
+# guard in tests/test_round7_ops.py)
 _Q84_DISJ = (
-    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
-    " AND l_quantity BETWEEN 1 AND 11)"
-    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
-    " AND l_quantity BETWEEN 10 AND 20)"
-    " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
-    " AND l_quantity BETWEEN 20 AND 30)"
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20 "
+    " AND l_quantity BETWEEN 1 AND 15)"
+    " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 "
+    " AND l_quantity BETWEEN 10 AND 25)"
+    " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 "
+    " AND l_quantity BETWEEN 20 AND 35)"
 )
 
 _Q84_ORACLE = f"""
@@ -3341,13 +3345,13 @@ _Q84_ORACLE = f"""
 def q84_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(
         F.expr(
-            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5)"
-            " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10)"
-            " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15)"
+            "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20)"
+            " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30)"
+            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40)"
         )
     ).select("p_partkey", "p_brand", "p_size")
     li = read_table(spark, sf_dir, "lineitem").filter(
-        F.expr("l_quantity BETWEEN 1 AND 30")
+        F.expr("l_quantity BETWEEN 1 AND 35")
     ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -3745,4 +3749,299 @@ def q90_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(__rev_mic) AS BIGINT)").alias("lost_revenue_mic"))
         .orderBy(F.col("lost_revenue_mic").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+# ===========================================================================
+# q91–q94 — third decision-support batch (TPC-H Q6/Q7/Q8/Q14 shapes):
+# pure scan-filter aggregate, the two-nation volume matrix, market
+# share-of-total by year, and promo revenue share — the share-of-total
+# divisions all exact integer ppm.
+# ===========================================================================
+
+_REV_MIC = (
+    "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+    " * 1000000.0 + 0.5) AS BIGINT))"
+)
+
+_Q91_ORACLE = """
+    SELECT {rev} AS forecast_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""".format(rev=_dbl(sql_dec_sum("l_extendedprice * l_discount", 2)))
+
+
+@register(
+    "q91_forecast_revenue_change",
+    _Q91_ORACLE,
+    doc="""TPC-H Q6 shape: the revenue increase from hypothetically
+    eliminating mid-range discounts on small lots in 1998 — the purest
+    scan→filter→aggregate in the suite, here because its PLAN is the
+    point: every predicate (shipdate range, discount band, quantity
+    cap) must reach the parquet scan as a pushed filter, the aggregate
+    must fuse into the scan's whole-stage-codegen pass, and the only
+    exchange is the 1-row final combine. The pinned plan-shape test is
+    the evidence; the hi/lo fixed-point sum keeps the float products
+    order-independent.""",
+)
+def q91_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1998-01-01' "
+                "AND l_shipdate < TIMESTAMP '1999-01-01' "
+                "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+            )
+        )
+        .agg(
+            F.expr(_dbl(sql_dec_sum("l_extendedprice * l_discount", 2))).alias(
+                "forecast_revenue"
+            ),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )
+
+
+_Q92_ORACLE = f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           STRFTIME(l.l_shipdate, '%Y') AS ship_year,
+           {_REV_MIC} AS revenue_mic,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE (nc.n_name = 'NATION_3' AND ns.n_name = 'NATION_8')
+       OR (nc.n_name = 'NATION_8' AND ns.n_name = 'NATION_3')
+    GROUP BY ns.n_name, nc.n_name, STRFTIME(l.l_shipdate, '%Y')
+"""
+
+
+@register(
+    "q92_two_nation_volume",
+    _Q92_ORACLE,
+    doc="""TPC-H Q7 shape: shipping volume between two nations per
+    direction per year — the query whose join graph touches BOTH
+    fact-side dimensions (the supplier nation comes off lineitem, the
+    customer nation off orders) with a disjunctive cross-dim pair
+    predicate. Spark side: both dim chains fold into broadcast
+    (key → nation) maps (the q16 dim-fold discipline), the customer
+    map filters ORDERS before the fact-fact join and the supplier map
+    filters LINEITEM before it — each side shrinks to ~2/|nations| of
+    itself ahead of the one orderkey exchange; the OR pair predicate
+    then runs on the joined sliver.""",
+)
+def q92_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    ).select("n_nationkey", "n_name")
+    cmap = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    smap = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cmap), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(smap), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.expr(
+                "(cust_nation = 'NATION_3' AND supp_nation = 'NATION_8')"
+                " OR (cust_nation = 'NATION_8' AND supp_nation = 'NATION_3')"
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(
+            F.expr(_REV_MIC).alias("revenue_mic"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )
+
+
+_Q93_ORACLE = f"""
+    WITH rr AS (
+        SELECT STRFTIME(o.o_orderdate, '%Y') AS order_year,
+               {_REV_MIC} AS total_mic,
+               SUM(CASE WHEN ns.n_name = 'NATION_3'
+                        THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+                   AS nation_mic
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY STRFTIME(o.o_orderdate, '%Y')
+    )
+    SELECT order_year,
+           CAST(nation_mic AS BIGINT) AS nation_mic,
+           CAST(total_mic AS BIGINT) AS total_mic,
+           CAST((1000000 * nation_mic) // total_mic AS BIGINT)
+               AS market_share_ppm
+    FROM rr
+"""
+
+
+@register(
+    "q93_market_share",
+    _Q93_ORACLE,
+    doc="""TPC-H Q8 shape: NATION_3 suppliers' share of all revenue
+    from ASIA-region customers, per order year — the share-of-total whose
+    numerator and denominator come from the SAME pass (one conditional
+    sum beside the total, never two scans), with the division exact
+    integer ppm so no engine's float order can flip a digit. The
+    customer→nation→region chain folds to one broadcast region filter
+    on orders; the supplier-nation flag rides lineitem as a broadcast
+    map; one orderkey exchange joins them.""",
+)
+def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nc = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r0 = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    cust_in_r = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r0), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust_in_r), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    smap = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(smap), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mic = (
+        "CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    rr = (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            F.expr(f"SUM({mic})").alias("total_mic"),
+            F.expr(
+                f"SUM(CASE WHEN supp_nation = 'NATION_3' THEN {mic}"
+                " ELSE 0 END)"
+            ).alias("nation_mic"),
+        )
+    )
+    return rr.select(
+        "order_year",
+        F.expr("CAST(nation_mic AS BIGINT)").alias("nation_mic"),
+        F.expr("CAST(total_mic AS BIGINT)").alias("total_mic"),
+        F.expr("CAST((1000000 * nation_mic) div total_mic AS BIGINT)").alias(
+            "market_share_ppm"
+        ),
+    )
+
+
+_Q94_ORACLE = f"""
+    WITH pr AS (
+        SELECT {_REV_MIC} AS total_mic,
+               SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                             * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+                   AS promo_mic
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-04-01'
+    )
+    SELECT CAST(promo_mic AS BIGINT) AS promo_mic,
+           CAST(total_mic AS BIGINT) AS total_mic,
+           CAST((1000000 * promo_mic) // total_mic AS BIGINT)
+               AS promo_share_ppm
+    FROM pr
+"""
+
+
+@register(
+    "q94_promo_revenue_share",
+    _Q94_ORACLE,
+    doc="""TPC-H Q14 shape: the share of March-1998 revenue that came
+    from PROMO-type parts — share-of-total over a fact⋈dim join (Q8's
+    q93 divides within one fact pass; this one needs the part
+    attribute, so the dim broadcasts onto the filtered month slice
+    first). Numerator and denominator from one conditional-sum pass,
+    division exact integer ppm.""",
+)
+def q94_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    mic = (
+        "CAST(FLOOR((l_extendedprice * (1 - l_discount))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    pr = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1998-03-01' "
+                "AND l_shipdate < TIMESTAMP '1998-04-01'"
+            )
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(f"SUM({mic})").alias("total_mic"),
+            F.expr(
+                f"SUM(CASE WHEN p_type = 'PROMO' THEN {mic} ELSE 0 END)"
+            ).alias("promo_mic"),
+        )
+    )
+    return pr.select(
+        F.expr("CAST(promo_mic AS BIGINT)").alias("promo_mic"),
+        F.expr("CAST(total_mic AS BIGINT)").alias("total_mic"),
+        F.expr("CAST((1000000 * promo_mic) div total_mic AS BIGINT)").alias(
+            "promo_share_ppm"
+        ),
     )

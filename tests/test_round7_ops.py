@@ -281,3 +281,46 @@ def test_quality_classifier_score_matches_pure_python(spark):
     got = {r["text"]: r["score"] for r in df.collect()}
     for t in texts:
         assert got[t] == py_score(t), t
+
+
+def test_tpch_shape_batch_nonvacuous(spark, sf_dir):
+    """Standing non-emptiness guards for the round-7 TPC-H-shape batch
+    (the q81 lesson: a 0-vs-0 oracle match is a vacuous green — q93's
+    first draft matched on an empty set because its region literal
+    didn't exist in the data; caught by review, pinned here)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    expectations = {
+        "q82_late_orders_by_priority": lambda rows: len(rows) >= 3
+        and all(r["n_late_orders"] > 0 for r in rows),
+        "q83_priority_split_by_flag": lambda rows: len(rows) == 3
+        and all(r["high_line_count"] > 0 and r["low_line_count"] > 0 for r in rows),
+        "q84_disjunctive_promo_revenue": lambda rows: rows[0]["n_matches"] > 0,
+        "q85_top_revenue_supplier": lambda rows: len(rows) >= 1
+        and all(r["total_revenue_mic"] > 0 for r in rows),
+        "q86_sole_late_supplier": lambda rows: len(rows) >= 1
+        and all(r["numwait"] > 0 for r in rows),
+        "q87_large_volume_orders": lambda rows: len(rows) >= 1
+        and all(r["qty_deci"] > 2500 for r in rows),
+        "q88_small_lot_revenue": lambda rows: rows[0]["n_small_lots"] > 0,
+        "q89_shipping_priority": lambda rows: len(rows) >= 1
+        and all(r["revenue_mic"] > 0 for r in rows),
+        "q90_returned_item_report": lambda rows: len(rows) >= 1
+        and all(r["lost_revenue_mic"] > 0 for r in rows),
+        "q91_forecast_revenue_change": lambda rows: rows[0]["n_lines"] > 0,
+        "q92_two_nation_volume": lambda rows: len(rows) >= 2
+        and {r["supp_nation"] for r in rows} == {"NATION_3", "NATION_8"},
+        "q93_market_share": lambda rows: len(rows) >= 1
+        and any(0 < r["market_share_ppm"] < 1_000_000 for r in rows),
+        "q94_promo_revenue_share": lambda rows: 0
+        < rows[0]["promo_share_ppm"]
+        < 1_000_000,
+    }
+    failures = []
+    for name, check in expectations.items():
+        rows = QUERIES[name].spark(spark, sf_dir).collect()
+        if not rows or not check(rows):
+            failures.append(name)
+    assert not failures, failures
