@@ -3520,7 +3520,7 @@ _DECIQTY = "CAST(FLOOR(l_quantity * 10.0 + 0.5) AS BIGINT)"
 
 _Q87_ORACLE = f"""
     WITH big AS (
-        SELECT l_orderkey, SUM({_DECIQTY}) AS qty_deci
+        SELECT l_orderkey, CAST(SUM({_DECIQTY}) AS BIGINT) AS qty_deci
         FROM lineitem GROUP BY l_orderkey
         HAVING SUM({_DECIQTY}) > 2500
     )
@@ -3810,7 +3810,7 @@ def q91_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q92_ORACLE = f"""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            STRFTIME(l.l_shipdate, '%Y') AS ship_year,
-           {_REV_MIC} AS revenue_mic,
+           CAST({_REV_MIC} AS BIGINT) AS revenue_mic,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
