@@ -4045,3 +4045,86 @@ def q94_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share_ppm"
         ),
     )
+
+
+# ===========================================================================
+# x100 — audio QA audit (clipping / silence / energy over opaque payloads)
+# ===========================================================================
+
+# Deterministic fake PCM decode (the x12/x13/x78 discipline: the real
+# codec is the stubbed step per the driver mandate — no audio libs in
+# the container — while offset math, per-sample fan-out, and per-asset
+# aggregation are the real distributed shape): sample i of an asset's
+# byte stream decodes to amp = ((i·31 + byte·17) mod 256) − 128, a
+# full-range signed 8-bit amplitude that mixes position and content so
+# clipping/silence gates are non-vacuous on any corpus.
+_X100_AMP_SPARK = "((pos * 31 + ascii(c) * 17) % 256) - 128"
+
+_X100_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, unnest(amps) AS amp
+        FROM (SELECT doc_id,
+                     [((i - 1) * 31 + ascii(w[i]) * 17) % 256 - 128
+                      FOR i IN range(1, len(w) + 1)] AS amps
+              FROM (SELECT doc_id, split(text, '') AS w FROM documents))
+    )
+    SELECT doc_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(amp)) AS BIGINT) AS peak_amp,
+           CAST(SUM(CASE WHEN ABS(amp) >= 124 THEN 1 ELSE 0 END) AS BIGINT)
+               AS clip_count,
+           CAST((1000000 * SUM(CASE WHEN ABS(amp) <= 6 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS silence_ppm,
+           CAST(SUM(amp * amp) // COUNT(*) AS BIGINT) AS mean_energy
+    FROM s
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x100_audio_quality_audit",
+    _X100_ORACLE,
+    doc="""Audio QA audit — the audio leg of the multimodal plumbing
+    (x12 features / x13 frame sampling / x78 image near-dup / x85
+    scene change): per asset, sample count, peak amplitude, clipping
+    count (|amp| ≥ 124), silence share in exact integer ppm (|amp| ≤
+    6) and integer mean energy over the decoded sample stream — the
+    gates an audio-corpus pipeline runs before paying for
+    transcription. The PCM decode is the deterministic fake (position
+    × content mix, full-range signed 8-bit) standing in for the
+    stubbed codec; every metric downstream of it is the real
+    distributed shape and fully value-hash-checked.
+
+    Scale: per-sample fan-out is a narrow generator (explode of the
+    char stream — at real audio rates this is mapInPandas over Arrow
+    batches, same aggregate shape); ALL metrics come from ONE
+    per-asset aggregate pass (no second scan, no window), integer
+    arithmetic end to end.""",
+)
+def x100_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    s = docs.select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("pos", "c")
+    ).select("doc_id", F.expr(_X100_AMP_SPARK).alias("amp"))
+    return (
+        s.groupBy(F.col("doc_id").alias("asset_id"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_samples"),
+            F.expr("CAST(MAX(ABS(amp)) AS BIGINT)").alias("peak_amp"),
+            F.expr(
+                "CAST(SUM(CASE WHEN ABS(amp) >= 124 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("clip_count"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN ABS(amp) <= 6 THEN 1 ELSE 0"
+                " END)) div COUNT(*) AS BIGINT)"
+            ).alias("silence_ppm"),
+            F.expr("CAST(SUM(amp * amp) div COUNT(*) AS BIGINT)").alias(
+                "mean_energy"
+            ),
+        )
+    )

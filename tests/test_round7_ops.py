@@ -324,3 +324,22 @@ def test_tpch_shape_batch_nonvacuous(spark, sf_dir):
         if not rows or not check(rows):
             failures.append(name)
     assert not failures, failures
+
+
+def test_audio_audit_nonvacuous_and_bounded(spark, sf_dir):
+    """x100: clipping and silence gates must actually fire somewhere
+    (non-vacuous) and every metric must respect its bounds."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    rows = QUERIES["x100_audio_quality_audit"].spark(spark, sf_dir).collect()
+    assert rows
+    assert any(r["clip_count"] > 0 for r in rows)
+    assert any(r["silence_ppm"] > 0 for r in rows)
+    for r in rows:
+        assert 0 < r["n_samples"]
+        assert 0 <= r["peak_amp"] <= 128
+        assert 0 <= r["clip_count"] <= r["n_samples"]
+        assert 0 <= r["silence_ppm"] <= 1_000_000
+        assert 0 <= r["mean_energy"] <= 128 * 128
