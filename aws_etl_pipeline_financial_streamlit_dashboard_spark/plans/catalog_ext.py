@@ -2180,3 +2180,106 @@ def x98_anchor_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_label").cast("long").alias("neighbor_label"),
         "cosine_sim",
     )
+
+
+# ===========================================================================
+# x101 — hybrid retrieval: BM25 ⊕ cosine via reciprocal-rank fusion
+# ===========================================================================
+
+_X101_K_IN = 20  # per-list candidate depth
+_X101_K_OUT = 10
+_X101_RRF_K = 60  # the standard RRF damping constant
+_X101_QUERY_VEC = 7
+
+
+def _x101_oracle() -> str:
+    cos = S.duckdb_cosine_sql("e.embedding", "q.qv")
+    lex = _x50_oracle(_X101_K_IN).strip()
+    return f"""
+    WITH lex AS ({lex}),
+    lexr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM lex
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {_X101_QUERY_VEC}),
+    sem AS (
+        SELECT e.vec_id AS doc_id, {cos} AS cosine_sim
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> {_X101_QUERY_VEC}
+        ORDER BY cosine_sim DESC, e.vec_id LIMIT {_X101_K_IN}
+    ),
+    semr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r_sem
+        FROM sem
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               CAST(l.r_lex AS BIGINT) AS r_lex,
+               CAST(s.r_sem AS BIGINT) AS r_sem,
+               CAST(COALESCE(1000000 // ({_X101_RRF_K} + l.r_lex), 0)
+                    + COALESCE(1000000 // ({_X101_RRF_K} + s.r_sem), 0)
+                    AS BIGINT) AS rrf_mic
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, rrf_mic
+    FROM fused ORDER BY rrf_mic DESC, doc_id LIMIT {_X101_K_OUT}
+    """
+
+
+@register(
+    "x101_hybrid_rrf_retrieval",
+    _x101_oracle(),
+    doc="""Hybrid retrieval via reciprocal-rank fusion — the standard
+    production search composition (Cormack et al.'s RRF): the lexical
+    candidate list (x50's BM25, depth 20) and the semantic one (x09's
+    pinned-cosine top-20 for the query's embedding) fuse by
+    Σ 1/(60 + rank), computed as EXACT integer micros (1000000 div
+    (60+r)) so the fused order is float-free; top-10 by (rrf, doc_id).
+    RRF is rank-only by design — no score normalization across
+    incomparable scales — which is also what makes it fully
+    oracle-checkable here.
+
+    Scale: each list is its own already-pinned plan (BM25's grouped
+    aggregates + TakeOrderedAndProject; the cosine scan's broadcast
+    1-row query); the fusion joins two ≤20-row frames — free at any
+    corpus size. The documents/embeddings tables share the 0..499 id
+    space (doc_id = vec_id), the document-embedding convention.""",
+)
+def x101_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.ranking import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, terms=_BM25_TERMS, k=_X101_K_IN).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("r_lex"),
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sem = S.brute_force_topk(
+        emb, _X101_QUERY_VEC, k=_X101_K_IN, dim=64
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")))
+        .alias("r_sem"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+            F.expr(
+                f"CAST(COALESCE(1000000 div ({_X101_RRF_K} + r_lex), 0)"
+                f" + COALESCE(1000000 div ({_X101_RRF_K} + r_sem), 0)"
+                " AS BIGINT)"
+            ).alias("rrf_mic"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_mic").desc(), F.col("doc_id")).limit(
+        _X101_K_OUT
+    )
