@@ -4128,3 +4128,70 @@ def x100_audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# q95 — ordered string aggregation (LISTAGG / string_agg shape)
+# ===========================================================================
+
+_Q95_ORACLE = """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_name,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY FLOOR(c_acctbal * 100.0 + 0.5) DESC, c_custkey
+               ) AS rnk
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY rnk) AS top_customers,
+           CAST(SUM(cents) AS BIGINT) AS top_total_cents
+    FROM ranked WHERE rnk <= 5
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "q95_top_customer_listagg",
+    _Q95_ORACLE,
+    doc="""Ordered string aggregation (the SQL LISTAGG / string_agg
+    shape — the one rendering aggregate the catalog lacked): per
+    market segment, the top-5 customers by exact-cents balance
+    rendered as ONE rank-ordered comma-joined string, plus their cents
+    total. Spark has no ordered string_agg, so the entry states the
+    deterministic construction: collect_list of (rank, name) structs →
+    array_sort (struct order = rank order) → transform to names →
+    array_join — bit-identical to DuckDB's string_agg(... ORDER BY
+    rnk) because the rank is a total order (cents DESC, custkey).
+
+    Scale: the top-5 cut uses the rank window per segment (bounded
+    groups; grouped_topk is the skew-safe form when groups are hot),
+    and the collected list is ≤5 elements per group — collect_list is
+    safe ONLY under such a pre-bound, which is the entry's documented
+    contract (an unbounded collect_list is the OOM everyone writes
+    once).""",
+)
+def q95_top_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_name",
+        "c_custkey",
+        F.expr("CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").desc(), F.col("c_custkey")
+    )
+    ranked = c.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top_customers"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("top_total_cents"),
+    )
