@@ -3394,3 +3394,91 @@ def x99_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# x102 — deterministic Poisson bootstrap (distributed bagging replicates)
+# ===========================================================================
+
+# Poisson-bootstrap replicate counts (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams"): resampling-with-replacement
+# over a distributed corpus is infeasible (it needs global coordination
+# per draw), but each row's multiplicity in a bootstrap replicate is
+# asymptotically Poisson(1) — so B independent per-row Poisson draws
+# give B bootstrap resamples with ZERO coordination. The draw is
+# RNG-free: u = the row's md5-derived 32-bit uniform per (doc, b),
+# inverted through the Poisson(1) CDF at fixed integer thresholds
+# (⌈CDF·2³²⌉, capped at 4 — P(X>4) ≈ 0.37%, folded into the top bin).
+_X102_B = 3
+_X102_THS = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def _x102_count_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_X102_THS[0]} THEN 0"
+        f" WHEN {u} < {_X102_THS[1]} THEN 1"
+        f" WHEN {u} < {_X102_THS[2]} THEN 2"
+        f" WHEN {u} < {_X102_THS[3]} THEN 3"
+        f" ELSE 4 END"
+    )
+
+
+_X102_ORACLE = f"""
+    WITH draws AS (
+        SELECT doc_id, b,
+               CAST({_x102_count_sql(
+                   "('0x' || substr(md5(doc_id || ':' || b), 1, 8))::UBIGINT"
+               )} AS BIGINT) AS n_copies
+        FROM documents, (SELECT unnest(range({_X102_B})) AS b)
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS resample_size,
+           CAST(SUM(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(MAX(n_copies) AS BIGINT) AS max_copies
+    FROM draws
+    GROUP BY b
+"""
+
+
+@register(
+    "x102_poisson_bootstrap",
+    _X102_ORACLE,
+    doc="""Deterministic Poisson bootstrap — the distributed bagging /
+    uncertainty-estimation primitive: each document's multiplicity in
+    each of B=3 bootstrap resamples is a per-row Poisson(1) draw
+    (true with-replacement resampling needs global coordination per
+    draw; per-row Poisson is the classic zero-coordination equivalent,
+    Chamandy et al.). The draw is RNG-free — the row's md5-derived
+    32-bit uniform per (doc, replicate) inverted through fixed integer
+    CDF thresholds — so replicate membership is a pure function of the
+    data and fully value-hash-checked; output is the per-replicate
+    audit (resample size ≈ |corpus|, dropped share ≈ e⁻¹, max
+    multiplicity). Training consumers explode n_copies into rows.
+
+    Scale: the draw is a narrow per-row expression (the B-fold fan-out
+    is a 3-row broadcast range join); the only exchange is the B-row
+    audit aggregate. Statistical sanity (mean ≈ 1, drop share ≈
+    0.368) is pinned by test, determinism by the oracle.""",
+)
+def x102_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    b = spark.range(_X102_B).select(F.col("id").alias("b"))
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    draws = docs.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "b",
+        F.expr(f"CAST({_x102_count_sql(u)} AS BIGINT)").alias("n_copies"),
+    )
+    return draws.groupBy(F.col("b").cast("long").alias("replicate")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_copies) AS BIGINT)").alias("resample_size"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_dropped"),
+        F.expr("CAST(MAX(n_copies) AS BIGINT)").alias("max_copies"),
+    )

@@ -343,3 +343,24 @@ def test_audio_audit_nonvacuous_and_bounded(spark, sf_dir):
         assert 0 <= r["clip_count"] <= r["n_samples"]
         assert 0 <= r["silence_ppm"] <= 1_000_000
         assert 0 <= r["mean_energy"] <= 128 * 128
+
+
+def test_poisson_bootstrap_statistics(spark, sf_dir):
+    """x102: each replicate's resample size must be ≈ |corpus| (mean
+    multiplicity 1) and its drop share ≈ e⁻¹ — the two properties that
+    make per-row Poisson(1) a valid bootstrap stand-in."""
+    import math
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    rows = QUERIES["x102_poisson_bootstrap"].spark(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        n = r["n_docs"]
+        assert n > 0
+        assert 0.80 * n <= r["resample_size"] <= 1.20 * n
+        drop = r["n_dropped"] / n
+        assert abs(drop - math.exp(-1)) < 0.12
+        assert 1 <= r["max_copies"] <= 4
