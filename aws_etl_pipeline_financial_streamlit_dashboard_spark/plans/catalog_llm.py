@@ -3482,3 +3482,88 @@ def x102_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_dropped"),
         F.expr("CAST(MAX(n_copies) AS BIGINT)").alias("max_copies"),
     )
+
+
+# ===========================================================================
+# x103 — length-bucketed sorted batching (padding-waste accounting)
+# ===========================================================================
+
+_X103_BATCH = 16  # docs per batch (slot batching)
+_X103_TOKLEN = (
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+)
+_X103_TOKLEN_SPARK = (
+    "CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) ELSE "
+    "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END"
+)
+
+_X103_ORACLE = f"""
+    WITH lens AS (
+        SELECT doc_id, {_X103_TOKLEN} AS n_tok,
+               {_X103_TOKLEN} // 64 AS bucket
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY n_tok DESC, doc_id) AS rn
+        FROM lens
+    ),
+    batched AS (
+        SELECT bucket, (rn - 1) // {_X103_BATCH} AS batch_id, n_tok
+        FROM ranked
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+               AS padding_waste
+    FROM batched
+    GROUP BY bucket, batch_id
+"""
+
+
+@register(
+    "x103_length_bucketed_batching",
+    _X103_ORACLE,
+    doc="""Length-bucketed sorted batching — the dynamic-batching data
+    prep that makes padding cheap (fairseq/HF "sortish" batching):
+    documents bucket by token length div 64, sort within bucket by
+    (length DESC, id), and fill fixed-slot batches of 16; the output
+    is the per-batch padding audit — n_docs, max_len, total_tokens,
+    and padding_waste = slots·max − Σlen, the quantity the bucketing
+    exists to minimize (same-length neighbors pad to nearly nothing).
+    Distinct from x37/x81 (which concatenate token STREAMS into fixed
+    windows): this groups WHOLE documents into padded batches, the
+    encoder-training shape.
+
+    Scale: one narrow length projection, one bucket-partitioned rank
+    window (buckets are the parallelism unit — no global sort), one
+    (bucket, batch) aggregate. Deterministic end to end — the rank's
+    total order makes batch membership a pure function of the corpus —
+    so the whole audit value-hash checks.""",
+)
+def x103_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_X103_TOKLEN_SPARK).alias("n_tok")
+    ).withColumn("bucket", F.expr("n_tok div 64"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    batched = docs.withColumn("rn", F.row_number().over(w)).select(
+        "bucket",
+        F.expr(f"CAST((rn - 1) div {_X103_BATCH} AS BIGINT)").alias("batch_id"),
+        "n_tok",
+    )
+    return batched.groupBy(
+        F.col("bucket").cast("long").alias("bucket"), "batch_id"
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(MAX(n_tok) AS BIGINT)").alias("max_len"),
+        F.expr("CAST(SUM(n_tok) AS BIGINT)").alias("total_tokens"),
+        F.expr(
+            "CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)"
+        ).alias("padding_waste"),
+    )

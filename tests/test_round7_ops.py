@@ -364,3 +364,49 @@ def test_poisson_bootstrap_statistics(spark, sf_dir):
         drop = r["n_dropped"] / n
         assert abs(drop - math.exp(-1)) < 0.12
         assert 1 <= r["max_copies"] <= 4
+
+
+def test_length_bucketed_batching_reduces_padding(spark, sf_dir):
+    """x103's reason to exist, asserted: total padding waste under
+    length-bucketed sorted batching must be LOWER than batching the
+    same corpus in plain doc_id order with the same slot size (and
+    every batch must respect the slot bound)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
+        QUERIES,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    rows = QUERIES["x103_length_bucketed_batching"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r["n_docs"] <= 16 for r in rows)
+    assert all(
+        r["padding_waste"] == r["n_docs"] * r["max_len"] - r["total_tokens"]
+        for r in rows
+    )
+    bucketed_waste = sum(r["padding_waste"] for r in rows)
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END"
+        ).alias("n_tok"),
+    )
+    naive = (
+        docs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        .groupBy(F.expr("CAST((rn - 1) div 16 AS BIGINT)").alias("b"))
+        .agg(
+            F.expr(
+                "CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)"
+            ).alias("waste")
+        )
+    )
+    naive_waste = sum(r["waste"] for r in naive.collect())
+    assert bucketed_waste < naive_waste
