@@ -112,6 +112,61 @@ def _sgv(spark: SparkSession, sf_dir: str) -> None:
         _VIEW_REG[spark] = sf_dir
 
 
+# relation sizes (file-metadata stats, no scan) cached per session —
+# plan-build metadata, not query work, same contract as _VIEW_REG
+_DIM_SIZES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def dim_fits_broadcast(spark: SparkSession, sf_dir: str, table: str) -> bool:
+    """Size guard for dim broadcast hints on linearly-scaling tables
+    (SCALE.md session defaults: "the rule scales, a hardcoded hint
+    wouldn't"). True iff the dim's relation size — parquet footer
+    stats, never a scan — is under the session's
+    autoBroadcastJoinThreshold. q16/q34 emit their BROADCAST(cr) pin
+    only under this guard: at every bench scale (customer.parquet is
+    17 MB even at sf10) the measured broadcast plan is unchanged,
+    while at 100× the hint disappears and the threshold + AQE own the
+    decision — a hard hint would force the full dim as build side and
+    OOM. The threshold is re-read per call (not cached) so tests can
+    flip it; the size is cached per (session, sf_dir, table)."""
+    cache = _DIM_SIZES.setdefault(spark, {})
+    key = (sf_dir, table)
+    if key not in cache:
+        rel = read_table(spark, sf_dir, table)
+        cache[key] = int(
+            str(
+                rel._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    thr = int(
+        spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+    )
+    return 0 < thr and cache[key] < thr
+
+
+def maybe_broadcast_dim(
+    spark: SparkSession, sf_dir: str, table: str, frame: DataFrame
+) -> DataFrame:
+    """Column-DSL twin of the q16/q34 size-guarded hint: broadcast
+    ``frame`` (a projection/fold OF ``table`` — never wider than it)
+    only while the base table's relation size fits the session
+    broadcast threshold. Used where an UN-hinted join measurably
+    regresses at bench scale (the static planner over-estimates a
+    joined dim fold and picks SMJ; AQE's runtime rescue still pays the
+    fact-side exchange — q92 +98% / q93 +211% at sf10, docs/PERF.md
+    round-8) but a hard hint would OOM at 100×: the guard keeps the
+    measured local plan and hands the decision back to the threshold +
+    AQE exactly when the dim outgrows it."""
+    if dim_fits_broadcast(spark, sf_dir, table):
+        return F.broadcast(frame)
+    return frame
+
+
 def _dbl(sql: str) -> str:
     """SQL-text twin of :func:`dexpr` (CAST AS DOUBLE — Spark parses
     the literal 100.0 as DECIMAL(4,1), DuckDB as DOUBLE)."""
@@ -701,8 +756,15 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin, BROADCAST(n)/(r) the explicit dim broadcasts (customer stays
     # size-policy). Per-orderkey rollup keeps the hi/lo long sums SPLIT
     # so the final aggregate re-sums them exactly across orderkeys.
+    # BROADCAST(cr) — the customer-sized dim fold — is emitted only
+    # under the dim_fits_broadcast size guard: customer scales
+    # linearly with SF, so the hard hint holds exactly while the fold
+    # provably fits the threshold and disappears at 100×.
     _sgv(spark, sf_dir)
-    return spark.sql(_Q16_SPARK_SQL)
+    sql = _Q16_SPARK_SQL
+    if not dim_fits_broadcast(spark, sf_dir, "customer"):
+        sql = sql.replace(", BROADCAST(cr)", "")
+    return spark.sql(sql)
 
 
 _Q16_E = "(l_extendedprice * (1 - l_discount))"

@@ -1316,14 +1316,22 @@ def q34_star_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts and sort-merge-on-buckets IS the plan. The dim chain
     # folds into catalog._Q16_CUST_REGION's single (c_custkey, r_name)
     # broadcast map — one broadcast job instead of three (same
-    # measured win and 100 TB fallback as q16).
+    # measured win and 100 TB fallback as q16). BROADCAST(cr) is
+    # size-guarded exactly as in q16: customer scales linearly, so the
+    # hint exists only while the fold provably fits the threshold.
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (
         _Q16_CUST_REGION,
+        dim_fits_broadcast,
     )
 
+    cr_hint = (
+        ", BROADCAST(cr)"
+        if dim_fits_broadcast(spark, sf_dir, "customer")
+        else ""
+    )
     return spark.sql(f"""
         WITH {_Q16_CUST_REGION}
-        SELECT /*+ MERGE(o), BROADCAST(cr) */
+        SELECT /*+ MERGE(o){cr_hint} */
                cr.r_name AS region_name,
                date_format(o.o_orderdate, 'yyyy') AS order_year,
                {_dbl(sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 2))}
@@ -1978,7 +1986,9 @@ def q59_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE pass over the fact computes all row-local rules as
     conditional sums inside a single aggregate (no per-rule scans);
     uniqueness rides the same aggregate via COUNT DISTINCT; the
-    referential rule is a broadcast-dim anti-join count. The rule
+    referential rule is a dim anti-join count (UN-hinted — customer
+    scales linearly with SF, so the threshold + AQE pick broadcast vs
+    shuffle; locally it broadcasts). The rule
     pivot at the end unions |rules| one-row frames — constant work.
     At 100 TB: two fact scans total (local rules + integrity join),
     both full-parallel.""",
@@ -2002,7 +2012,7 @@ def q63_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = (
         orders.filter(F.col("o_custkey").isNotNull())
         .join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left_anti",
         )
@@ -3191,6 +3201,7 @@ def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import (  # noqa: E402
     _dbl,
+    maybe_broadcast_dim,
 )
 
 _Q82_ORACLE = """
@@ -3333,14 +3344,17 @@ _Q84_ORACLE = f"""
     BOTH sides. The Spark side applies the classic Q19 factoring
     explicitly: the part side pre-filters on the UNION of its
     per-disjunct terms (brand+size), the lineitem side on the quantity
-    hull [1, 30], and only then does the (broadcast) join apply the
-    full disjunction as the residual — so each scan reads a fraction
-    of its table even though the predicate spans both. The oracle
-    keeps the unfactored text.
+    hull [1, 30], and only then does the join apply the full
+    disjunction as the residual — so each scan reads a fraction of its
+    table even though the predicate spans both. The oracle keeps the
+    unfactored text.
 
-    Scale: part prunes to the three brands before broadcasting;
-    lineitem's quantity hull pushes to parquet row-group stats; the
-    residual runs codegen inside the join — zero extra exchanges.""",
+    Scale: part prunes to the three brands before the join, but part
+    still scales linearly with SF, so the join carries no broadcast
+    hint — the threshold + AQE decide (locally the pruned side
+    auto-broadcasts; at 100× it shuffles partkey-keyed); lineitem's
+    quantity hull pushes to parquet row-group stats; the residual runs
+    codegen inside the join — no hand-forced exchanges.""",
 )
 def q84_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(
@@ -3354,7 +3368,7 @@ def q84_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("l_quantity BETWEEN 1 AND 35")
     ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(F.expr(_Q84_DISJ))
         .agg(
             F.expr(
@@ -3398,8 +3412,12 @@ _Q85_ORACLE = f"""
 
     Spark states the de-correlated plan directly: the rollup is
     computed once, its 1-row MAX broadcast back onto it (the q63
-    1-row-combine shape), suppliers broadcast onto the winners. Scale:
-    one suppkey-keyed fact exchange; everything after is
+    1-row-combine shape), then the max-equality winners join supplier
+    UN-hinted — supplier scales linearly with SF, so the broadcast
+    decision belongs to autoBroadcastJoinThreshold + AQE (SCALE.md
+    "the rule scales, a hardcoded hint wouldn't"); at runtime AQE
+    broadcasts the winner side, which IS bounded (ties at the max).
+    Scale: one suppkey-keyed fact exchange; everything after is
     dimension-sized.""",
 )
 def q85_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3419,7 +3437,7 @@ def q85_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue_mic") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_mic")
     )
 
@@ -3465,7 +3483,10 @@ _Q86_ORACLE = """
     Scale: two orderkey-keyed fact exchanges total (the lo stream and
     its per-order rollup) instead of Q21's naive THREE fact self-joins;
     the top-10 is a TakeOrderedAndProject (distributed heaps, no
-    global sort).""",
+    global sort). The supplier name join is UN-hinted — supplier
+    scales linearly with SF, so the threshold + AQE own that decision
+    (SCALE.md rule); locally it auto-broadcasts, at 100× it shuffles
+    suppkey-keyed against the qualifying sliver.""",
 )
 def q86_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -3499,7 +3520,7 @@ def q86_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        qual.join(s, qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -3544,7 +3565,12 @@ _Q87_ORACLE = f"""
     Scale: the fact rolls up by orderkey once (map-side partials); the
     HAVING gate shrinks the survivors to a sliver BEFORE any join, so
     the orders/customer joins probe with a tiny build side — the
-    shape's whole point. One fact exchange total.""",
+    shape's whole point. For that to hold the SURVIVOR side must be
+    the build side, so the customer join carries no hint: customer
+    scales linearly with SF (a hardcoded F.broadcast would make the
+    FULL dim the build side and OOM at 100×); AQE sees the
+    sliver-sized survivors⋈orders output at runtime and broadcasts
+    THAT. One fact exchange total.""",
 )
 def q87_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
@@ -3559,7 +3585,7 @@ def q87_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -3652,11 +3678,13 @@ _Q89_ORACLE = f"""
     orderkey) order is total, so the LIMIT 10 frontier is
     deterministic in both engines — no float ranking ties.
 
-    Scale: the customer segment filter broadcasts onto orders (q16's
-    dim discipline), the date predicates push to both fact scans, the
-    per-order rollup reuses the join's orderkey partitioning, and the
-    top-10 is TakeOrderedAndProject — distributed heaps, no global
-    sort.""",
+    Scale: the segment-filtered customer keys join orders UN-hinted —
+    the filter keeps ~1/|segments| of a linearly-scaling dim, so the
+    broadcast decision stays with the size threshold + AQE (locally it
+    auto-broadcasts; at 100× it shuffles custkey-keyed); the date
+    predicates push to both fact scans, the per-order rollup reuses
+    the join's orderkey partitioning, and the top-10 is
+    TakeOrderedAndProject — distributed heaps, no global sort.""",
 )
 def q89_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
@@ -3675,7 +3703,7 @@ def q89_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li.hint("shuffle_hash"), o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.expr(_Q89_MIC).alias("revenue_mic"))
@@ -3712,8 +3740,11 @@ _Q90_ORACLE = f"""
     Scale: the returnflag + date predicates prune both facts at scan;
     the q16 eager-aggregation discipline applies — lineitem pre-rolls
     returned revenue per orderkey BELOW the fact-fact join, so the
-    orderkey exchange carries one row per order; the customer rollup
-    then reuses dims via broadcast. TakeOrderedAndProject top-20.""",
+    orderkey exchange carries one row per order. Nation (25 rows,
+    constant in SF) keeps its broadcast hint; customer — linear in SF
+    — joins UN-hinted, so the threshold + AQE decide (locally a
+    broadcast, at 100× a custkey shuffle against the pre-rolled
+    quarter slice). TakeOrderedAndProject top-20.""",
 )
 def q90_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -3743,7 +3774,7 @@ def q90_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr("CAST(SUM(__rev_mic) AS BIGINT)").alias("lost_revenue_mic"))
@@ -3831,12 +3862,20 @@ _Q92_ORACLE = f"""
     direction per year — the query whose join graph touches BOTH
     fact-side dimensions (the supplier nation comes off lineitem, the
     customer nation off orders) with a disjunctive cross-dim pair
-    predicate. Spark side: both dim chains fold into broadcast
-    (key → nation) maps (the q16 dim-fold discipline), the customer
-    map filters ORDERS before the fact-fact join and the supplier map
-    filters LINEITEM before it — each side shrinks to ~2/|nations| of
-    itself ahead of the one orderkey exchange; the OR pair predicate
-    then runs on the joined sliver.""",
+    predicate. Spark side: both dim chains fold into (key → nation)
+    maps (the q16 dim-fold discipline) with the nation side hinted
+    broadcast (25 rows, constant in SF); the folded customer/supplier
+    maps join the facts under the maybe_broadcast_dim SIZE GUARD —
+    they scale linearly, so an unconditional hint is the 100× OOM, but
+    the UN-hinted form measured +98% at sf10 (the static planner
+    over-estimates the fold and plans SMJ; AQE's rescue still pays a
+    fact exchange — docs/PERF.md round-8), so the hint stays exactly
+    while the base dim provably fits the threshold and disappears at
+    100×. The customer map filters ORDERS
+    before the fact-fact join and the supplier map filters LINEITEM
+    before it — each side shrinks to ~2/|nations| of itself ahead of
+    the one orderkey exchange; the OR pair predicate then runs on the
+    joined sliver.""",
 )
 def q92_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = read_table(spark, sf_dir, "nation").filter(
@@ -3855,7 +3894,10 @@ def q92_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         read_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cmap), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "customer", cmap),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
     )
     li = (
         read_table(spark, sf_dir, "lineitem")
@@ -3863,7 +3905,10 @@ def q92_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_suppkey", "l_shipdate",
             "l_extendedprice", "l_discount",
         )
-        .join(F.broadcast(smap), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "supplier", smap),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
     )
     return (
         li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
@@ -3919,10 +3964,17 @@ _Q93_ORACLE = f"""
     from ASIA-region customers, per order year — the share-of-total whose
     numerator and denominator come from the SAME pass (one conditional
     sum beside the total, never two scans), with the division exact
-    integer ppm so no engine's float order can flip a digit. The
-    customer→nation→region chain folds to one broadcast region filter
-    on orders; the supplier-nation flag rides lineitem as a broadcast
-    map; one orderkey exchange joins them.""",
+    integer ppm (DECIMAL(38,0)-widened numerator — BIGINT overflows at
+    sf10 micros already) so no engine's float order or overflow can
+    flip a digit. The customer→nation→region chain folds to one
+    in-region custkey filter on orders and the supplier-nation flag
+    rides lineitem as a (suppkey → nation) map — nation/region keep
+    broadcast hints (constant cardinality), the customer/supplier
+    folds join under the maybe_broadcast_dim SIZE GUARD (linear in SF,
+    so no unconditional hint — but the UN-hinted form measured +211%
+    at sf10, docs/PERF.md round-8: the guard keeps the measured plan
+    while the dim fits the threshold and yields to AQE at 100×); one
+    orderkey exchange joins them.""",
 )
 def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = read_table(spark, sf_dir, "nation").select(
@@ -3940,7 +3992,10 @@ def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         read_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-        .join(F.broadcast(cust_in_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "customer", cust_in_r),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
     )
     smap = (
         read_table(spark, sf_dir, "supplier")
@@ -3959,7 +4014,10 @@ def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
-        .join(F.broadcast(smap), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "supplier", smap),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
     )
     mic = (
         "CAST(FLOOR((l_extendedprice * (1 - l_discount))"
@@ -3980,9 +4038,15 @@ def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         F.expr("CAST(nation_mic AS BIGINT)").alias("nation_mic"),
         F.expr("CAST(total_mic AS BIGINT)").alias("total_mic"),
-        F.expr("CAST((1000000 * nation_mic) div total_mic AS BIGINT)").alias(
-            "market_share_ppm"
-        ),
+        # DECIMAL(38,0)-widened numerator: micro sums reach ~1e17 at
+        # sf10 already, so BIGINT 1000000*mic overflows (ANSI mode
+        # faults; the DuckDB oracle survives only because SUM(BIGINT)
+        # is HUGEINT there). Positive operands → div == floor-div,
+        # bit-identical to the oracle's HUGEINT //.
+        F.expr(
+            "CAST((CAST(nation_mic AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(total_mic AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("market_share_ppm"),
     )
 
 
@@ -4011,9 +4075,14 @@ _Q94_ORACLE = f"""
     doc="""TPC-H Q14 shape: the share of March-1998 revenue that came
     from PROMO-type parts — share-of-total over a fact⋈dim join (Q8's
     q93 divides within one fact pass; this one needs the part
-    attribute, so the dim broadcasts onto the filtered month slice
-    first). Numerator and denominator from one conditional-sum pass,
-    division exact integer ppm.""",
+    attribute, so the dim joins onto the filtered month slice first —
+    under the maybe_broadcast_dim size guard: part scales linearly
+    with SF so an unconditional hint is out, but the UN-hinted form
+    measured +27% at sf10 (docs/PERF.md round-8), so the hint holds
+    while part provably fits the threshold. Numerator
+    and denominator from one conditional-sum pass, division exact
+    integer ppm with a DECIMAL(38,0)-widened numerator (BIGINT
+    overflows at sf10 micros already).""",
 )
 def q94_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
@@ -4030,7 +4099,10 @@ def q94_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("l_partkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .agg(
             F.expr(f"SUM({mic})").alias("total_mic"),
             F.expr(
@@ -4041,9 +4113,12 @@ def q94_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.expr("CAST(promo_mic AS BIGINT)").alias("promo_mic"),
         F.expr("CAST(total_mic AS BIGINT)").alias("total_mic"),
-        F.expr("CAST((1000000 * promo_mic) div total_mic AS BIGINT)").alias(
-            "promo_share_ppm"
-        ),
+        # DECIMAL(38,0)-widened numerator — same sf10 BIGINT-overflow
+        # fix as q93's market_share_ppm.
+        F.expr(
+            "CAST((CAST(promo_mic AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(total_mic AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("promo_share_ppm"),
     )
 
 
@@ -4165,25 +4240,33 @@ _Q95_ORACLE = """
     array_join — bit-identical to DuckDB's string_agg(... ORDER BY
     rnk) because the rank is a total order (cents DESC, custkey).
 
-    Scale: the top-5 cut uses the rank window per segment (bounded
-    groups; grouped_topk is the skew-safe form when groups are hot),
-    and the collected list is ≤5 elements per group — collect_list is
-    safe ONLY under such a pre-bound, which is the entry's documented
+    Scale: the top-5 cut runs through operators/skew.grouped_topk (the
+    q13/q48 two-phase salted top-k): exactly 5 market segments means a
+    plain rank window would sort ~|customers|/5 rows on ONE task per
+    segment — the definitional hot-group pathology AQE cannot split.
+    grouped_topk pre-ranks within (segment, scan-split) and re-ranks
+    only the ≤5·|splits| survivors; the (cents DESC, custkey) order is
+    total, so the result is exactly the unsalted window's. The
+    collected list is ≤5 elements per group — collect_list is safe
+    ONLY under such a pre-bound, which is the entry's documented
     contract (an unbounded collect_list is the OOM everyone writes
     once).""",
 )
 def q95_top_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
     c = read_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         "c_name",
         "c_custkey",
         F.expr("CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("cents"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("cents").desc(), F.col("c_custkey")
-    )
-    ranked = c.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 5
+    ranked = grouped_topk(
+        c,
+        ["c_mktsegment"],
+        [F.col("cents").desc(), F.col("c_custkey")],
+        5,
+        rank_col="rnk",
     )
     return ranked.groupBy("c_mktsegment").agg(
         F.array_join(

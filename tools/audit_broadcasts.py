@@ -1,0 +1,85 @@
+"""Whole-catalog broadcast-hint policy sweep (see plans/plan_audit.py
+for the rule). Prints one line per flagged hint site; streaming
+entries are skipped (they run a query on build — audited by hand).
+
+The standing regression net for the entries that actually carried the
+violation is tests/test_broadcast_policy.py; this tool is the
+full-catalog sweep run when new entries land.
+
+Usage:  python tools/audit_broadcasts.py [--sf-dir DIR] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+# Bounded-by-construction broadcast frames my mechanical classifier
+# cannot prove bounded (grouped by a bounded-domain key, offsets side
+# tables, benchmark-sized eval sides): entry -> (allowed sites, why).
+ALLOWLIST = {
+    "q48_topk_per_group": (1, "broadcast of grouped_topk output (≤k·|segments| rows)"),
+    "q59_ntile_quartiles": (2, "|partitions|-row offsets side tables (x42 pattern)"),
+    "q78_lead_time_histogram": (1, "histogram bucket spine (bounded bucket domain)"),
+    "x29_corpus_mix": (1, "per-source fraction frame (|sources|-bounded)"),
+    "x30_decontamination": (1, "eval-side frame (benchmark-sized by construction)"),
+    "x36_source_overlap": (2, "per-source-pair summaries (|sources|²-bounded)"),
+    "x42_deterministic_shuffle": (1, "|partitions|-row offsets side table"),
+    "x47_corpus_mix_deterministic": (1, "per-source fraction frame (|sources|-bounded)"),
+    "x50_bm25_topk": (1, "query-term frame (bounded query set)"),
+    "x53_span_decontamination": (1, "eval-side spans (benchmark-sized by construction)"),
+    "x56_winsorize": (1, "per-source winsor bounds (|sources|-bounded)"),
+    "x70_robots_filter": (1, "robots rules (|hosts|-sized, documented in operators/web.py)"),
+    "x73_token_budget_mix": (1, "per-source token budgets (|sources|-bounded)"),
+    "x84_join_key_skew_profile": (1, "top-k hot-key frame (bounded k)"),
+    "x101_hybrid_rrf_retrieval": (1, "per-query rank frames (bounded query set)"),
+    # q16/q34's BROADCAST(cr) is size-guarded via catalog.dim_fits_broadcast
+    # (hint present only while customer fits the threshold) — the guard
+    # behavior itself is pinned by tests/test_broadcast_policy.py.
+    "q16_star_join_revenue": (1, "size-guarded via dim_fits_broadcast"),
+    "q34_star_join_bucketed": (1, "size-guarded via dim_fits_broadcast"),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.session import get_spark
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.plan_audit import (
+        unbounded_broadcast_hints,
+    )
+
+    spark = get_spark()
+    only = set(args.only.split(",")) if args.only else None
+    violations = 0
+    for name, spec in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        if name[0] == "s" and name[1].isdigit():
+            continue  # streaming entry: runs a query on build
+        try:
+            df = spec.spark(spark, args.sf_dir)
+        except Exception as e:
+            print(f"{name}: BUILD-ERROR {type(e).__name__}: {e}")
+            violations += 1
+            continue
+        flags = unbounded_broadcast_hints(df)
+        allowed, why = ALLOWLIST.get(name, (0, ""))
+        if len(flags) > allowed:
+            violations += 1
+            for f in flags:
+                print(f"{name}: FLAG {f}")
+        elif flags:
+            print(f"{name}: ok ({len(flags)} allowlisted: {why})")
+    print(f"\n{violations} violation(s)")
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
