@@ -81,6 +81,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 5,
     mode: str = "drop",
+    widen: bool = True,
 ) -> DataFrame:
     """Remove (or flag) training documents that share any word ``n``-gram
     with an evaluation set — benchmark decontamination, the step that
@@ -105,7 +106,15 @@ def decontaminate(
         eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("__s"))
         .distinct()
     )
-    exploded = fan_out(train.select(id_col, text_col)).select(
+    # ``widen=False`` skips the fan_out parallelism guard: for a DERIVED
+    # train frame (mid-pipeline, post-shuffle — x104's composition) the
+    # guard's df.rdd partition probe FINALIZES the plan, which under AQE
+    # executes the upstream stages (real Spark jobs) just to read a
+    # partition count — breaking the pipeline's lazy-DAG contract. A
+    # post-shuffle frame is already ≥ shuffle.partitions wide, so the
+    # guard buys nothing there; file-backed callers keep the default.
+    narrow = train.select(id_col, text_col)
+    exploded = (fan_out(narrow) if widen else narrow).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
     )
     hit_ids = (

@@ -871,46 +871,49 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
     catalog_fin,
     catalog_llm,
     catalog_more,
+    catalog_pipeline,
     catalog_streaming,
     catalog_web,
 )
 
 # ---------------------------------------------------------------------------
 # Registration-order rotation: the driver's correctness gate samples
-# ~50 of the 140+ entries per round; in case the sampler is head-biased,
-# surface FIRST the entries whose driver confirmation is formally open
-# (VERDICT.md r4 item 1): q55/q56 whose only driver rows are the
-# pre-fix round-3 reds, s05 which has never been drawn in four rounds,
-# q52/q53/q57/q60 whose last driver rows predate the scalars rewrite
-# they now share, and any entries added this round. The full-catalog
-# artifact CORRECTNESS_FULL_rN.json covers everything regardless.
-# Pure dict reordering — specs, names and semantics are untouched.
+# ~50 of the 200+ entries per round; in case the sampler is head-biased,
+# surface FIRST the entries whose driver confirmation is formally open.
+# Round 8: the round-7 additions the r7 sample did NOT draw
+# (x94–x103, q82–q95, s18 — VERDICT r7 item 6), this round's new
+# composition entries (x104/x105), and every entry semantically touched
+# this round (the broadcast-hint unwinding + the q93/q94 overflow fix +
+# q95's grouped_topk rewrite + the decontaminate widen flag). The
+# full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
+# regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
-_SAMPLER_FRONT_R6 = [
+_SAMPLER_FRONT_R8 = [
     # new this round (never sampled by construction)
-    "x78_phash_near_dup", "x79_exif_extract", "x80_bpe_merges",
-    "s17_streaming_jdbc_upsert", "q72_sharpe_sortino",
-    "q73_flagship_bucketed", "x81_sequence_packing",
-    "q74_adjusted_close", "x82_repetition_filters", "q75_var_cvar",
-    "x83_lsh_band_recall", "x84_join_key_skew_profile",
-    "x85_scene_change", "q76_min_cost_supplier", "x86_link_graph",
-    "x87_cluster_aware_split", "q77_tick_gap_audit",
-    "x88_ivf_cell_occupancy", "x89_vocab_growth",
-    "q78_lead_time_histogram", "q79_rfm_segmentation",
-    "q80_variant_extract", "x90_hard_negatives", "x91_span_corruption",
-    "x92_label_outliers", "q81_idle_rich_customers",
-    "x93_source_drift_chi2",
-    # semantically touched this round (dim-chain fold, SHJ pin,
-    # RFC-3986 query split, BIGINT-safe crawl rank) — their last green
-    # driver rows predate the change
+    "x104_corpus_pipeline_e2e", "x105_corpus_pipeline_audit",
+    # round-7 additions never drawn by a driver sample
+    "x94_semantic_dedup", "x95_quality_classifier",
+    "x96_semantic_decontamination", "x97_substring_dup_profile",
+    "x98_anchor_positives", "x99_shingle_containment",
+    "x100_audio_quality_audit", "x101_hybrid_rrf_retrieval",
+    "x102_poisson_bootstrap", "x103_length_bucketed_batching",
+    "s18_streaming_quality_gate",
+    "q82_late_orders_by_priority", "q83_priority_split_by_flag",
+    "q84_disjunctive_promo_revenue", "q85_top_revenue_supplier",
+    "q86_sole_late_supplier", "q87_large_volume_orders",
+    "q88_small_lot_revenue", "q89_shipping_priority",
+    "q90_returned_item_report", "q91_forecast_revenue_change",
+    "q92_two_nation_volume", "q93_market_share",
+    "q94_promo_revenue_share", "q95_top_customer_listagg",
+    # semantically touched this round — last green rows predate the
+    # broadcast unwinding / size guard / overflow fixes
     "q16_star_join_revenue", "q34_star_join_bucketed",
-    "q07_flagship_industry_avg",
-    "x65_url_canonicalize", "x67_crawl_budget",
+    "q63_data_quality_report", "x30_decontamination",
 ]
 
 
 def _rotate_front() -> None:
-    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R6 if n in QUERIES}
+    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R8 if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)

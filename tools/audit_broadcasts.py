@@ -35,6 +35,11 @@ ALLOWLIST = {
     "x73_token_budget_mix": (1, "per-source token budgets (|sources|-bounded)"),
     "x84_join_key_skew_profile": (1, "top-k hot-key frame (bounded k)"),
     "x101_hybrid_rrf_retrieval": (1, "per-query rank frames (bounded query set)"),
+    # x104/x105 compose x30's eval-side broadcast (benchmark-sized) and
+    # x47's per-source fraction frame; the audit entry forks the DAG per
+    # stage, so the same two bounded hints recur once per downstream fork.
+    "x104_corpus_pipeline_e2e": (3, "eval shingles (benchmark-sized) ×2 forks + mix fractions (|sources|)"),
+    "x105_corpus_pipeline_audit": (8, "same two bounded hints across the 8 stage forks"),
     # q16/q34's BROADCAST(cr) is size-guarded via catalog.dim_fits_broadcast
     # (hint present only while customer fits the threshold) — the guard
     # behavior itself is pinned by tests/test_broadcast_policy.py.
