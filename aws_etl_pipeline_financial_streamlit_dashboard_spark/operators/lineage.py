@@ -23,6 +23,17 @@ operator now exposes (VERDICT r6 item 2):
   sequences, components' edge closure at 100 TB) sits on a preemptible
   cluster. Costs one write of the data to reliable storage per call.
 
+  Storage footprint: Spark never deletes reference checkpoints unless
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (OFF in
+  stock Spark) — inside an iterative loop that would accumulate up to
+  ``max_iter`` full copies of the frame in the checkpoint dir, and
+  they would OUTLIVE the job. The house session (session.py) sets the
+  flag, so each round's files are deleted once the loop drops the
+  round's reference (the ContextCleaner fires on driver GC; bounded at
+  ~2 live rounds in steady state). On a foreign session, either set
+  the same flag before the context starts or clean
+  ``getCheckpointDir()`` after the job.
+
 See docs/SCALE.md "Lineage truncation and executor loss".
 """
 

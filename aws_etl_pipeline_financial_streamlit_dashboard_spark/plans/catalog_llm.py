@@ -3200,22 +3200,69 @@ _X96_ORACLE = f"""
     candidate key); per training vector the work is |eval| codegen'd
     dot products (precomputed norms, unrolled dot) feeding one
     corpus-keyed max aggregate — one exchange total. For benchmark
-    suites too large to broadcast whole, shard the eval side and OR
-    the flags (associative max).""",
+    suites too large to broadcast whole, the shard-and-OR fallback is
+    SHIPPED: semantic_decontaminate(max_broadcast_rows=...) splits the
+    eval side into k deterministic broadcast shards and unions the
+    per-shard maxes — bit-identical (max is associative), pinned by a
+    ≥2-shard equality test.""",
 )
 def x96_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_decontaminate(spark, sf_dir)
+
+
+def semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_rows: int | None = None,
+) -> DataFrame:
+    """x96's implementation, with the documented shard-and-OR fallback
+    shipped as a parameter (VERDICT r7 item 7).
+
+    ``max_broadcast_rows=None`` (the default and the registered entry):
+    the whole eval side broadcasts — the x30 discipline, correct while
+    the benchmark fits one broadcast. When a benchmark suite outgrows
+    that, pass the largest eval row count one broadcast may carry: the
+    eval side splits into ``k = ceil(|eval| / max_broadcast_rows)``
+    deterministic shards (``vec_id % k``), each shard broadcasts
+    separately against the training corpus, and the per-shard maxes
+    union into one corpus-keyed MAX — bit-identical to the single
+    broadcast because max is associative over any partition of the
+    eval set (pinned in tests/test_round8_ops.py). Cost model: k
+    corpus passes, each against a broadcast-sized shard — pick
+    max_broadcast_rows as large as executor memory allows. The |eval|
+    count needed for k is ONE driver action over the BENCHMARK-sized
+    side only, never the corpus."""
+    import math
+
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ev = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
-        F.col("embedding").alias("__qvec")
-    )
-    tr = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) != 0).select(
+    ev_full = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0)
+    tr_base = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) != 0).select(
         "vec_id", F.col("embedding").alias("__cvec")
     )
-    ev, tr, sim = _pairwise_sim(ev, tr, 64)
+
+    def shard_sims(ev_frame: DataFrame) -> DataFrame:
+        ev, tr, sim = _pairwise_sim(
+            ev_frame.select(F.col("embedding").alias("__qvec")), tr_base, 64
+        )
+        return tr.crossJoin(F.broadcast(ev)).select(
+            "vec_id", sim.alias("__sim")
+        )
+
+    if max_broadcast_rows is None:
+        sims = shard_sims(ev_full)
+    else:
+        k = max(1, math.ceil(ev_full.count() / max_broadcast_rows))
+        sims = shard_sims(
+            ev_full.filter(F.pmod(F.col("vec_id"), F.lit(k)) == 0)
+        )
+        for i in range(1, k):
+            sims = sims.unionByName(
+                shard_sims(
+                    ev_full.filter(F.pmod(F.col("vec_id"), F.lit(k)) == i)
+                )
+            )
     return (
-        tr.crossJoin(F.broadcast(ev))
-        .select("vec_id", sim.alias("__sim"))
-        .groupBy("vec_id")
+        sims.groupBy("vec_id")
         .agg(F.max("__sim").alias("max_eval_sim"))
         .select(
             "vec_id",
@@ -3408,7 +3455,9 @@ def x99_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # give B bootstrap resamples with ZERO coordination. The draw is
 # RNG-free: u = the row's md5-derived 32-bit uniform per (doc, b),
 # inverted through the Poisson(1) CDF at fixed integer thresholds
-# (⌈CDF·2³²⌉, capped at 4 — P(X>4) ≈ 0.37%, folded into the top bin).
+# (⌊CDF·2³²⌋ — floors, pinned by a derivation test in
+# tests/test_round8_ops.py so the constants can't drift from the
+# stated math — capped at 4: P(X>4) ≈ 0.37%, folded into the top bin).
 _X102_B = 3
 _X102_THS = (1580030168, 3160060337, 3950075421, 4213413783)
 

@@ -70,6 +70,17 @@ def get_spark(
         # case). Measured 2× on the sf10 bucketed star join.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Reliable checkpoints (operators/lineage.truncate_lineage
+        # reliable=True) are NEVER deleted by default — inside an
+        # iterative loop (connected components ≤50 rounds, PageRank,
+        # BPE) that accumulates up to max_iter full copies of a
+        # corpus-scale frame in the durable checkpoint dir, surviving
+        # the job. With cleanCheckpoints=true the ContextCleaner
+        # deletes a round's files once its RDD is GC'd on the driver —
+        # i.e. as soon as the next round's checkpoint materializes and
+        # the loop drops the reference (storage footprint bounded at
+        # ~2 live rounds; see operators/lineage.py).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # local-mode sizing: in local[N] the driver JVM IS the executor,
         # so this is the whole engine's heap. 8g left the sf10 (1.8 GB
         # parquet) headline GC-bound — q07 measured 2.4 s at 8g vs
