@@ -872,6 +872,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
     catalog_llm,
     catalog_more,
     catalog_pipeline,
+    catalog_rag,
     catalog_streaming,
     catalog_web,
 )
@@ -891,6 +892,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 _SAMPLER_FRONT_R8 = [
     # new this round (never sampled by construction)
     "x104_corpus_pipeline_e2e", "x105_corpus_pipeline_audit",
+    "x106_rag_chunking", "x107_mmr_rerank",
     # round-7 additions never drawn by a driver sample
     "x94_semantic_dedup", "x95_quality_classifier",
     "x96_semantic_decontamination", "x97_substring_dup_profile",

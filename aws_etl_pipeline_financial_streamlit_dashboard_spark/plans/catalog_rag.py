@@ -1,0 +1,360 @@
+"""RAG serving-side operators (round 8): document chunking for
+retrieval indexes and MMR-diversified re-ranking.
+
+The LLM-pipeline catalog covers the training-data side (dedup ladder,
+decontamination, mixing, packing) and retrieval scoring (x09 brute
+force, x50 BM25, x101 hybrid RRF). These entries add the two
+serving-side preparation steps every RAG deployment runs:
+
+- ``x106_rag_chunking``: sliding-window document chunking (64-token
+  windows, stride 48 — 16-token overlap) — what actually gets
+  embedded and indexed. Narrow codegen explode, zero shuffles.
+- ``x107_mmr_rerank``: Maximal Marginal Relevance re-ranking
+  (Carbonell & Goldstein 1998): from each query's top-20 cosine
+  candidates, greedily select 5 maximizing
+  ``λ·rel − (1−λ)·max-sim-to-already-selected`` (λ = 0.7) — the
+  standard diversity pass between retrieval and the context window.
+  All arithmetic in exact integer micros over the house pinned-6dp
+  cosine, greedy rounds unrolled in BOTH engines, so every rank and
+  score value-hash-checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+    sql_token_count_duck,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+    duckdb_cosine_sql as _ddb_cos,
+    _pairwise_sim,
+)
+
+# ---------------------------------------------------------------------------
+# x106 — sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # window tokens
+_CHUNK_S = 48  # stride (16-token overlap)
+
+_TOKS_DUCK = sql_token_count_duck("text")
+
+# one synthetic empty document is unioned in so the 0-token edge path
+# (empty slice → '' chunk) is part of the ORACLE-CHECKED surface, not
+# just a unit test (the x25 seeding discipline)
+_X106_ORACLE = f"""
+    WITH ing AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT -1 AS doc_id, '' AS text
+    ),
+    d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+               {_TOKS_DUCK} AS n
+        FROM ing
+    ),
+    e AS (
+        SELECT doc_id, w, n,
+               CASE WHEN n <= {_CHUNK_W} THEN 0
+                    ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+               END AS n_extra
+        FROM d
+    ),
+    c AS (
+        SELECT doc_id, w, n,
+               unnest([i FOR i IN range(0, n_extra + 1)]) AS chunk_ix
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(1 + chunk_ix * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(GREATEST(LEAST({_CHUNK_W},
+                               n - (1 + chunk_ix * {_CHUNK_S}) + 1), 0)
+                AS BIGINT) AS n_toks_in_chunk,
+           COALESCE(array_to_string(
+               w[(1 + chunk_ix * {_CHUNK_S}):
+                 (chunk_ix * {_CHUNK_S}
+                  + GREATEST(LEAST({_CHUNK_W},
+                                   n - (1 + chunk_ix * {_CHUNK_S}) + 1), 0))],
+               ' '), '') AS chunk_text
+    FROM c
+"""
+
+
+@register(
+    "x106_rag_chunking",
+    _X106_ORACLE,
+    doc="""Sliding-window document chunking for RAG indexing: 64-token
+    windows at stride 48 (16-token overlap so no answer span is ever
+    split without a copy), last window ragged, documents ≤ 64 tokens
+    yield exactly one chunk, the seeded empty document yields one
+    empty chunk (the 0-token edge is oracle-checked, not just
+    unit-tested). Output: (doc_id, chunk_ix, start_tok,
+    n_toks_in_chunk, chunk_text) — the frame an embedding model
+    consumes; chunk TEXT is value-hash-checked, so the tokenizer
+    slice arithmetic is pinned across engines.
+
+    Scale: pure narrow codegen — tokenize once, integer chunk-count
+    arithmetic, explode(sequence), array slice + join. ZERO shuffles
+    at any scale (plan-pinned); chunking cost is scan-side CPU,
+    exactly where a 1000-executor index build wants it.""",
+)
+def x106_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ing = docs.unionByName(
+        docs.sparkSession.range(1).select(
+            F.lit(-1).cast("bigint").alias("doc_id"),
+            F.lit("").alias("text"),
+        )
+    )
+    d = ing.select(
+        "doc_id",
+        F.expr(r"split(trim(text), '\\s+')").alias("w"),
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN 0"
+            r" ELSE size(split(trim(text), '\\s+')) END"
+        ).cast("bigint").alias("n"),
+    )
+    e = d.withColumn(
+        "n_extra",
+        F.expr(
+            f"CASE WHEN n <= {_CHUNK_W} THEN CAST(0 AS BIGINT)"
+            f" ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} END"
+        ),
+    )
+    c = e.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_extra"))).alias(
+            "chunk_ix"
+        ),
+    )
+    start = f"(1 + chunk_ix * {_CHUNK_S})"
+    ln = f"GREATEST(LEAST({_CHUNK_W}, n - {start} + 1), CAST(0 AS BIGINT))"
+    return c.selectExpr(
+        "doc_id",
+        "CAST(chunk_ix AS BIGINT) AS chunk_ix",
+        f"CAST({start} AS BIGINT) AS start_tok",
+        f"CAST({ln} AS BIGINT) AS n_toks_in_chunk",
+        f"array_join(slice(w, CAST({start} AS INT), CAST({ln} AS INT)), ' ')"
+        " AS chunk_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x107 — MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20  # candidate pool per query (cosine top-k)
+_MMR_K = 5      # selected per query
+# λ = 0.7 as the exact integer pair (7, 3): score = 7·rel − 3·maxsim
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+_MIC = "CAST(FLOOR(({c}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _x107_oracle() -> str:
+    cos_qc = _ddb_cos("q.qv", "e.embedding")
+    cos_ab = _ddb_cos("ea.embedding", "eb.embedding")
+    rel_mic = _MIC.format(c=cos_qc)
+    sim_mic = _MIC.format(c=cos_ab)
+    # greedy rounds unrolled (the x51/x80 discipline): sel_r = sel_{r-1}
+    # plus the argmax of 7·rel − 3·max-sim-to-sel_{r-1}
+    rounds = []
+    prev = "s1"
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f"""
+    m{r} AS (
+        SELECT c.qid, c.vec_id, c.rel_mic,
+               {_MMR_REL_W} * c.rel_mic
+                   - {_MMR_DIV_W} * MAX(p.sim_mic) AS score_mic
+        FROM cand c
+        JOIN pw p ON p.qid = c.qid AND p.va = c.vec_id
+        JOIN {prev} s ON s.qid = p.qid AND s.vec_id = p.vb
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        GROUP BY c.qid, c.vec_id, c.rel_mic
+    ),
+    w{r} AS (
+        SELECT qid, vec_id, rel_mic, score_mic, {r} AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY score_mic DESC, vec_id) AS rr
+              FROM m{r})
+        WHERE rr = 1
+    ),
+    s{r} AS (
+        SELECT qid, vec_id, rel_mic, score_mic, rnk FROM {prev}
+        UNION ALL SELECT qid, vec_id, rel_mic, score_mic, rnk FROM w{r}
+    )""")
+        prev = f"s{r}"
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    c0 AS (
+        SELECT q.qid, e.vec_id, {rel_mic} AS rel_mic
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    cand AS (
+        SELECT qid, vec_id, rel_mic
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY rel_mic DESC, vec_id) AS rk
+              FROM c0)
+        WHERE rk <= {_MMR_CAND}
+    ),
+    pw AS (
+        SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, {sim_mic} AS sim_mic
+        FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (
+        SELECT qid, vec_id, rel_mic,
+               {_MMR_REL_W} * rel_mic AS score_mic, 1 AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY rel_mic DESC, vec_id) AS rr
+              FROM cand)
+        WHERE rr = 1
+    ),{",".join(rounds)}
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS mmr_rank,
+           vec_id, rel_mic, CAST(score_mic AS BIGINT) AS score_mic
+    FROM {prev}
+"""
+
+
+@register(
+    "x107_mmr_rerank",
+    _x107_oracle(),
+    doc="""MMR (Maximal Marginal Relevance) diversified re-ranking —
+    the standard pass between retrieval and the context window: from
+    each query's cosine top-20 candidate pool, greedily select 5
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected
+    (λ = 0.7 as the exact integer weights 7/3, all similarities in
+    integer micros over the house pinned-6dp cosine, (score DESC,
+    vec_id) total order) — so every greedy round is deterministic and
+    the oracle unrolls the SAME 5 rounds as CTEs (the x51/x80
+    discipline): every rank, id and score value-hash-checks.
+
+    Scale: the candidate pool bounds everything — relevance is the
+    x09 broadcast-queries brute-force shape (grouped_topk two-phase
+    cut), the pairwise-sim matrix is |Q|·20·19 rows, and each greedy
+    round is bounded joins over those frames; the corpus is touched
+    exactly once. The candidate/pairwise frames and each round's
+    selection are lineage-truncated (localCheckpoint — the x80
+    per-round discipline): without it the round-r plan embeds the
+    64-term unrolled cosine tree 2^r times and Catalyst itself OOMs
+    copying expressions (observed at K=5 before the fix). The
+    truncated frames are ≤ |Q|·20·19 rows — pennies.""",
+)
+def x107_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.lineage import (
+        truncate_lineage,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("__cvec"))
+    qn, cn, sim = _pairwise_sim(q, c, 64)
+    rel = (
+        cn.crossJoin(F.broadcast(qn))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("__sim"))
+        .select(
+            "qid", "vec_id", F.expr(_MIC.format(c="__sim")).alias("rel_mic")
+        )
+    )
+    cand = truncate_lineage(
+        grouped_topk(
+            rel,
+            ["qid"],
+            [F.col("rel_mic").desc(), F.col("vec_id").asc()],
+            _MMR_CAND,
+            rank_col="__rk",
+        ).drop("__rk")
+    )
+
+    # pairwise sims within each query's candidate pool (bounded 20×19)
+    ea = cand.select("qid", F.col("vec_id").alias("va")).join(
+        emb.select(
+            F.col("vec_id").alias("va"), F.col("embedding").alias("__cvec")
+        ),
+        "va",
+    )
+    eb = cand.select("qid", F.col("vec_id").alias("vb")).join(
+        emb.select(
+            F.col("vec_id").alias("vb"), F.col("embedding").alias("__qvec")
+        ),
+        "vb",
+    )
+    pa, pb, psim = _pairwise_sim(
+        eb.select("qid", "vb", "__qvec"), ea.select("qid", "va", "__cvec"), 64
+    )
+    pw = truncate_lineage(
+        pb.join(pa, "qid")
+        .filter(F.col("va") != F.col("vb"))
+        .select("qid", "va", "vb", psim.alias("__sim"))
+        .select(
+            "qid", "va", "vb",
+            F.expr(_MIC.format(c="__sim")).alias("sim_mic"),
+        )
+    )
+
+    w1 = Window.partitionBy("qid").orderBy(
+        F.col("rel_mic").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        cand.withColumn("__rr", F.row_number().over(w1))
+        .filter(F.col("__rr") == 1)
+        .select(
+            "qid",
+            "vec_id",
+            "rel_mic",
+            (F.lit(_MMR_REL_W) * F.col("rel_mic")).alias("score_mic"),
+            F.lit(1).alias("rnk"),
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        rem = cand.join(sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti")
+        scored = (
+            rem.join(
+                pw.withColumnRenamed("va", "vec_id"),
+                ["qid", "vec_id"],
+            )
+            .join(
+                sel.select("qid", F.col("vec_id").alias("vb")),
+                ["qid", "vb"],
+            )
+            .groupBy("qid", "vec_id", "rel_mic")
+            .agg(
+                (
+                    F.lit(_MMR_REL_W) * F.col("rel_mic")
+                    - F.lit(_MMR_DIV_W) * F.max("sim_mic")
+                ).alias("score_mic")
+            )
+        )
+        wr = Window.partitionBy("qid").orderBy(
+            F.col("score_mic").desc(), F.col("vec_id").asc()
+        )
+        nxt = (
+            scored.withColumn("__rr", F.row_number().over(wr))
+            .filter(F.col("__rr") == 1)
+            .select("qid", "vec_id", "rel_mic", "score_mic", F.lit(r).alias("rnk"))
+        )
+        sel = truncate_lineage(sel.unionByName(nxt))
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        F.col("rnk").cast("bigint").alias("mmr_rank"),
+        "vec_id",
+        "rel_mic",
+        F.col("score_mic").cast("bigint").alias("score_mic"),
+    )

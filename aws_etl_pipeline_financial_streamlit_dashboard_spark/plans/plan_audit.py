@@ -27,7 +27,7 @@ LINEAR_MARKERS = (
     "o_orderkey#",     # orders
     "l_orderkey#",     # lineitem
     "doc_id#",         # documents
-    "emb_id#",         # embeddings
+    "vec_id#",         # embeddings
 )
 _BOUNDING_NODES = ("GlobalLimit", "LocalLimit")
 

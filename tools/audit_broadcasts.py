@@ -34,17 +34,41 @@ ALLOWLIST = {
     "x70_robots_filter": (1, "robots rules (|hosts|-sized, documented in operators/web.py)"),
     "x73_token_budget_mix": (1, "per-source token budgets (|sources|-bounded)"),
     "x84_join_key_skew_profile": (1, "top-k hot-key frame (bounded k)"),
-    "x101_hybrid_rrf_retrieval": (1, "per-query rank frames (bounded query set)"),
+    "x101_hybrid_rrf_retrieval": (2, "per-query rank frames + cosine query side (bounded query set)"),
     # x104/x105 compose x30's eval-side broadcast (benchmark-sized) and
     # x47's per-source fraction frame; the audit entry forks the DAG per
     # stage, so the same two bounded hints recur once per downstream fork.
     "x104_corpus_pipeline_e2e": (3, "eval shingles (benchmark-sized) ×2 forks + mix fractions (|sources|)"),
     "x105_corpus_pipeline_audit": (8, "same two bounded hints across the 8 stage forks"),
-    # q16/q34's BROADCAST(cr) is size-guarded via catalog.dim_fits_broadcast
-    # (hint present only while customer fits the threshold) — the guard
-    # behavior itself is pinned by tests/test_broadcast_policy.py.
+    # q16/q34/q92/q93/q94: hints size-guarded via catalog.dim_fits_broadcast
+    # / maybe_broadcast_dim (present only while the base dim fits the
+    # threshold) — guard behavior pinned by tests/test_broadcast_policy.py.
     "q16_star_join_revenue": (1, "size-guarded via dim_fits_broadcast"),
     "q34_star_join_bucketed": (1, "size-guarded via dim_fits_broadcast"),
+    "q92_two_nation_volume": (2, "size-guarded via maybe_broadcast_dim"),
+    "q93_market_share": (2, "size-guarded via maybe_broadcast_dim"),
+    "q94_promo_revenue_share": (1, "size-guarded via maybe_broadcast_dim"),
+    # ANN / similarity family: the broadcast side is the QUERY or EVAL
+    # set — workload-bounded in production (the vec_id % k modulus
+    # sample is the testdata stand-in; the x30 eval-side discipline).
+    # x96 additionally ships the shard-and-OR fallback for eval sets
+    # that outgrow one broadcast. x10/x58's extra sites are the k
+    # k-means centroid frames (bounded by k).
+    "x09_cosine_topk": (1, "query side (workload-bounded)"),
+    "x10_ivf_topk": (6, "query side + k-means centroid frames (bounded k)"),
+    "x11_knn_join": (1, "query side (workload-bounded)"),
+    "x16_embedding_dup_pairs": (1, "blocked pair probe side (bounded block)"),
+    "x24_lsh_topk": (1, "query side (workload-bounded)"),
+    "x57_knn_label_propagation": (2, "query/labeled side (workload-bounded)"),
+    "x58_ivf_deterministic_topk": (3, "query side + centroid frames (bounded k)"),
+    "x59_lsh_deterministic_topk": (1, "query side (workload-bounded)"),
+    "x72_ann_recall_eval": (3, "query side ×3 rankers (workload-bounded)"),
+    "x74_matryoshka_recall": (3, "query side ×ranker pair (workload-bounded)"),
+    "x77_int8_recall": (3, "query side ×ranker pair (workload-bounded)"),
+    "x90_hard_negatives": (1, "query side (workload-bounded)"),
+    "x92_label_outliers": (1, "per-label centroid frame (bounded |labels|)"),
+    "x96_semantic_decontamination": (1, "eval side; shard-and-OR fallback shipped"),
+    "x98_anchor_positives": (1, "anchor side (workload-bounded)"),
 }
 
 
