@@ -1085,3 +1085,95 @@ def s18_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rate_ppm"
         ),
     )
+
+
+# ===========================================================================
+# s19 — streaming corpus pipeline (dedup → quality gate → rollup in-stream)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (  # noqa: E402
+    sql_token_count_duck as _s19_toks_duck,
+    token_count as _s19_token_count,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_pipeline import (  # noqa: E402
+    _SCORE_DUCK as _S19_SCORE_DUCK,  # x95's scoring fold, DuckDB rendering
+)
+
+_S19_ORACLE = f"""
+    WITH base AS (SELECT doc_id, source, text FROM documents),
+    ing AS (
+        SELECT doc_id, source, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source, text
+        FROM base WHERE doc_id % 13 = 0
+    ),
+    ded AS (
+        SELECT source, text
+        FROM (SELECT source, text, ROW_NUMBER() OVER (
+                  PARTITION BY md5(text) ORDER BY doc_id) AS __r
+              FROM ing)
+        WHERE __r = 1
+    ),
+    kept AS (SELECT source, text FROM ded WHERE {_S19_SCORE_DUCK} >= 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM({_s19_toks_duck('text')}) AS BIGINT) AS tokens_kept
+    FROM kept
+    GROUP BY source
+"""
+
+
+@register(
+    "s19_streaming_corpus_pipeline",
+    _S19_ORACLE,
+    doc="""The corpus pipeline's STREAMING leg — x104 proves the batch
+    stages compose as one lazy DAG; this entry proves the stateful
+    core of the same chain composes as ONE streaming query: a document
+    stream (file source, self-unioned with the re-crawl overlap so the
+    dedup state does real work) flows through streaming exact dedup
+    (dropDuplicates on the md5 fingerprint — 16 bytes of state per
+    distinct text, never the text) → x95's stateless quality-gate
+    filter (same weight literal and fold) → a per-source running
+    (kept docs, kept tokens) rollup in complete mode. Two chained
+    stateful operators in one query. The output is deterministic even
+    though streaming dedup keeps an ARBITRARY arrival per fingerprint:
+    duplicates share (source, text) by construction, so every
+    aggregate the query emits is winner-independent — which is exactly
+    the design rule for composing dedup into a streaming pipeline
+    (anything downstream may only depend on the deduped CONTENT, never
+    on surviving row identity).
+
+    Scale: dedup state is fingerprint-sized; on a live feed the same
+    query bounds it with dropDuplicatesWithinWatermark (s06's
+    horizon); the rollup state is |sources| rows; the gate is
+    stateless per-row codegen.""",
+)
+def s19_streaming_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+
+    def _src():
+        return (
+            spark.readStream.schema("doc_id bigint, source string, text string")
+            .format("parquet")
+            .load(glob)
+        )
+
+    base = _src()
+    recrawl = _src().filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "source", "text"
+    )
+    ded = (
+        base.unionByName(recrawl)
+        .withColumn("fingerprint", F.md5("text"))
+        .dropDuplicates(["fingerprint"])
+    )
+    kept = ded.filter(F.expr(f"({_X95_SCORE_SPARK}) >= 0"))
+    agg = kept.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs_kept"),
+        F.sum(_s19_token_count(F.col("text"))).cast("long").alias("tokens_kept"),
+    )
+    return _drain_to_memory(agg, "complete", "stream_pipeline")
