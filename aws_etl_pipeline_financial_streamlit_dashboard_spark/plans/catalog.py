@@ -894,6 +894,8 @@ _SAMPLER_FRONT_R8 = [
     "x104_corpus_pipeline_e2e", "x105_corpus_pipeline_audit",
     "x106_rag_chunking", "x107_mmr_rerank",
     "s19_streaming_corpus_pipeline",
+    "q96_product_type_profit", "q97_important_stock",
+    "q98_specialized_suppliers",
     # round-7 additions never drawn by a driver sample
     "x94_semantic_dedup", "x95_quality_classifier",
     "x96_semantic_decontamination", "x97_substring_dup_profile",

@@ -4278,3 +4278,260 @@ def q95_top_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_customers"),
         F.expr("CAST(SUM(cents) AS BIGINT)").alias("top_total_cents"),
     )
+
+
+# ===========================================================================
+# q96–q98 — fourth decision-support batch (TPC-H Q9/Q11/Q20 shapes,
+# re-keyed to this schema: no partsupp table, so cost/availability
+# derive from part.p_retailprice and shipped quantities — the JOIN
+# GRAPHS and subquery compositions are the point, and every measure is
+# exact integer micros/cents/deci-units).
+# ===========================================================================
+
+_Q96_PROFIT_MIC = (
+    "CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)"
+    " - 0.6 * p.p_retailprice * l.l_quantity) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_Q96_ORACLE = f"""
+    SELECT ns.n_name AS supp_nation,
+           STRFTIME(o.o_orderdate, '%Y') AS order_year,
+           CAST(SUM({_Q96_PROFIT_MIC}) AS BIGINT) AS profit_mic,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY ns.n_name, STRFTIME(o.o_orderdate, '%Y')
+"""
+
+
+@register(
+    "q96_product_type_profit",
+    _Q96_ORACLE,
+    doc="""TPC-H Q9 shape: profit on a product line (parts whose name
+    contains 'red') per supplier nation per order year — the
+    five-table join graph that touches BOTH fact-side dim chains plus
+    orders, with the profit measure spanning lineitem AND part columns
+    (here cost = 0.6·retailprice·qty, standing in for Q9's
+    ps_supplycost — no partsupp table in this schema). Per-line HALF_UP
+    micro quantization, then a bigint sum: order-independent exactly.
+
+    Scale: the p_name filter prunes part BEFORE its join (the q84
+    discipline — no broadcast hint, part scales linearly, threshold +
+    AQE decide); supplier folds to a (suppkey → nation) map the same
+    way; the one orderkey-keyed fact-fact exchange joins the
+    part-pruned lineitem sliver to orders; the rollup output is
+    |nations × years|.""",
+)
+def q96_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    smap = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        "CAST(FLOOR((l_extendedprice * (1 - l_discount)"
+        " - 0.6 * p_retailprice * l_quantity) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "supplier", smap),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "supp_nation",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(
+            F.expr(f"CAST(SUM({profit}) AS BIGINT)").alias("profit_mic"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )
+
+
+_Q97_VALUE_CENT = (
+    "SUM(CAST(FLOOR(p_retailprice * l_quantity * 100.0 + 0.5) AS BIGINT))"
+)
+
+_Q97_ORACLE = """
+    WITH v AS (
+        SELECT ns.n_name AS supp_nation, p.p_brand,
+               SUM(CAST(FLOOR(p.p_retailprice * l.l_quantity * 100.0 + 0.5)
+                   AS BIGINT)) AS value_cent
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        GROUP BY ns.n_name, p.p_brand
+    )
+    SELECT supp_nation, p_brand, CAST(value_cent AS BIGINT) AS value_cent
+    FROM v
+    WHERE 250 * value_cent > (SELECT SUM(value_cent) FROM v)
+"""
+
+
+@register(
+    "q97_important_stock",
+    _Q97_ORACLE,
+    doc="""TPC-H Q11 shape: the (supplier nation, brand) inventory
+    lines worth more than 0.4% of ALL shipped value — the HAVING-
+    against-a-scalar-subquery-over-the-same-aggregate composition
+    (Q15's argmax ranges over a derived view; this one gates on a
+    FRACTION of the view's own grand total). Value is exact integer
+    cents and the share gate is division-free cross-multiplication
+    (250·v > Σv — the q81/q88 discipline), so no float division can
+    flip a borderline group in either engine.
+
+    Spark states the de-correlation directly: ONE (nation, brand)
+    rollup, its 1-row grand total broadcast back (the q63/q85
+    1-row-combine), filter, done. Scale: one fact exchange for the
+    rollup; the gate compares |nations×brands| rows against one
+    number. 625 groups → 11 survivors at sf0.01 — the gate bites.""",
+)
+def q97_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    smap = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    v = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(maybe_broadcast_dim(spark, sf_dir, "part", p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "supplier", smap),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("supp_nation", "p_brand")
+        .agg(F.expr(_Q97_VALUE_CENT).alias("value_cent"))
+    )
+    tot = v.agg(F.expr("CAST(SUM(value_cent) AS BIGINT)").alias("__tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.expr("250 * value_cent > __tot"))
+        .select(
+            "supp_nation",
+            "p_brand",
+            F.expr("CAST(value_cent AS BIGINT)").alias("value_cent"),
+        )
+    )
+
+
+_Q98_ORACLE = f"""
+    WITH t AS (
+        SELECT l.l_suppkey,
+               CAST(SUM({_DECIQTY.replace("l_quantity", "l.l_quantity")})
+                   AS BIGINT) AS total_dq,
+               CAST(SUM(CASE WHEN p.p_name LIKE '%red%'
+                        THEN {_DECIQTY.replace("l_quantity", "l.l_quantity")}
+                        ELSE 0 END) AS BIGINT) AS red_dq
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation,
+           t.red_dq, t.total_dq
+    FROM t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE 6 * t.red_dq > t.total_dq
+"""
+
+
+@register(
+    "q98_specialized_suppliers",
+    _Q98_ORACLE,
+    doc="""TPC-H Q20 shape: suppliers whose 1998 shipments of the
+    'red' product line exceed a SIXTH of their total 1998 shipments
+    (~1.7x the product line's ~10% base rate; the naive half gate is
+    VACUOUS on this data — caught by the probe-two-scales protocol) —
+    Q20's
+    nested IN/EXISTS chain ("suppliers having availability above half
+    of what they shipped") de-correlated into ONE per-supplier
+    conditional aggregate: the inner correlated subquery becomes a
+    CASE'd sum beside the total (the q86/q93 rewrite), and the
+    survivors semi-join back to supplier/nation detail. Quantities are
+    exact deci-unit bigints; the share gate is division-free
+    (6·red > total).
+
+    Scale: the date filter prunes the fact at scan; one partkey join
+    against the name-filtered part side (un-hinted, q84 discipline);
+    one suppkey rollup exchange; the survivor join is
+    |suppliers|-sized with the aggregate side the build side under
+    AQE. Nation keeps its constant-size broadcast.""",
+)
+def q98_specialized_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.expr(
+                "l_shipdate >= TIMESTAMP '1998-01-01' "
+                "AND l_shipdate < TIMESTAMP '1999-01-01'"
+            )
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").like("%red%").alias("__red")
+    )
+    t = (
+        li.join(maybe_broadcast_dim(spark, sf_dir, "part", p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.expr(f"CAST(SUM({_DECIQTY}) AS BIGINT)").alias("total_dq"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN __red THEN {_DECIQTY} ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("red_dq"),
+        )
+        .filter(F.expr("6 * red_dq > total_dq"))
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        t.join(s, t.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "red_dq",
+            "total_dq",
+        )
+    )

@@ -59,6 +59,9 @@ _GUARDED = {
     "q92_two_nation_volume": 2,   # cmap (customer) + smap (supplier)
     "q93_market_share": 2,        # cust_in_r (customer) + smap (supplier)
     "q94_promo_revenue_share": 1, # part
+    "q96_product_type_profit": 1, # smap (supplier); part stays un-hinted
+    "q97_important_stock": 4,     # part + supplier, ×2 grand-total fork
+    "q98_specialized_suppliers": 1,  # part
 }
 
 
