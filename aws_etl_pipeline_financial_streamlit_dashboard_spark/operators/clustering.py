@@ -255,9 +255,13 @@ def _kmeans_cte_parts(
     id_col: str,
     vec_col: str,
     seed_mod: int,
+    prefix: str = "",
 ) -> tuple[list[str], str, str]:
     """CTE chain for the unrolled Lloyd rounds; returns (parts,
-    last-assignment CTE name, last-used-centroid CTE name)."""
+    last-assignment CTE name, last-used-centroid CTE name).
+    ``prefix`` namespaces every CTE so multiple chains (x108's four PQ
+    subspaces) can share one WITH block; callers after the first strip
+    the leading ``WITH `` from parts[0]."""
     q = (
         f"[CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
         f" FOR i IN range(1, {dim} + 1)]"
@@ -266,33 +270,34 @@ def _kmeans_cte_parts(
         f"list_sum([(p.xm[i] - c.cm[i]) * (p.xm[i] - c.cm[i])"
         f" FOR i IN range(1, len(p.xm) + 1)])"
     )
+    z = prefix
     parts = [
-        f"WITH pts AS (SELECT {id_col} AS pid, {q} AS xm FROM {table}),",
-        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) AS cell, {q} AS cm",
+        f"WITH {z}pts AS (SELECT {id_col} AS pid, {q} AS xm FROM {table}),",
+        f"{z}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) AS cell, {q} AS cm",
         f"       FROM (SELECT * FROM {table}",
         f"             ORDER BY {id_col} % {seed_mod}, {id_col} LIMIT {k})),",
     ]
     for it in range(n_iters):
         parts.append(
-            f"d{it} AS (SELECT p.pid, p.xm, c.cell, {d2} AS d2"
-            f" FROM pts p CROSS JOIN c{it} c),"
+            f"{z}d{it} AS (SELECT p.pid, p.xm, c.cell, {d2} AS d2"
+            f" FROM {z}pts p CROSS JOIN {z}c{it} c),"
         )
         parts.append(
-            f"a{it} AS (SELECT pid, xm, cell, d2 FROM ("
+            f"{z}a{it} AS (SELECT pid, xm, cell, d2 FROM ("
             f"SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, cell)"
-            f" AS rn FROM d{it}) WHERE rn = 1),"
+            f" AS rn FROM {z}d{it}) WHERE rn = 1),"
         )
         if it < n_iters - 1:
             parts.append(
-                f"s{it} AS (SELECT cell, t.range AS i,"
+                f"{z}s{it} AS (SELECT cell, t.range AS i,"
                 f" SUM(xm[CAST(t.range AS INT)]) AS s, COUNT(*) AS c"
-                f" FROM a{it}, range(1, {dim} + 1) t GROUP BY 1, 2),"
+                f" FROM {z}a{it}, range(1, {dim} + 1) t GROUP BY 1, 2),"
             )
             parts.append(
-                f"c{it + 1} AS (SELECT cell,"
-                f" list(s // c ORDER BY i) AS cm FROM s{it} GROUP BY cell),"
+                f"{z}c{it + 1} AS (SELECT cell,"
+                f" list(s // c ORDER BY i) AS cm FROM {z}s{it} GROUP BY cell),"
             )
-    return parts, f"a{n_iters - 1}", f"c{n_iters - 1}"
+    return parts, f"{z}a{n_iters - 1}", f"{z}c{n_iters - 1}"
 
 
 def ivf_oracle_sql(

@@ -895,7 +895,8 @@ _SAMPLER_FRONT_R8 = [
     "x106_rag_chunking", "x107_mmr_rerank",
     "s19_streaming_corpus_pipeline",
     "q96_product_type_profit", "q97_important_stock",
-    "q98_specialized_suppliers",
+    "q98_specialized_suppliers", "x108_pq_recall",
+    "x109_deletion_propagation",
     # round-7 additions never drawn by a driver sample
     "x94_semantic_dedup", "x95_quality_classifier",
     "x96_semantic_decontamination", "x97_substring_dup_profile",

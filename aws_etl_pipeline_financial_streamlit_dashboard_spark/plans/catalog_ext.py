@@ -2283,3 +2283,145 @@ def x101_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_mic").desc(), F.col("doc_id")).limit(
         _X101_K_OUT
     )
+
+
+# ===========================================================================
+# x108 — product-quantization recall (completes the index-eval ladder)
+# ===========================================================================
+
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (4 × 16 = the 64-dim corpus)
+_PQ_KC = 8         # codewords per subspace codebook
+_PQ_ITERS = 2
+_PQ_SEED_MOD = 9973
+_PQ_MOD, _PQ_K = 29, 10
+
+
+def _x108_oracle() -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _kmeans_cte_parts,
+    )
+
+    ctes, recode = [], []
+    for m in range(_PQ_M):
+        lo = 1 + m * _PQ_SUBDIM
+        hi = (m + 1) * _PQ_SUBDIM
+        ctes.append(
+            f"sub{m} AS (SELECT vec_id,"
+            f" list_slice(embedding, {lo}, {hi}) AS embedding"
+            f" FROM embeddings),"
+        )
+        parts, a_last, c_last = _kmeans_cte_parts(
+            f"sub{m}", _PQ_KC, _PQ_ITERS, _PQ_SUBDIM,
+            "vec_id", "embedding", _PQ_SEED_MOD, prefix=f"p{m}_",
+        )
+        parts[0] = parts[0].replace("WITH ", "", 1)  # one WITH for all
+        ctes.extend(parts)
+        ctes.append(
+            f"r{m} AS (SELECT a.pid, c.cm AS cm{m} FROM {a_last} a"
+            f" JOIN {c_last} c USING (cell)),"
+        )
+        recode.append(f"r{m}")
+    chains = "\n    ".join(ctes)
+    cos_ap = S.duckdb_cosine_sql("e.rv", "q.qv")
+    return f"""
+    WITH {chains}
+    recon AS (
+        SELECT r0.pid AS vec_id,
+               [CAST(x AS DOUBLE) / 1000000.0
+                FOR x IN (r0.cm0 || r1.cm1 || r2.cm2 || r3.cm3)] AS rv
+        FROM r0
+        JOIN r1 ON r0.pid = r1.pid
+        JOIN r2 ON r0.pid = r2.pid
+        JOIN r3 ON r0.pid = r3.pid
+    ),
+    {_exact_gt_ctes(_PQ_MOD, _PQ_K)},
+    pq AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % {_PQ_MOD} = 1),
+    ps AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  {cos_ap} AS cosine_sim
+           FROM recon e, pq q WHERE e.vec_id <> q.query_id),
+    prk AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rn
+            FROM ps),
+    pq_k AS (SELECT query_id, neighbor_id FROM prk WHERE rn <= {_PQ_K})
+    {_recall_tail_sql('pq_k')}
+"""
+
+
+@register(
+    "x108_pq_recall",
+    _x108_oracle(),
+    doc="""Product-quantization recall@10 — the fourth leg of the
+    index-eval ladder: x72 prices an approximate INDEX (LSH), x74
+    lossy DIMENSIONS (matryoshka truncation), x77 lossy PRECISION
+    (int8); this one prices lossy CODEBOOKS: the 64-dim corpus splits
+    into 4×16-dim subspaces, each subspace learns an 8-codeword
+    codebook (x51's deterministic integer-micro k-means, per
+    subspace), every vector is replaced by its 4 reconstructed
+    codewords (the 32-bit code a PQ index actually stores — 64× 
+    smaller than float32), and exact cosine search over the
+    RECONSTRUCTIONS is scored against the float ground truth. Shares
+    the triad's verbatim ground-truth CTEs and recall tail, so all
+    four evals can never drift on the convention; every recall value
+    hash-checks because codebooks, codes, and reconstructions are all
+    deterministic integers.
+
+    Scale: codebook training is 4 independent k-means over 16-dim
+    sub-vectors (cheaper than one 64-dim clustering); encoding is an
+    8-way broadcast argmin per subspace; the recall eval runs on a
+    mod-hash query SAMPLE — the production acceptance gate before
+    shipping a PQ index.""",
+)
+def x108_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _kmeans_core,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    recon = None
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", 1 + m * _PQ_SUBDIM, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        assigned, cents = _kmeans_core(
+            sub, _PQ_KC, _PQ_ITERS, _PQ_SUBDIM,
+            "vec_id", "embedding", _PQ_SEED_MOD,
+        )
+        r = assigned.select("pid", "cell").join(
+            F.broadcast(cents.withColumnRenamed("cm", f"cm{m}")), "cell"
+        ).select("pid", f"cm{m}")
+        recon = r if recon is None else recon.join(r, "pid")
+    recon = recon.select(
+        F.col("pid").alias("vec_id"),
+        F.expr(
+            "transform(concat(cm0, cm1, cm2, cm3),"
+            " x -> CAST(x AS DOUBLE) / 1000000.0)"
+        ).alias("__cvec"),
+    )
+
+    exact = _exact_topk_spark(emb, _PQ_MOD, _PQ_K, 64)
+
+    qv = emb.filter(F.col("vec_id") % _PQ_MOD == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    q2, c2, sim = S._pairwise_sim(qv, recon, 64)
+    sims = (
+        c2.crossJoin(F.broadcast(q2))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+    )
+    approx = grouped_topk(
+        sims,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+        _PQ_K,
+        rank_col="__rn",
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, approx, _PQ_K)

@@ -358,3 +358,165 @@ def x107_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_mic",
         F.col("score_mic").cast("bigint").alias("score_mic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x109 — deletion propagation (right-to-be-forgotten cascade audit)
+# ---------------------------------------------------------------------------
+
+# the deletion request list: a deterministic id subset standing in for
+# the user-supplied takedown set (the x30/x96 eval-slice discipline)
+_DEL_MOD = 89
+
+_X109_ORACLE = f"""
+    WITH dl AS (SELECT doc_id FROM documents WHERE doc_id % {_DEL_MOD} = 0),
+    ch AS (
+        SELECT doc_id, chunk_ix FROM (
+            SELECT doc_id, n,
+                   unnest([i FOR i IN range(0,
+                       CASE WHEN n <= {_CHUNK_W} THEN 0
+                            ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                       END + 1)]) AS chunk_ix
+            FROM (SELECT doc_id, {_TOKS_DUCK} AS n FROM documents))
+    ),
+    pk AS (
+        SELECT t.chunk_id, doc_id
+        FROM (SELECT doc_id, n_toks, st, st + n_toks AS en,
+                     CAST(FLOOR(CAST(st AS DOUBLE) / 512.0) AS BIGINT) AS c0,
+                     CAST(FLOOR(CAST(en - 1 AS DOUBLE) / 512.0) AS BIGINT) AS c1
+              FROM (SELECT doc_id, n_toks,
+                           SUM(n_toks) OVER (
+                               ORDER BY {{rank}}, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks AS st
+                    FROM (SELECT doc_id, {_TOKS_DUCK} + 1 AS n_toks
+                          FROM documents))),
+        UNNEST([i FOR i IN range(c0, c1 + 1)]) AS t(chunk_id)
+    ),
+    audit AS (
+        SELECT 0 AS ord, 'documents' AS artifact,
+               (SELECT COUNT(*) FROM documents) AS rows_before,
+               (SELECT COUNT(*) FROM documents d JOIN dl USING (doc_id))
+                   AS rows_removed
+        UNION ALL
+        SELECT 1, 'rag_chunks',
+               (SELECT COUNT(*) FROM ch),
+               (SELECT COUNT(*) FROM ch JOIN dl USING (doc_id))
+        UNION ALL
+        SELECT 2, 'packed_membership',
+               (SELECT COUNT(*) FROM pk),
+               (SELECT COUNT(*) FROM pk JOIN dl USING (doc_id))
+        UNION ALL
+        SELECT 3, 'embeddings',
+               (SELECT COUNT(*) FROM embeddings),
+               (SELECT COUNT(*) FROM embeddings e JOIN dl
+                ON e.vec_id = dl.doc_id)
+    )
+    SELECT CAST(ord AS BIGINT) AS ord, artifact,
+           CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_removed AS BIGINT) AS rows_removed,
+           CAST(rows_before - rows_removed AS BIGINT) AS rows_after
+    FROM audit
+""".format(rank="((doc_id % 2147483648) * 2654435761) % 4294967296")
+
+
+@register(
+    "x109_deletion_propagation",
+    _X109_ORACLE,
+    doc="""Deletion-propagation audit (right-to-be-forgotten): given a
+    takedown list (doc_id % 89 — the deterministic stand-in for a
+    user-supplied id set), count the rows every DERIVED artifact must
+    drop — the raw documents, their x106 RAG chunks, their x81 packed
+    training-window memberships, and the aligned embedding rows — and
+    the surviving counts. This is the audit a compliance pipeline logs
+    before and after executing a cascade delete: derived artifacts
+    (chunk stores, packed shards, vector indexes) all reference
+    doc-keyed rows, and a deletion that only touches the source table
+    silently leaks the content through every one of them.
+
+    Spark side: the deletion list stays a frame end to end — each
+    artifact's removed-count is a semi-join aggregate (16-byte key
+    shuffle at most; the dl side broadcasts under the threshold), the
+    actual delete being the same anti-join (x30's drop shape). Scale:
+    |dl| is takedown-sized; chunks/pack derive lazily (no
+    materialized artifact needed to AUDIT one); four bounded
+    aggregates union into the report.""",
+)
+def x109_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
+        token_count,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (
+        CRAWL_RANK_SQL,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.filter(F.col("doc_id") % _DEL_MOD == 0).select("doc_id")
+
+    n = token_count(F.col("text")).cast("bigint")
+    ch = (
+        docs.select("doc_id", n.alias("n"))
+        .withColumn(
+            "__extra",
+            F.expr(
+                f"CASE WHEN n <= {_CHUNK_W} THEN CAST(0 AS BIGINT)"
+                f" ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("__extra"))
+            ).alias("chunk_ix"),
+        )
+    )
+    pd_ = docs.select("doc_id", (n + 1).alias("n_toks"))
+    pc = pd_.select(
+        "doc_id",
+        "n_toks",
+        (
+            F.expr(
+                f"SUM(n_toks) OVER (ORDER BY {CRAWL_RANK_SQL}, doc_id"
+                " ROWS UNBOUNDED PRECEDING)"
+            )
+            - F.col("n_toks")
+        ).alias("st"),
+    )
+    pk = pc.selectExpr(
+        "doc_id",
+        "st",
+        "st + n_toks AS en",
+        "CAST(FLOOR(CAST(st AS DOUBLE) / 512.0) AS BIGINT) AS c0",
+        "CAST(FLOOR(CAST(en - 1 AS DOUBLE) / 512.0) AS BIGINT) AS c1",
+    ).select(
+        F.explode(F.sequence("c0", "c1")).alias("chunk_id"), "doc_id"
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    def audit(ord_: int, artifact: str, frame, key: str):
+        removed = frame.join(
+            dl.withColumnRenamed("doc_id", key), key, "left_semi"
+        )
+        return (
+            frame.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("rows_before"))
+            .crossJoin(
+                removed.agg(
+                    F.expr("CAST(COUNT(*) AS BIGINT)").alias("rows_removed")
+                )
+            )
+            .select(
+                F.lit(ord_).cast("bigint").alias("ord"),
+                F.lit(artifact).alias("artifact"),
+                "rows_before",
+                "rows_removed",
+                (F.col("rows_before") - F.col("rows_removed")).alias(
+                    "rows_after"
+                ),
+            )
+        )
+
+    out = audit(0, "documents", docs.select("doc_id"), "doc_id")
+    out = out.unionByName(audit(1, "rag_chunks", ch, "doc_id"))
+    out = out.unionByName(audit(2, "packed_membership", pk, "doc_id"))
+    out = out.unionByName(audit(3, "embeddings", emb, "vec_id"))
+    return out
