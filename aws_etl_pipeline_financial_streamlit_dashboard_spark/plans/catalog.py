@@ -868,6 +868,7 @@ _Q17_SPARK_SQL = f"""
 # Extension + streaming catalog entries register on import.
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa: E402,F401
     catalog_ext,
+    catalog_feats,
     catalog_fin,
     catalog_llm,
     catalog_more,
@@ -897,6 +898,7 @@ _SAMPLER_FRONT_R8 = [
     "q96_product_type_profit", "q97_important_stock",
     "q98_specialized_suppliers", "x108_pq_recall",
     "x109_deletion_propagation",
+    "x110_loo_target_encoding", "x111_event_transition_matrix",
     # round-7 additions never drawn by a driver sample
     "x94_semantic_dedup", "x95_quality_classifier",
     "x96_semantic_decontamination", "x97_substring_dup_profile",
