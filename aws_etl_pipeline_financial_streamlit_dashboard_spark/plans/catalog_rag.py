@@ -245,8 +245,10 @@ def _x107_oracle() -> str:
     Scale: the candidate pool bounds everything — relevance is the
     x09 broadcast-queries brute-force shape (grouped_topk two-phase
     cut), the pairwise-sim matrix is |Q|·20·19 rows, and each greedy
-    round is bounded joins over those frames; the corpus is touched
-    exactly once. The candidate/pairwise frames and each round's
+    round is bounded joins over those frames; the corpus feeds one
+    brute-force relevance pass plus two candidate-keyed vector
+    lookups (|Q|·20 keys each — at scale these become index gets, not
+    scans). The candidate/pairwise frames and each round's
     selection are lineage-truncated (localCheckpoint — the x80
     per-round discipline): without it the round-r plan embeds the
     64-term unrolled cosine tree 2^r times and Catalyst itself OOMs
