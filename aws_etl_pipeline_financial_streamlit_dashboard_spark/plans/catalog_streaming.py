@@ -1177,3 +1177,111 @@ def s19_streaming_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(_s19_token_count(F.col("text"))).cast("long").alias("tokens_kept"),
     )
     return _drain_to_memory(agg, "complete", "stream_pipeline")
+
+
+# ===========================================================================
+# s20 — streaming RAG chunk ingestion (x106's chunker in-stream)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_rag import (  # noqa: E402
+    _CHUNK_S as _S20_S,
+    _CHUNK_W as _S20_W,
+    _TOKS_DUCK as _S20_TOKS,
+)
+
+_S20_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+               {_S20_TOKS} AS n
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, w, n,
+               CASE WHEN n <= {_S20_W} THEN 0
+                    ELSE (n - {_S20_W} + {_S20_S} - 1) // {_S20_S}
+               END AS n_extra
+        FROM d
+    ),
+    c AS (
+        SELECT doc_id, w, n,
+               unnest([i FOR i IN range(0, n_extra + 1)]) AS chunk_ix
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(1 + chunk_ix * {_S20_S} AS BIGINT) AS start_tok,
+           CAST(GREATEST(LEAST({_S20_W},
+                               n - (1 + chunk_ix * {_S20_S}) + 1), 0)
+                AS BIGINT) AS n_toks_in_chunk,
+           COALESCE(array_to_string(
+               w[(1 + chunk_ix * {_S20_S}):
+                 (chunk_ix * {_S20_S}
+                  + GREATEST(LEAST({_S20_W},
+                                   n - (1 + chunk_ix * {_S20_S}) + 1), 0))],
+               ' '), '') AS chunk_text
+    FROM c
+"""
+
+
+@register(
+    "s20_streaming_rag_chunking",
+    _S20_ORACLE,
+    doc="""x106's RAG chunker run as a REAL append-mode streaming
+    query — the ingestion leg of a live retrieval index: newly crawled
+    documents stream in (file source) and each emits its 64/48
+    sliding-window chunks downstream, including chunk TEXT. The
+    transform is a stateless narrow map (tokenize → integer chunk
+    arithmetic → explode → slice), so it is trigger-agnostic: the
+    AvailableNow drain equals x106's batch output minus the batch
+    entry's seeded empty document (a file stream replays files, not
+    synthetic unions), which is exactly what the oracle checks.
+
+    Scale: zero streaming state — chunk emission parallelizes with
+    the source's file partitioning; on a live feed the same query
+    feeds the embedding stage via foreachBatch (the s08 sink shape)
+    with no watermark needed (nothing aggregates).""",
+)
+def s20_streaming_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .format("parquet")
+        .load(glob)
+    )
+    d = stream.select(
+        "doc_id",
+        F.expr(r"split(trim(text), '\\s+')").alias("w"),
+        F.expr(
+            "CASE WHEN trim(text) = '' THEN 0"
+            r" ELSE size(split(trim(text), '\\s+')) END"
+        ).cast("bigint").alias("n"),
+    ).withColumn(
+        "n_extra",
+        F.expr(
+            f"CASE WHEN n <= {_S20_W} THEN CAST(0 AS BIGINT)"
+            f" ELSE (n - {_S20_W} + {_S20_S} - 1) div {_S20_S} END"
+        ),
+    )
+    c = d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_extra"))).alias(
+            "chunk_ix"
+        ),
+    )
+    start = f"(1 + chunk_ix * {_S20_S})"
+    ln = f"GREATEST(LEAST({_S20_W}, n - {start} + 1), CAST(0 AS BIGINT))"
+    chunks = c.selectExpr(
+        "doc_id",
+        "CAST(chunk_ix AS BIGINT) AS chunk_ix",
+        f"CAST({start} AS BIGINT) AS start_tok",
+        f"CAST({ln} AS BIGINT) AS n_toks_in_chunk",
+        f"array_join(slice(w, CAST({start} AS INT), CAST({ln} AS INT)), ' ')"
+        " AS chunk_text",
+    )
+    return _drain_to_memory(chunks, "append", "stream_chunks")
