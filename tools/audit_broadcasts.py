@@ -36,6 +36,7 @@ ALLOWLIST = {
     "x84_join_key_skew_profile": (1, "top-k hot-key frame (bounded k)"),
     "x101_hybrid_rrf_retrieval": (2, "per-query rank frames + cosine query side (bounded query set)"),
     "x108_pq_recall": (3, "PQ codebooks (bounded 8 codewords/subspace) + query side"),
+    "x110_loo_target_encoding": (1, "per-category label rollup (|categories|-bounded)"),
     # x104/x105 compose x30's eval-side broadcast (benchmark-sized) and
     # x47's per-source fraction frame; the audit entry forks the DAG per
     # stage, so the same two bounded hints recur once per downstream fork.
