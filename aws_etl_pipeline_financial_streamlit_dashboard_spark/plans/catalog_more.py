@@ -4535,3 +4535,80 @@ def q98_specialized_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_dq",
         )
     )
+
+
+# ===========================================================================
+# q99 — TPC-H Q16 shape (completes the 22-shape TPC-H sweep)
+# ===========================================================================
+
+_Q99_ORACLE = """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "q99_supplier_part_counts",
+    _Q99_ORACLE,
+    doc="""TPC-H Q16 shape — the last of the 22 TPC-H query shapes
+    (the supplier↔part relationship rides the DISTINCT
+    (partkey, suppkey) pairs of lineitem; no partsupp table in this
+    schema): distinct-supplier counts per (brand, type, size) for a
+    size IN-list, EXCLUDING a supplier denylist via NOT IN (suppliers
+    with s_acctbal < 1000 stand in for Q16's complaints predicate —
+    live at BOTH probe scales, 1/10 and 15/100 suppliers). The oracle
+    keeps the NOT IN text; the Spark side states the de-correlation: a
+    left_anti join against the denylist keys (null-safe here — keys
+    are non-null — and q50 pins the NOT-IN-with-NULLs semantics
+    family-wide).
+
+    Scale: the pair-DISTINCT collapses lineitem to its (part,
+    supplier) relationship BELOW every join (Q16's defining cost — the
+    distinct is the fact-sized step, one 16-byte-pair exchange); the
+    part predicates prune at scan and the filtered part side joins
+    under the size guard; the denylist anti-join carries bare keys;
+    COUNT(DISTINCT) per group runs Catalyst's two-phase distinct
+    aggregate over the already-distinct pairs.""",
+)
+def q99_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    deny = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            F.expr(
+                "p_brand <> 'Brand#1' AND p_type <> 'PROMO'"
+                " AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)"
+            )
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(deny, pairs.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(
+            maybe_broadcast_dim(spark, sf_dir, "part", p),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)").alias(
+                "supplier_cnt"
+            )
+        )
+    )

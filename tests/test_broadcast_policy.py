@@ -62,6 +62,7 @@ _GUARDED = {
     "q96_product_type_profit": 1, # smap (supplier); part stays un-hinted
     "q97_important_stock": 4,     # part + supplier, ×2 grand-total fork
     "q98_specialized_suppliers": 1,  # part
+    "q99_supplier_part_counts": 1,  # part (size IN-list slice)
 }
 
 

@@ -53,6 +53,7 @@ ALLOWLIST = {
     "q96_product_type_profit": (1, "size-guarded via maybe_broadcast_dim"),
     "q97_important_stock": (4, "size-guarded ×2 (part+supplier), doubled by the grand-total fork"),
     "q98_specialized_suppliers": (1, "size-guarded via maybe_broadcast_dim"),
+    "q99_supplier_part_counts": (1, "size-guarded via maybe_broadcast_dim"),
     # ANN / similarity family: the broadcast side is the QUERY or EVAL
     # set — workload-bounded in production (the vec_id % k modulus
     # sample is the testdata stand-in; the x30 eval-side discipline).
