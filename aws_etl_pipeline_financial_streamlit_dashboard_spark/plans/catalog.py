@@ -900,6 +900,7 @@ _SAMPLER_FRONT_R8 = [
     "x109_deletion_propagation",
     "x110_loo_target_encoding", "x111_event_transition_matrix",
     "s20_streaming_rag_chunking", "q99_supplier_part_counts",
+    "x112_memorization_score",
     # round-7 additions never drawn by a driver sample
     "x94_semantic_dedup", "x95_quality_classifier",
     "x96_semantic_decontamination", "x97_substring_dup_profile",

@@ -3616,3 +3616,103 @@ def x103_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)"
         ).alias("padding_waste"),
     )
+
+
+# ===========================================================================
+# x112 — memorization / novelty scoring of generations vs the corpus
+# ===========================================================================
+
+_X112_SH5 = (
+    "list_distinct([array_to_string(w[i:i+4], ' ')"
+    " FOR i IN range(1, GREATEST(len(w)-4, 1) + 1)])"
+)
+
+_X112_ORACLE = rf"""
+    WITH g AS (
+        SELECT doc_id, {_X112_SH5} AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 97 = 0)
+    ),
+    corp AS (
+        SELECT DISTINCT unnest({_X112_SH5}) AS s
+        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 97 <> 0)
+    ),
+    ge AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS s FROM g)
+    SELECT doc_id,
+           CAST(ANY_VALUE(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen,
+           CAST((1000000 * (ANY_VALUE(n_grams)
+                 - SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)))
+                // ANY_VALUE(n_grams) AS BIGINT) AS novelty_ppm
+    FROM ge LEFT JOIN corp c USING (s)
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "x112_memorization_score",
+    _X112_ORACLE,
+    doc="""Memorization / novelty scoring — the post-training eval that
+    closes the loop the decontamination tier opens: for each MODEL
+    GENERATION (the doc_id % 97 slice stands in for sampled outputs,
+    the same stand-in convention as x30's benchmark), the share of its
+    distinct 5-gram shingles that appear ANYWHERE in the training
+    corpus; novelty_ppm = exact-integer share of UNSEEN grams. Distinct
+    from x97 (within-corpus duplication, any OTHER doc) and x30 (binary
+    contamination flag): this is the graded memorization rate run on
+    generations, the Carlini-style extraction diagnostic. The sf0.001
+    probe exhibits a fully-memorized generation (19/19 grams seen) and
+    sf0.01 a 1-gram partial hit, so both regimes are oracle-covered.
+
+    Scale — the join DIRECTION is the whole design: the generation set
+    is sample-sized and BROADCASTS; the corpus's exploded gram stream
+    is filtered against it IN PLACE (left-semi against the broadcast),
+    so the only exchange after the scan carries matched grams — a set
+    bounded by |generation grams|, never corpus-sized. The corpus is
+    read once, shuffled never (the x30 eval-side discipline with the
+    big/small roles reversed).""",
+)
+def x112_memorization_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        fan_out,
+        word_shingles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gens = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    g = gens.select(
+        "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+    ).select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_grams"),
+        F.explode("sh").alias("s"),
+    )
+    gen_grams = g.select("s").distinct()
+    matched = (
+        fan_out(corpus)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("s"))
+        .join(F.broadcast(gen_grams), "s", "left_semi")
+        .distinct()
+    )
+    return (
+        g.join(F.broadcast(matched.withColumn("__hit", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(ANY_VALUE(n_grams) AS BIGINT)").alias("n_grams"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __hit IS NOT NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            F.expr(
+                "CAST((1000000 * (n_grams - n_seen)) div n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -37,6 +37,7 @@ ALLOWLIST = {
     "x101_hybrid_rrf_retrieval": (2, "per-query rank frames + cosine query side (bounded query set)"),
     "x108_pq_recall": (3, "PQ codebooks (bounded 8 codewords/subspace) + query side"),
     "x110_loo_target_encoding": (1, "per-category label rollup (|categories|-bounded)"),
+    "x112_memorization_score": (2, "generation-side gram set + matched-gram set (both generation-sample-bounded)"),
     # x104/x105 compose x30's eval-side broadcast (benchmark-sized) and
     # x47's per-source fraction frame; the audit entry forks the DAG per
     # stage, so the same two bounded hints recur once per downstream fork.
