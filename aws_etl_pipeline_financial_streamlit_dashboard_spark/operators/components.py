@@ -28,7 +28,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lineage import truncate_lineage
+from .lineage import CheckpointRotator, truncate_lineage
 
 
 def connected_components(
@@ -68,7 +68,13 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    labels = truncate_lineage(labels, reliable)
+    # the per-round label state ROTATES: round N's durable checkpoint
+    # makes round N-1's files dead, so the rotator deletes them — a
+    # HARD ≤2-live-rounds footprint bound instead of the best-effort
+    # ContextCleaner path (ADVICE r8). sym is loop-invariant and
+    # checkpointed once outside the rotation.
+    rot = CheckpointRotator(labels, reliable)
+    labels = rot.rotate(labels)
     sym = truncate_lineage(sym, reliable)
 
     label_type = labels.schema["label"].dataType
@@ -83,12 +89,11 @@ def connected_components(
             F.col("label"),
             F.lit(None).cast(label_type).alias("old"),
         )
-        new_labels = truncate_lineage(
+        new_labels = rot.rotate(
             labels.select("node", "label", F.col("label").alias("old"))
             .union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("old").alias("old")),
-            reliable,
         )
         labels = new_labels.select("node", "label")
         if probe_convergence:
@@ -141,7 +146,10 @@ def connected_components_star(
         )
         .distinct()
     )
-    e = truncate_lineage(e, reliable)
+    # per-round edge state rotates (hard ≤2-live-rounds checkpoint
+    # footprint — see connected_components / lineage.CheckpointRotator)
+    rot = CheckpointRotator(e, reliable)
+    e = rot.rotate(e)
     prev_sig = None
     converged = False
     for _ in range(max_iter):
@@ -165,11 +173,10 @@ def connected_components_star(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
         attach_self = mins2.select("u", F.col("m").alias("v"))
-        e2 = truncate_lineage(
+        e2 = rot.rotate(
             attach_nbrs.union(attach_self)
             .filter(F.col("u") != F.col("v"))
             .distinct(),
-            reliable,
         )
         # Fixed-point probe: (count, two INDEPENDENT order-free hash
         # sums) of the edge set. One xxhash64 sum alone has a ~2⁻⁶⁴

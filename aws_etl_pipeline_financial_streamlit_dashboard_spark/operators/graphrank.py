@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .lineage import truncate_lineage
+from .lineage import CheckpointRotator, truncate_lineage
 
 DAMP_US = 850_000  # 0.85 damping in micro-units
 BASE_US = 150_000  # (1 - 0.85)
@@ -73,9 +73,13 @@ def pagerank_int(
     degrees = sym.groupBy("u").agg(F.count("*").alias("deg"))
     out = truncate_lineage(sym.join(degrees, "u"), reliable)
 
-    ranks = truncate_lineage(
-        degrees.select("u", F.lit(MICRO).cast("long").alias("rank_us")),
-        reliable,
+    # per-round rank state rotates: round N's durable checkpoint makes
+    # round N-1's files dead, so they are deleted immediately — hard
+    # ≤2-live-rounds footprint (lineage.CheckpointRotator, ADVICE r8).
+    # sym/out are loop-invariant and stay checkpointed for the loop.
+    rot = CheckpointRotator(degrees, reliable)
+    ranks = rot.rotate(
+        degrees.select("u", F.lit(MICRO).cast("long").alias("rank_us"))
     )
 
     for _ in range(iterations):
@@ -105,7 +109,7 @@ def pagerank_int(
                 ).alias("rank_us"),
             )
         )
-        ranks = truncate_lineage(ranks, reliable)
+        ranks = rot.rotate(ranks)
     return ranks.select(F.col("u").alias("node"), "rank_us")
 
 

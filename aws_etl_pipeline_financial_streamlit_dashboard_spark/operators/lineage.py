@@ -29,10 +29,15 @@ operator now exposes (VERDICT r6 item 2):
   ``max_iter`` full copies of the frame in the checkpoint dir, and
   they would OUTLIVE the job. The house session (session.py) sets the
   flag, so each round's files are deleted once the loop drops the
-  round's reference (the ContextCleaner fires on driver GC; bounded at
-  ~2 live rounds in steady state). On a foreign session, either set
-  the same flag before the context starts or clean
-  ``getCheckpointDir()`` after the job.
+  round's reference. That bound is BEST-EFFORT, not guaranteed: the
+  ContextCleaner only fires when Python GC releases the py4j handle
+  AND Py4J's periodic cleanup forwards the release to the JVM, so
+  between collections the dir can hold more than the steady-state ~2
+  live rounds (ADVICE r8). For a hard bound, an iterative loop can
+  delete the previous round's checkpoint path itself once the next
+  round's checkpoint is materialized (eager=True makes that safe); on
+  a foreign session, either set the same flag before the context
+  starts or clean ``getCheckpointDir()`` after the job.
 
 See docs/SCALE.md "Lineage truncation and executor loss".
 """
@@ -63,3 +68,73 @@ def truncate_lineage(
             "before running this operator"
         )
     return df.checkpoint(eager=eager)
+
+
+class CheckpointRotator:
+    """HARD-bounds an iterative loop's durable-checkpoint footprint.
+
+    The ContextCleaner path above is best-effort (driver GC + Py4J
+    cleanup timing); an iterative operator that rotates ONE loop-state
+    frame per round can do better: round N's ``checkpoint(eager=True)``
+    fully materializes the data, after which round N-1's files are
+    unreadable by anything derived from the returned frame — so we
+    delete them immediately. At any instant at most TWO rotated rounds
+    coexist (round N during its write, round N-1 until the delete that
+    follows), regardless of GC.
+
+    Only the ROTATED chain is bounded this way; loop-invariant frames
+    (the symmetric edge closure, degree joins) are checkpointed once
+    via :func:`truncate_lineage` outside the rotator and live for the
+    whole loop. Frames a caller keeps (e.g. BPE's per-round outputs)
+    must NOT be rotated — deletion would break them.
+
+    New-checkpoint detection diffs the ``rdd-*`` entries of the
+    context's checkpoint dir through the Hadoop FileSystem API (works
+    on HDFS/S3/local alike); that makes the rotator single-threaded-
+    driver-loop only, which is what every iterative operator here is.
+
+    ``reliable=False`` degrades to plain :func:`truncate_lineage`
+    (localCheckpoint blocks are executor-memory/disk-managed and
+    evicted by Spark itself), so operators can call ``rotate``
+    unconditionally.
+    """
+
+    def __init__(self, df_or_spark, reliable: bool = True) -> None:
+        spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+        self._reliable = reliable
+        self._prev: list[str] = []
+        self.high_water = 0  # max rdd-dirs observed live after a rotate
+        if not reliable:
+            return
+        sc = spark.sparkContext
+        jdir = sc._jsc.sc().getCheckpointDir()
+        if jdir.isEmpty():
+            raise ValueError(
+                "CheckpointRotator needs a durable checkpoint directory: "
+                "call spark.sparkContext.setCheckpointDir(...) first"
+            )
+        jvm = sc._jvm
+        self._jpath_cls = jvm.org.apache.hadoop.fs.Path
+        self._root = self._jpath_cls(jdir.get())
+        self._fs = self._root.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def _rdd_dirs(self) -> set[str]:
+        if not self._fs.exists(self._root):
+            return set()
+        return {
+            st.getPath().toString()
+            for st in self._fs.listStatus(self._root)
+            if st.getPath().getName().startswith("rdd-")
+        }
+
+    def rotate(self, df: DataFrame) -> DataFrame:
+        if not self._reliable:
+            return truncate_lineage(df, reliable=False)
+        before = self._rdd_dirs()
+        out = truncate_lineage(df, reliable=True, eager=True)
+        created = self._rdd_dirs() - before
+        for p in self._prev:
+            self._fs.delete(self._jpath_cls(p), True)
+        self._prev = sorted(created)
+        self.high_water = max(self.high_water, len(self._rdd_dirs()))
+        return out

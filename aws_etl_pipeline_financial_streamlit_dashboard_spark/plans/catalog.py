@@ -761,10 +761,16 @@ def q16_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linearly with SF, so the hard hint holds exactly while the fold
     # provably fits the threshold and disappears at 100×.
     _sgv(spark, sf_dir)
-    sql = _Q16_SPARK_SQL
-    if not dim_fits_broadcast(spark, sf_dir, "customer"):
-        sql = sql.replace(", BROADCAST(cr)", "")
-    return spark.sql(sql)
+    # hint clause built programmatically (ADVICE r8: the previous
+    # post-hoc string replace of ", BROADCAST(cr)" would silently
+    # no-op — re-pinning the unconditional broadcast — if the hint
+    # block's spacing ever changed); q16 and q34 share one mechanism
+    cr_hint = (
+        ", BROADCAST(cr)"
+        if dim_fits_broadcast(spark, sf_dir, "customer")
+        else ""
+    )
+    return spark.sql(_q16_sql(cr_hint))
 
 
 _Q16_E = "(l_extendedprice * (1 - l_discount))"
@@ -787,7 +793,11 @@ _Q16_CUST_REGION = """
         JOIN sg_region r ON n.n_regionkey = r.r_regionkey
     )
 """
-_Q16_SPARK_SQL = f"""
+def _q16_sql(cr_hint: str) -> str:
+    """q16's SQL with the size-guarded ``BROADCAST(cr)`` slot filled
+    programmatically (``cr_hint`` is ``", BROADCAST(cr)"`` or ``""``)
+    — same mechanism as q34's ``cr_hint`` in catalog_more.py."""
+    return f"""
     WITH ord_rev AS (
         SELECT l_orderkey,
                SUM(CAST(FLOOR({_Q16_E}) AS BIGINT)) AS rev_hi,
@@ -797,7 +807,7 @@ _Q16_SPARK_SQL = f"""
         FROM sg_lineitem GROUP BY l_orderkey
     ),
     {_Q16_CUST_REGION}
-    SELECT /*+ SHUFFLE_HASH(o), BROADCAST(cr) */
+    SELECT /*+ SHUFFLE_HASH(o){cr_hint} */
            cr.r_name AS region_name,
            date_format(o.o_orderdate, 'yyyy') AS order_year,
            CAST(FLOOR({_Q16_TOTAL} * 100.0 + 0.5) / 100.0 AS DOUBLE) AS revenue,
@@ -807,6 +817,9 @@ _Q16_SPARK_SQL = f"""
     JOIN cust_region cr ON o.o_custkey = cr.c_custkey
     GROUP BY cr.r_name, date_format(o.o_orderdate, 'yyyy')
 """
+
+
+_Q16_SPARK_SQL = _q16_sql(", BROADCAST(cr)")
 
 
 @register(
@@ -874,6 +887,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
     catalog_more,
     catalog_pipeline,
     catalog_rag,
+    catalog_sketch,
     catalog_streaming,
     catalog_web,
 )
@@ -890,40 +904,32 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
-_SAMPLER_FRONT_R8 = [
+_SAMPLER_FRONT_R9 = [
     # new this round (never sampled by construction)
-    "x104_corpus_pipeline_e2e", "x105_corpus_pipeline_audit",
-    "x106_rag_chunking", "x107_mmr_rerank",
+    "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
+    # semantically touched this round:
+    # - s19's dedup key widened to (source, fingerprint) (ADVICE r8 —
+    #   winner-independence by construction)
     "s19_streaming_corpus_pipeline",
-    "q96_product_type_profit", "q97_important_stock",
-    "q98_specialized_suppliers", "x108_pq_recall",
-    "x109_deletion_propagation",
-    "x110_loo_target_encoding", "x111_event_transition_matrix",
-    "s20_streaming_rag_chunking", "q99_supplier_part_counts",
-    "x112_memorization_score",
-    # round-7 additions never drawn by a driver sample
-    "x94_semantic_dedup", "x95_quality_classifier",
-    "x96_semantic_decontamination", "x97_substring_dup_profile",
-    "x98_anchor_positives", "x99_shingle_containment",
-    "x100_audio_quality_audit", "x101_hybrid_rrf_retrieval",
-    "x102_poisson_bootstrap", "x103_length_bucketed_batching",
-    "s18_streaming_quality_gate",
-    "q82_late_orders_by_priority", "q83_priority_split_by_flag",
-    "q84_disjunctive_promo_revenue", "q85_top_revenue_supplier",
-    "q86_sole_late_supplier", "q87_large_volume_orders",
-    "q88_small_lot_revenue", "q89_shipping_priority",
-    "q90_returned_item_report", "q91_forecast_revenue_change",
-    "q92_two_nation_volume", "q93_market_share",
-    "q94_promo_revenue_share", "q95_top_customer_listagg",
-    # semantically touched this round — last green rows predate the
-    # broadcast unwinding / size guard / overflow fixes
-    "q16_star_join_revenue", "q34_star_join_bucketed",
-    "q63_data_quality_report", "x30_decontamination",
+    # - every _drain_to_memory streaming entry now pins toy-scale state
+    #   partitions (results partitioning-independent, but re-confirm)
+    "s07_stream_static_join", "s09_stream_stream_join",
+    "s10_stream_stream_left_join", "s11_stream_incremental_dedup",
+    "s12_streaming_ohlc", "s13_streaming_ohlc_append",
+    "s14_update_mode_counts", "s15_streaming_session_window",
+    "s18_streaming_quality_gate", "s20_streaming_rag_chunking",
+    # - iterative operators now rotate durable checkpoints
+    #   (lineage.CheckpointRotator; localCheckpoint default path
+    #   unchanged, but the loop code was touched)
+    "x18_dedup_components", "x43_components_star",
+    "x46_graph_pagerank", "x61_triangle_count",
+    # - q16's BROADCAST(cr) guard rebuilt programmatically (same SQL)
+    "q16_star_join_revenue",
 ]
 
 
 def _rotate_front() -> None:
-    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R8 if n in QUERIES}
+    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R9 if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)

@@ -1,0 +1,272 @@
+"""Deterministic mergeable-sketch operators (round 9).
+
+The catalog's rule since round 3: every approximate/engine-specific
+tier carries a DETERMINISTIC oracle-checked twin so its logic is
+value-hash-verified end to end (x20→x55 sampling, x10→x58 IVF,
+x24→x59 / x27→x60 LSH). Two rows-only entries still lacked twins:
+
+- x15 ``approx_count_distinct`` (HyperLogLog++ — engine-internal
+  registers, unverifiable) → **x113** re-implements the HLL register
+  pipeline itself from the published algorithm (Flajolet et al. 2007;
+  Heule et al. "HyperLogLog in Practice", EDBT'13) on a PORTABLE
+  md5-derived 32-bit hash, in exact integer arithmetic, so Spark and
+  DuckDB produce bit-identical registers and estimates.
+- x21/q49 ``approx_percentile`` (t-digest-ish, engine-internal) →
+  **x114** is the deterministic mergeable-histogram quantile sketch:
+  fixed equi-width buckets, integer cumulative ranks, integer
+  within-bucket interpolation.
+
+Both sketches are the 100 TB shapes: ONE map-side-combining aggregate
+collapses the fact stream to a constant-size state (≤256 registers /
+≤1024 buckets per group) that merges associatively across partitions,
+executors, or days — the estimate is then driver-trivial arithmetic
+on the tiny frame. No sort, no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# x113 — deterministic HyperLogLog (the oracle-checked twin of x15)
+# ---------------------------------------------------------------------------
+# p = 8 → m = 256 registers; 32-bit portable hash (md5 hex prefix).
+# bucket = h % 256, w = h div 256 (24 payload bits),
+# rho(w) = leading zeros of w within 24 bits + 1 = 25 - bitlen(w)
+# (w = 0 → 25). Register M_j = max rho over the bucket's elements.
+# The indicator sum Σ 2^(-M_j) is kept EXACT by scaling with 2^25:
+# T = Σ_present 2^(25-M_j) + V·2^25 (V = empty registers) — integers,
+# order-independent, overflow-free (≤ 256·2^25 < 2^34). The raw HLL
+# estimate alpha_256·m²/Σ2^(-M_j) = alpha_256·2^41 / T is ONE IEEE
+# double division of exact integers, identical on any engine; the
+# small-range regime is reported as a flag (linear counting needs
+# ln(), whose last-ulp behavior is libm-specific — flagged, not
+# computed, to keep the entry bit-deterministic).
+_HLL_ALPHA = "(0.7213 / (1.0 + 1.079 / 256.0))"
+_HLL_2_41 = "2199023255552.0"  # 2^41 = m^2 * 2^25, exact in double
+
+_X113_ORACLE = f"""
+    WITH h AS (
+        SELECT l_returnflag,
+               l_orderkey,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                   ::UBIGINT::BIGINT AS h
+        FROM lineitem
+    ),
+    reg AS (
+        SELECT l_returnflag, h % 256 AS bucket,
+               MAX(CASE WHEN h // 256 = 0 THEN 25
+                        ELSE 25 - length(bin(h // 256)) END) AS m
+        FROM h GROUP BY l_returnflag, h % 256
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(1::BIGINT << (25 - m)) AS BIGINT) AS t_present,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM reg GROUP BY l_returnflag
+    ),
+    ex AS (
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag,
+           e.n_exact,
+           CAST(256 - a.n_buckets AS BIGINT) AS v_empty,
+           a.t_present + (256 - a.n_buckets) * 33554432 AS t_scaled,
+           {_HLL_ALPHA} * {_HLL_2_41}
+               / (a.t_present + (256 - a.n_buckets) * 33554432)
+               AS hll_raw_estimate,
+           (256 - a.n_buckets) > 0
+               AND 2.0 * ({_HLL_ALPHA} * {_HLL_2_41}
+                   / (a.t_present + (256 - a.n_buckets) * 33554432)) < 1280.0
+               AS small_range_regime
+    FROM agg a JOIN ex e ON a.l_returnflag = e.l_returnflag
+"""
+
+
+@register(
+    "x113_hll_sketch_deterministic",
+    _X113_ORACLE,
+    doc="""Deterministic HyperLogLog distinct-count sketch — the
+    oracle-checked twin x15 (engine-internal approx_count_distinct,
+    rows-only) was missing: distinct orders per return flag via m=256
+    integer registers over a portable md5-derived 32-bit hash.
+    Registers, the 2^25-scaled indicator sum, the empty-register
+    count, and the raw estimate are all bit-identical across engines
+    (the estimate is one IEEE division of exact integers); the
+    small-range (linear-counting) regime is FLAGGED rather than
+    computed, because its ln() is the one libm-dependent term.
+    n_exact rides along so the sketch's error is visible in the
+    output (±~6.5% expected at m=256).
+
+    Scale: the register build is ONE hash aggregate with map-side
+    combine — (group, 256) keys regardless of fact count — and the
+    finish is arithmetic on a |groups|-row frame. Registers merge by
+    MAX, so shards/days/executors combine without re-scanning: the
+    100 TB distinct-count shape (vs q24's exact key expansion).
+    Flajolet et al. 2007; Heule et al. EDBT'13 (the ++ bias table is
+    a float lookup, deliberately out of scope for the deterministic
+    twin).""",
+)
+def x113_hll_sketch_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    h = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+    reg = (
+        h.groupBy("l_returnflag", (F.col("h") % 256).alias("bucket"))
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN h div 256 = 0 THEN 25"
+                    "     ELSE 25 - length(bin(h div 256)) END"
+                )
+            ).alias("m")
+        )
+    )
+    agg = reg.groupBy("l_returnflag").agg(
+        F.expr("CAST(SUM(shiftleft(1L, 25 - m)) AS BIGINT)").alias("t_present"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_buckets"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias("n_exact")
+    )
+    t_total = "(t_present + (256 - n_buckets) * 33554432)"
+    return (
+        agg.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            F.expr("CAST(256 - n_buckets AS BIGINT)").alias("v_empty"),
+            F.expr(t_total).alias("t_scaled"),
+            F.expr(f"{_HLL_ALPHA} * {_HLL_2_41} / {t_total}").alias(
+                "hll_raw_estimate"
+            ),
+            F.expr(
+                f"(256 - n_buckets) > 0 AND "
+                f"2.0 * ({_HLL_ALPHA} * {_HLL_2_41} / {t_total}) < 1280.0"
+            ).alias("small_range_regime"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x114 — deterministic histogram quantile sketch (twin of x21/q49)
+# ---------------------------------------------------------------------------
+# Fixed equi-width layout over the DOMAIN-KNOWN price range: 1024
+# buckets of width 128 covering [0, 131072) — l_extendedprice is
+# bounded by 50 · max retail price ≈ 105k by construction, and the
+# top bucket clamps defensively. Quantile q at integer rank
+# r = ceil(q·n) (exact: 100·rank ≥ pct·n cross-multiplication); the
+# answer interpolates inside the first bucket whose cumulative count
+# reaches r, all in integer micros:
+#   approx_micros = lo·1e6 + ((r - cum_before)·128·1e6) div cnt
+_X114_PCTS = (25, 50, 75, 95)
+
+_X114_ORACLE = f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               LEAST(CAST(FLOOR(l_extendedprice / 128.0) AS BIGINT), 1023)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM b
+    ),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _X114_PCTS)}]) AS pct),
+    hit AS (
+        SELECT c.l_returnflag, p.pct, c.bucket, c.cnt, c.cum, c.n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.l_returnflag, p.pct ORDER BY c.bucket
+               ) AS rn
+        FROM c JOIN p ON 100 * c.cum >= p.pct * c.n
+    )
+    SELECT l_returnflag, CAST(pct AS BIGINT) AS pct,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(bucket * 128 AS BIGINT) * 1000000
+             + (((((pct * n + 99) // 100) - (cum - cnt)) * 128) * 1000000)
+               // cnt AS approx_micros
+    FROM hit
+    WHERE rn = 1
+"""
+
+
+@register(
+    "x114_histogram_quantile_sketch",
+    _X114_ORACLE,
+    doc="""Deterministic mergeable-histogram quantile sketch — the
+    oracle-checked twin x21/q49 (engine-internal approx_percentile,
+    rows-only) was missing: p25/p50/p75/p95 of extended price per
+    return flag from a FIXED 1024-bucket equi-width histogram
+    (width 128 over the domain-known [0, 131072) price range, top
+    bucket clamped). Rank targets and within-bucket interpolation are
+    exact integer arithmetic (ceil via (pct·n+99) div 100, micros via
+    div), so both engines emit identical bigints; accuracy is bounded
+    by the bucket width (±128 absolute — the sketch contract).
+
+    Scale: ONE map-side-combining aggregate collapses any fact count
+    to ≤ 1024·|groups| rows; the cumulative scan and rank probe run
+    on that tiny frame (a |groups|-partitioned window over ≤1024
+    rows, never the facts). Histograms merge by bucket-wise SUM
+    across shards/days — the mergeability approx_percentile's
+    t-digest offers, with none of its engine-specific centroid
+    placement.""",
+)
+def x114_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    b = li.groupBy(
+        "l_returnflag",
+        F.expr(
+            "LEAST(CAST(FLOOR(l_extendedprice / 128.0) AS BIGINT), 1023L)"
+        ).alias("bucket"),
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = b.select(
+        "l_returnflag",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _X114_PCTS])).alias("pct")
+    )
+    hit = c.join(pcts, F.expr("100 * cum >= pct * n"))
+    w_first = Window.partitionBy("l_returnflag", "pct").orderBy("bucket")
+    first = hit.withColumn("rn", F.row_number().over(w_first)).filter(
+        F.col("rn") == 1
+    )
+    return first.select(
+        "l_returnflag",
+        F.col("pct").cast("long").alias("pct"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(
+            "CAST(bucket * 128 AS BIGINT) * 1000000"
+            " + ((((pct * n + 99) div 100) - (cum - cnt)) * 128 * 1000000)"
+            " div cnt"
+        ).alias("approx_micros"),
+    )

@@ -492,15 +492,34 @@ def _drain_to_memory(df, output_mode: str, prefix: str):
     """Shared sink tail for the real-streaming entries: memory sink +
     fresh checkpoint + Trigger.AvailableNow, returning the drained
     table. One definition of the uuid/checkpoint/start/await sequence
-    instead of a copy per entry."""
+    instead of a copy per entry.
+
+    State-partition pin (VERDICT r8 item 5): a streaming query binds
+    its state partitioning to ``spark.sql.shuffle.partitions`` AT
+    START, and every state partition costs real per-micro-batch work
+    (task launch + a state-store instance with its commit files — a
+    stream-stream join runs FOUR store instances per partition). Under
+    the plain verify session's default 200 partitions, s09/s10 spent
+    22-28 s each on ~220 KB of events — pure store/scheduling
+    overhead, 51 s of the 294 s full sweep. The fixtures drain one
+    tiny file, so we pin a toy-scale count (default 8, env
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``) for the query's lifetime
+    and restore the session value after. Results are partitioning-
+    independent; a production deploy sizes the same knob to its key
+    cardinality when the checkpoint is first created (state partition
+    count is fixed for the checkpoint's life — docs/SCALE.md)."""
     import os
     import shutil
     import tempfile
     import uuid
 
+    spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", n_state)
         (
             df.writeStream.format("memory")
             .queryName(name)
@@ -511,6 +530,7 @@ def _drain_to_memory(df, output_mode: str, prefix: str):
             .awaitTermination()
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the drained memory table is independent of the checkpoint;
         # remove it eagerly so repeated verify/bench runs don't
         # accumulate orphaned state dirs (ADVICE r3)
@@ -1110,7 +1130,7 @@ _S19_ORACLE = f"""
     ded AS (
         SELECT source, text
         FROM (SELECT source, text, ROW_NUMBER() OVER (
-                  PARTITION BY md5(text) ORDER BY doc_id) AS __r
+                  PARTITION BY source, md5(text) ORDER BY doc_id) AS __r
               FROM ing)
         WHERE __r = 1
     ),
@@ -1131,17 +1151,20 @@ _S19_ORACLE = f"""
     core of the same chain composes as ONE streaming query: a document
     stream (file source, self-unioned with the re-crawl overlap so the
     dedup state does real work) flows through streaming exact dedup
-    (dropDuplicates on the md5 fingerprint — 16 bytes of state per
-    distinct text, never the text) → x95's stateless quality-gate
-    filter (same weight literal and fold) → a per-source running
-    (kept docs, kept tokens) rollup in complete mode. Two chained
-    stateful operators in one query. The output is deterministic even
-    though streaming dedup keeps an ARBITRARY arrival per fingerprint:
-    duplicates share (source, text) by construction, so every
-    aggregate the query emits is winner-independent — which is exactly
-    the design rule for composing dedup into a streaming pipeline
-    (anything downstream may only depend on the deduped CONTENT, never
-    on surviving row identity).
+    (dropDuplicates on (source, md5 fingerprint) — ~16 bytes of state
+    per distinct text per source, never the text) → x95's stateless
+    quality-gate filter (same weight literal and fold) → a per-source
+    running (kept docs, kept tokens) rollup in complete mode. Two
+    chained stateful operators in one query. The output is
+    deterministic even though streaming dedup keeps an ARBITRARY
+    arrival per key: the dedup key CONTAINS every column the rollup
+    groups by, so the aggregates are winner-independent BY
+    CONSTRUCTION, for any data — the design rule for composing dedup
+    into a streaming pipeline (downstream may only depend on the
+    deduped content plus the dedup key, never on surviving row
+    identity; sf0.1 really does hold cross-source exact duplicates, so
+    a fingerprint-only key would be arrival-order-dependent — ADVICE
+    r8, pinned by tests/test_s19_determinism.py).
 
     Scale: dedup state is fingerprint-sized; on a live feed the same
     query bounds it with dropDuplicatesWithinWatermark (s06's
@@ -1169,7 +1192,17 @@ def s19_streaming_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     ded = (
         base.unionByName(recrawl)
         .withColumn("fingerprint", F.md5("text"))
-        .dropDuplicates(["fingerprint"])
+        # the dedup key INCLUDES the downstream rollup key: streaming
+        # dropDuplicates keeps an arbitrary winner, so every column an
+        # aggregate later groups by must be part of the key or the
+        # output is nondeterministic. sf0.1 documents really does
+        # contain cross-source exact duplicates (8 groups — ADVICE r8,
+        # pinned by tests/test_s19_determinism.py), so fingerprint-only
+        # dedup would make the per-source counts arrival-order-
+        # dependent there. State cost is unchanged: (source,
+        # fingerprint) is ~16 bytes + a short source tag per distinct
+        # text per source.
+        .dropDuplicates(["source", "fingerprint"])
     )
     kept = ded.filter(F.expr(f"({_X95_SCORE_SPARK}) >= 0"))
     agg = kept.groupBy("source").agg(

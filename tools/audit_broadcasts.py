@@ -6,13 +6,23 @@ The standing regression net for the entries that actually carried the
 violation is tests/test_broadcast_policy.py; this tool is the
 full-catalog sweep run when new entries land.
 
+v2 (ADVICE r8): the allowlist keys on the FLAG SIGNATURE (the
+``top=... scans=...`` string the classifier emits), not on a bare
+count — under the count scheme, replacing an allowlisted bounded hint
+with a new unbounded one at the same site count stayed green. Now any
+change to WHAT is hinted (different subtree top, different scanned
+relations) re-surfaces even when the site count is unchanged.
+
 Usage:  python tools/audit_broadcasts.py [--sf-dir DIR] [--only a,b]
+        [--emit-allowlist]   # print the observed {entry: {sig: n}}
+                             # map for allowlist regeneration
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+from collections import Counter
 
 sys.path.insert(0, ".")
 
@@ -83,6 +93,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
+    ap.add_argument("--emit-allowlist", action="store_true")
     args = ap.parse_args()
 
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.session import get_spark
@@ -94,6 +105,7 @@ def main() -> int:
     spark = get_spark()
     only = set(args.only.split(",")) if args.only else None
     violations = 0
+    observed: dict[str, dict[str, int]] = {}
     for name, spec in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -105,14 +117,28 @@ def main() -> int:
             print(f"{name}: BUILD-ERROR {type(e).__name__}: {e}")
             violations += 1
             continue
-        flags = unbounded_broadcast_hints(df)
-        allowed, why = ALLOWLIST.get(name, (0, ""))
-        if len(flags) > allowed:
-            violations += 1
-            for f in flags:
-                print(f"{name}: FLAG {f}")
-        elif flags:
-            print(f"{name}: ok ({len(flags)} allowlisted: {why})")
+        flags = Counter(unbounded_broadcast_hints(df))
+        if flags:
+            observed[name] = dict(sorted(flags.items()))
+        allowed = ALLOWLIST.get(name, {})
+        bad = False
+        for sig, n in sorted(flags.items()):
+            ent = allowed.get(sig)
+            if ent is None:
+                violations += 1
+                bad = True
+                print(f"{name}: FLAG x{n} (signature not allowlisted) {sig}")
+            elif n > ent[0]:
+                violations += 1
+                bad = True
+                print(f"{name}: FLAG x{n} (> allowed {ent[0]}) {sig}")
+        if flags and not bad:
+            whys = "; ".join(sorted({ent[1] for ent in allowed.values()}))
+            print(f"{name}: ok ({sum(flags.values())} allowlisted: {whys})")
+    if args.emit_allowlist:
+        import json
+
+        print(json.dumps(observed, indent=1, sort_keys=True))
     print(f"\n{violations} violation(s)")
     return 1 if violations else 0
 
