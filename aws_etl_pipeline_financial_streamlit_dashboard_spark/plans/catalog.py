@@ -925,6 +925,11 @@ _SAMPLER_FRONT_R9 = [
     "x46_graph_pagerank", "x61_triangle_count",
     # - q16's BROADCAST(cr) guard rebuilt programmatically (same SQL)
     "q16_star_join_revenue",
+    # - eval-ladder query workload capped (vec_id < _QUERY_ID_CAP;
+    #   results identical at the sf0.01 gate scale by construction,
+    #   but re-confirm through the driver)
+    "x72_ann_recall_eval", "x74_matryoshka_recall", "x77_int8_recall",
+    "x107_mmr_rerank", "x108_pq_recall",
 ]
 
 

@@ -1326,15 +1326,42 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
+# The eval ladder's query workload is a FIXED SET, not a corpus share
+# (round 9): a bare mod-residue sample grows |Q| linearly with the
+# corpus, so the brute-force ground truth — and any brute-force
+# comparison side — costs O(|Q|·|N|) ≈ corpus²/mod. The round-9 sf10
+# A/B run surfaced it: x108 ran 6,905 queries × 200k vectors × 64-dim
+# cosine TWICE and blew past a 7-minute cap (x107's %101 sample, same
+# pathology, sat >100 min in the original batch). The id cap below
+# fixes the workload: it is result-identical at the correctness-gate
+# scales (sf0.001/sf0.01 — vec_id tops out at ~500 there) and bounds
+# |Q| at ~35 (mod 29) for any larger corpus — which is also how a
+# real acceptance gate works: the query set is a curated artifact,
+# not a slice that dilates with the index. (sf0.1 recall values
+# changed with the round-9 cap — 172 → 35 queries — consistently in
+# BOTH engines; the sf0.1 parity tests compare Spark vs DuckDB, not
+# pinned values.)
+_QUERY_ID_CAP = 1_000
+
+
+def _q_sample_sql(mod: int, col: str = "vec_id") -> str:
+    return f"{col} % {mod} = 1 AND {col} < {_QUERY_ID_CAP}"
+
+
+def _q_sample_col(mod: int, col: str = "vec_id"):
+    return (F.col(col) % mod == 1) & (F.col(col) < _QUERY_ID_CAP)
+
+
 def _exact_gt_ctes(mod: int, k: int) -> str:
     """exq/exs/exr/exact — the exact brute-force ground-truth CTE
-    block shared VERBATIM by the eval triad's oracles (x72/x74/x77):
-    one definition of the mod-hash query sampling, the self-exclusion,
-    and the rounded-cosine + id-tiebreak ranking, so a change to the
-    ground-truth convention cannot silently land in only one entry."""
+    block shared VERBATIM by the eval ladder's oracles
+    (x72/x74/x77/x108): one definition of the capped mod-hash query
+    sampling, the self-exclusion, and the rounded-cosine +
+    id-tiebreak ranking, so a change to the ground-truth convention
+    cannot silently land in only one entry."""
     cos_ex = S.duckdb_cosine_sql("e.embedding", "exq.qv")
     return f"""exq AS (SELECT vec_id AS query_id, embedding AS qv
-            FROM embeddings WHERE vec_id % {mod} = 1),
+            FROM embeddings WHERE {_q_sample_sql(mod)}),
     exs AS (SELECT exq.query_id, e.vec_id AS neighbor_id,
                    {cos_ex} AS cosine_sim
             FROM embeddings e, exq WHERE e.vec_id <> exq.query_id),
@@ -1367,7 +1394,7 @@ def _exact_topk_spark(emb: DataFrame, mod: int, k: int, dim: int) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
 
     return S.knn_join_brute_force(
-        emb.filter(F.col("vec_id") % mod == 1), fan_out(emb), k=k, dim=dim
+        emb.filter(_q_sample_col(mod)), fan_out(emb), k=k, dim=dim
     ).select("query_id", "neighbor_id")
 
 
@@ -1385,7 +1412,7 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     b AS (SELECT vec_id,
            {bcols}
           FROM vm),
-    qb AS (SELECT * FROM b WHERE vec_id % {mod} = 1),
+    qb AS (SELECT * FROM b WHERE {_q_sample_sql(mod)}),
     cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
              FROM b c, qb
              WHERE c.vec_id <> qb.vec_id AND ({collide})),
@@ -1431,7 +1458,7 @@ def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mod, k, dim, n_planes, n_tables = 29, 10, 64, 4, 8
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    is_q = F.col("vec_id") % mod == 1
+    is_q = _q_sample_col(mod)
     queries = emb.filter(is_q)
 
     exact = _exact_topk_spark(emb, mod, k, dim)
@@ -1444,7 +1471,7 @@ def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     ex = bt.select("id", F.posexplode("__buckets").alias("t", "b"))
-    qe = ex.filter(F.col("id") % mod == 1).select(
+    qe = ex.filter(_q_sample_col(mod, "id")).select(
         F.col("id").alias("query_id"), "t", "b"
     )
     cand = (
@@ -1506,7 +1533,7 @@ def _x74_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                 FROM embeddings),
     {_exact_gt_ctes(mod, k)},
     tq AS (SELECT vec_id AS query_id, emb_t AS qv
-           FROM tr WHERE vec_id % {mod} = 1),
+           FROM tr WHERE {_q_sample_sql(mod)}),
     ts AS (SELECT tq.query_id, e.vec_id AS neighbor_id,
                   {cos_tr} AS cosine_sim
            FROM tr e, tq WHERE e.vec_id <> tq.query_id),
@@ -1549,7 +1576,7 @@ def x74_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = _exact_topk_spark(emb, mod, k, dim)
     approx = S.knn_join_brute_force(
-        tr.filter(F.col("vec_id") % mod == 1), fan_out(tr), k=k, dim=trunc
+        tr.filter(_q_sample_col(mod)), fan_out(tr), k=k, dim=trunc
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, approx, k)
 
@@ -1568,7 +1595,7 @@ def _x77_oracle(mod: int = 29, k: int = 10, dim: int = 64) -> str:
     dqv AS (SELECT vec_id, {parts['deq']} AS deq FROM sc),
     {_exact_gt_ctes(mod, k)},
     dq AS (SELECT vec_id AS query_id, deq AS qv
-           FROM dqv WHERE vec_id % {mod} = 1),
+           FROM dqv WHERE {_q_sample_sql(mod)}),
     qs AS (SELECT dq.query_id, e.vec_id AS neighbor_id,
                   {cos_q} AS cosine_sim
            FROM dqv e, dq WHERE e.vec_id <> dq.query_id),
@@ -1614,7 +1641,7 @@ def x77_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = S.dequantize_int8(emb, dim)
     exact = _exact_topk_spark(emb, mod, k, dim)
     approx = S.knn_join_brute_force(
-        dq.filter(F.col("vec_id") % mod == 1), fan_out(dq), k=k, dim=dim
+        dq.filter(_q_sample_col(mod)), fan_out(dq), k=k, dim=dim
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, approx, k)
 
@@ -2337,7 +2364,7 @@ def _x108_oracle() -> str:
     ),
     {_exact_gt_ctes(_PQ_MOD, _PQ_K)},
     pq AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id % {_PQ_MOD} = 1),
+           FROM embeddings WHERE {_q_sample_sql(_PQ_MOD)}),
     ps AS (SELECT q.query_id, e.vec_id AS neighbor_id,
                   {cos_ap} AS cosine_sim
            FROM recon e, pq q WHERE e.vec_id <> q.query_id),
@@ -2408,7 +2435,7 @@ def x108_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = _exact_topk_spark(emb, _PQ_MOD, _PQ_K, 64)
 
-    qv = emb.filter(F.col("vec_id") % _PQ_MOD == 1).select(
+    qv = emb.filter(_q_sample_col(_PQ_MOD)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
     )
     q2, c2, sim = S._pairwise_sim(qv, recon, 64)

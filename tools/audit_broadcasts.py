@@ -28,64 +28,155 @@ sys.path.insert(0, ".")
 
 # Bounded-by-construction broadcast frames my mechanical classifier
 # cannot prove bounded (grouped by a bounded-domain key, offsets side
-# tables, benchmark-sized eval sides): entry -> (allowed sites, why).
+# tables, benchmark-sized eval sides):
+#   entry -> {flag signature -> (max sites with that signature, why)}.
+# Signature-keyed (ADVICE r8): replacing a bounded hint with a new
+# unbounded one at the same count changes the signature and
+# re-surfaces. Regenerate observed signatures with --emit-allowlist.
 ALLOWLIST = {
-    "q48_topk_per_group": (1, "broadcast of grouped_topk output (≤k·|segments| rows)"),
-    "q59_ntile_quartiles": (2, "|partitions|-row offsets side tables (x42 pattern)"),
-    "q78_lead_time_histogram": (1, "histogram bucket spine (bounded bucket domain)"),
-    "x29_corpus_mix": (1, "per-source fraction frame (|sources|-bounded)"),
-    "x30_decontamination": (1, "eval-side frame (benchmark-sized by construction)"),
-    "x36_source_overlap": (2, "per-source-pair summaries (|sources|²-bounded)"),
-    "x42_deterministic_shuffle": (1, "|partitions|-row offsets side table"),
-    "x47_corpus_mix_deterministic": (1, "per-source fraction frame (|sources|-bounded)"),
-    "x50_bm25_topk": (1, "query-term frame (bounded query set)"),
-    "x53_span_decontamination": (1, "eval-side spans (benchmark-sized by construction)"),
-    "x56_winsorize": (1, "per-source winsor bounds (|sources|-bounded)"),
-    "x70_robots_filter": (1, "robots rules (|hosts|-sized, documented in operators/web.py)"),
-    "x73_token_budget_mix": (1, "per-source token budgets (|sources|-bounded)"),
-    "x84_join_key_skew_profile": (1, "top-k hot-key frame (bounded k)"),
-    "x101_hybrid_rrf_retrieval": (2, "per-query rank frames + cosine query side (bounded query set)"),
-    "x108_pq_recall": (3, "PQ codebooks (bounded 8 codewords/subspace) + query side"),
-    "x110_loo_target_encoding": (1, "per-category label rollup (|categories|-bounded)"),
-    "x112_memorization_score": (2, "generation-side gram set + matched-gram set (both generation-sample-bounded)"),
-    # x104/x105 compose x30's eval-side broadcast (benchmark-sized) and
-    # x47's per-source fraction frame; the audit entry forks the DAG per
-    # stage, so the same two bounded hints recur once per downstream fork.
-    "x104_corpus_pipeline_e2e": (3, "eval shingles (benchmark-sized) ×2 forks + mix fractions (|sources|)"),
-    "x105_corpus_pipeline_audit": (8, "same two bounded hints across the 8 stage forks"),
-    # q16/q34/q92/q93/q94: hints size-guarded via catalog.dim_fits_broadcast
-    # / maybe_broadcast_dim (present only while the base dim fits the
-    # threshold) — guard behavior pinned by tests/test_broadcast_policy.py.
-    "q16_star_join_revenue": (1, "size-guarded via dim_fits_broadcast"),
-    "q34_star_join_bucketed": (1, "size-guarded via dim_fits_broadcast"),
-    "q92_two_nation_volume": (2, "size-guarded via maybe_broadcast_dim"),
-    "q93_market_share": (2, "size-guarded via maybe_broadcast_dim"),
-    "q94_promo_revenue_share": (1, "size-guarded via maybe_broadcast_dim"),
-    "q96_product_type_profit": (1, "size-guarded via maybe_broadcast_dim"),
-    "q97_important_stock": (4, "size-guarded ×2 (part+supplier), doubled by the grand-total fork"),
-    "q98_specialized_suppliers": (1, "size-guarded via maybe_broadcast_dim"),
-    "q99_supplier_part_counts": (1, "size-guarded via maybe_broadcast_dim"),
-    # ANN / similarity family: the broadcast side is the QUERY or EVAL
-    # set — workload-bounded in production (the vec_id % k modulus
-    # sample is the testdata stand-in; the x30 eval-side discipline).
-    # x96 additionally ships the shard-and-OR fallback for eval sets
-    # that outgrow one broadcast. x10/x58's extra sites are the k
-    # k-means centroid frames (bounded by k).
-    "x09_cosine_topk": (1, "query side (workload-bounded)"),
-    "x10_ivf_topk": (6, "query side + k-means centroid frames (bounded k)"),
-    "x11_knn_join": (1, "query side (workload-bounded)"),
-    "x16_embedding_dup_pairs": (1, "blocked pair probe side (bounded block)"),
-    "x24_lsh_topk": (1, "query side (workload-bounded)"),
-    "x57_knn_label_propagation": (2, "query/labeled side (workload-bounded)"),
-    "x58_ivf_deterministic_topk": (3, "query side + centroid frames (bounded k)"),
-    "x59_lsh_deterministic_topk": (1, "query side (workload-bounded)"),
-    "x72_ann_recall_eval": (3, "query side ×3 rankers (workload-bounded)"),
-    "x74_matryoshka_recall": (3, "query side ×ranker pair (workload-bounded)"),
-    "x77_int8_recall": (3, "query side ×ranker pair (workload-bounded)"),
-    "x90_hard_negatives": (1, "query side (workload-bounded)"),
-    "x92_label_outliers": (1, "per-label centroid frame (bounded |labels|)"),
-    "x96_semantic_decontamination": (1, "eval side; shard-and-OR fallback shipped"),
-    "x98_anchor_positives": (1, "anchor side (workload-bounded)"),
+    "q16_star_join_revenue": {
+        "top=SubqueryAlias scans=customer": (1, "size-guarded via dim_fits_broadcast (cust_region fold)"),
+    },
+    "q34_star_join_bucketed": {
+        "top=SubqueryAlias scans=customer": (1, "size-guarded via dim_fits_broadcast (cust_region fold)"),
+    },
+    "q48_topk_per_group": {
+        "top=Project scans=customer": (1, "broadcast of grouped_topk output (<=k*|segments| rows)"),
+    },
+    "q59_ntile_quartiles": {
+        "top=Project scans=LogicalRDD:c_custkey": (2, "|partitions|-row offsets side tables (x42 pattern)"),
+    },
+    "q78_lead_time_histogram": {
+        "top=Aggregate scans=lineitem,orders": (1, "histogram bucket spine (bounded week-bucket domain)"),
+    },
+    "q92_two_nation_volume": {
+        "top=Project scans=customer": (1, "size-guarded via maybe_broadcast_dim"),
+        "top=Project scans=supplier": (1, "size-guarded via maybe_broadcast_dim"),
+    },
+    "q93_market_share": {
+        "top=Project scans=customer": (1, "size-guarded via maybe_broadcast_dim"),
+        "top=Project scans=supplier": (1, "size-guarded via maybe_broadcast_dim"),
+    },
+    "q94_promo_revenue_share": {
+        "top=Project scans=part": (1, "size-guarded via maybe_broadcast_dim"),
+    },
+    "q96_product_type_profit": {
+        "top=Project scans=supplier": (1, "size-guarded via maybe_broadcast_dim"),
+    },
+    "q97_important_stock": {
+        "top=Project scans=part": (2, "size-guarded x2 (part+supplier), doubled by the grand-total fork"),
+        "top=Project scans=supplier": (2, "size-guarded x2 (part+supplier), doubled by the grand-total fork"),
+    },
+    "q98_specialized_suppliers": {
+        "top=Project scans=part": (1, "size-guarded via maybe_broadcast_dim"),
+    },
+    "q99_supplier_part_counts": {
+        "top=Project scans=part": (1, "size-guarded via maybe_broadcast_dim (size IN-list slice)"),
+    },
+    "x09_cosine_topk": {
+        "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
+    },
+    "x101_hybrid_rrf_retrieval": {
+        "top=Aggregate scans=documents": (1, "per-query rank frames + cosine query side (bounded query set)"),
+        "top=Project scans=embeddings": (1, "per-query rank frames + cosine query side (bounded query set)"),
+    },
+    "x104_corpus_pipeline_e2e": {
+        "top=Deduplicate scans=documents": (2, "eval shingles (benchmark-sized) x2 forks + mix fractions (|sources|)"),
+        "top=Project scans=documents": (1, "eval shingles (benchmark-sized) x2 forks + mix fractions (|sources|)"),
+    },
+    "x105_corpus_pipeline_audit": {
+        "top=Deduplicate scans=documents": (6, "same two bounded hints across the 8 stage forks"),
+        "top=Project scans=documents": (2, "same two bounded hints across the 8 stage forks"),
+    },
+    "x108_pq_recall": {
+        "top=Project scans=embeddings": (3, "PQ codebooks (bounded 8 codewords/subspace) + capped query side"),
+    },
+    "x10_ivf_topk": {
+        "top=Project scans=embeddings": (6, "query side + k-means centroid frames (bounded k)"),
+    },
+    "x110_loo_target_encoding": {
+        "top=Aggregate scans=customer": (1, "per-category label rollup (|categories|-bounded)"),
+    },
+    "x112_memorization_score": {
+        "top=Deduplicate scans=documents": (1, "generation-side gram set + matched-gram set (both generation-sample-bounded)"),
+        "top=Project scans=documents": (1, "generation-side gram set + matched-gram set (both generation-sample-bounded)"),
+    },
+    "x11_knn_join": {
+        "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
+    },
+    "x16_embedding_dup_pairs": {
+        "top=Project scans=embeddings": (1, "blocked pair probe side (bounded block)"),
+    },
+    "x24_lsh_topk": {
+        "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
+    },
+    "x29_corpus_mix": {
+        "top=Project scans=documents": (1, "per-source fraction frame (|sources|-bounded)"),
+    },
+    "x30_decontamination": {
+        "top=Deduplicate scans=documents": (1, "eval-side frame (benchmark-sized by construction)"),
+    },
+    "x35_mad_outliers": {
+        "top=Aggregate scans=events": (3, "per-event-type median/MAD frames (bounded |event_types| domain; hint subtree recurs per downstream fork)"),
+        "top=Project scans=events": (1, "per-event-type median/MAD frames (bounded |event_types| domain; hint subtree recurs per downstream fork)"),
+    },
+    "x36_source_overlap": {
+        "top=Project scans=documents": (2, "per-source-pair summaries (|sources|^2-bounded)"),
+    },
+    "x42_deterministic_shuffle": {
+        "top=Project scans=LogicalRDD:doc_id": (1, "|partitions|-row offsets side table"),
+    },
+    "x47_corpus_mix_deterministic": {
+        "top=Project scans=documents": (1, "per-source fraction frame (|sources|-bounded)"),
+    },
+    "x50_bm25_topk": {
+        "top=Aggregate scans=documents": (1, "query-term frame (bounded query set)"),
+    },
+    "x53_span_decontamination": {
+        "top=Deduplicate scans=documents": (1, "eval-side spans (benchmark-sized by construction)"),
+    },
+    "x56_winsorize": {
+        "top=Project scans=documents": (1, "per-source winsor bounds (|sources|-bounded)"),
+    },
+    "x57_knn_label_propagation": {
+        "top=Project scans=embeddings": (2, "query/labeled side (workload-bounded)"),
+    },
+    "x58_ivf_deterministic_topk": {
+        "top=Project scans=embeddings": (3, "query side + centroid frames (bounded k)"),
+    },
+    "x59_lsh_deterministic_topk": {
+        "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
+    },
+    "x70_robots_filter": {
+        "top=Union scans=documents": (1, "robots rules (|hosts|-sized, documented in operators/web.py)"),
+    },
+    "x72_ann_recall_eval": {
+        "top=Project scans=embeddings": (3, "capped query side x3 rankers (_QUERY_ID_CAP)"),
+    },
+    "x73_token_budget_mix": {
+        "top=Aggregate scans=LogicalRDD:doc_id": (1, "per-source token budgets (|sources|-bounded)"),
+    },
+    "x74_matryoshka_recall": {
+        "top=Project scans=embeddings": (3, "capped query side x ranker pair (_QUERY_ID_CAP)"),
+    },
+    "x77_int8_recall": {
+        "top=Project scans=embeddings": (3, "capped query side x ranker pair (_QUERY_ID_CAP)"),
+    },
+    "x84_join_key_skew_profile": {
+        "top=Aggregate scans=lineitem": (1, "top-k hot-key frame (bounded k)"),
+    },
+    "x90_hard_negatives": {
+        "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
+    },
+    "x92_label_outliers": {
+        "top=Project scans=embeddings": (1, "per-label centroid frame (bounded |labels|)"),
+    },
+    "x96_semantic_decontamination": {
+        "top=Project scans=embeddings": (1, "eval side; shard-and-OR fallback shipped"),
+    },
+    "x98_anchor_positives": {
+        "top=Project scans=embeddings": (1, "anchor side (workload-bounded)"),
+    },
 }
 
 

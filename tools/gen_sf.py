@@ -18,8 +18,10 @@ Determinism: pure arithmetic on the source rows — no RNG — so two runs
 produce byte-identical tables and the Spark/DuckDB comparison runs on
 the same files.
 
-Layout: row groups of 131072 rows (the realistic warehouse layout both
-engines split; the driver's one-row-group-per-file sf0.1 layout is the
+Layout: ~64 row groups per table (floor 8192 rows — the realistic
+warehouse layout both engines split by; a fixed 131072 left the 200k-row
+embeddings table at TWO groups, capping both engines' scan parallelism
+at 2 — the driver's one-row-group-per-file sf0.1 layout is the
 degenerate case bench.py's split-scan mode already isolates).
 
 Usage:
@@ -63,7 +65,20 @@ OWNER: dict[str, tuple[str, str]] = {
     "embeddings": ("embeddings", "vec_id"),
 }
 COPIED = ("region", "nation")
-ROW_GROUP = 131072
+# Per-table row-group sizing (round 9): the old fixed 131072 was right
+# for lineitem (~46 groups at sf1) but left the 200k-row embeddings
+# table with TWO row groups — and both Spark and DuckDB parallelize a
+# parquet scan by row group, so every embeddings-heavy entry ran its
+# brute-force cosine stages on 2 cores of 32 (the x107/x108 sf10 A/B
+# hang). A 100 TB table has thousands of groups; the toy file must
+# too. ~64 groups per table (floor 8192 rows so tiny tables don't
+# fragment) keeps 2 waves of tasks on 32 cores for every table.
+ROW_GROUP_TARGET_SPLITS = 64
+ROW_GROUP_MIN = 8192
+
+
+def _row_group_size(n_rows: int) -> int:
+    return max(ROW_GROUP_MIN, -(-n_rows // ROW_GROUP_TARGET_SPLITS))
 
 
 def generate(src: str, out: str, factor: int) -> None:
@@ -95,10 +110,11 @@ def generate(src: str, out: str, factor: int) -> None:
                 cols[field] = col
             replicas.append(pa.table(cols, schema=t.schema))
         big = pa.concat_tables(replicas)
+        rg = _row_group_size(big.num_rows)
         pq.write_table(
-            big, os.path.join(out, f"{name}.parquet"), row_group_size=ROW_GROUP
+            big, os.path.join(out, f"{name}.parquet"), row_group_size=rg
         )
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows (rg={rg})")
 
 
 def main() -> None:
