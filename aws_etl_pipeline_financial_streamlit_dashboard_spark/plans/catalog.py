@@ -907,6 +907,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 _SAMPLER_FRONT_R9 = [
     # new this round (never sampled by construction)
     "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
+    "s21_streaming_hll_registers",
     # semantically touched this round:
     # - s19's dedup key widened to (source, fingerprint) (ADVICE r8 —
     #   winner-independence by construction)

@@ -1318,3 +1318,142 @@ def s20_streaming_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS chunk_text",
     )
     return _drain_to_memory(chunks, "append", "stream_chunks")
+
+
+# ===========================================================================
+# s21 — streaming HLL registers (x113's sketch as streaming state)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (  # noqa: E402
+    _HLL_2_41 as _S21_2_41,
+    _HLL_ALPHA_DUCK as _S21_ALPHA_DUCK,
+    _HLL_ALPHA_SPARK as _S21_ALPHA_SPARK,
+)
+
+_S21_ORACLE = f"""
+    WITH h AS (
+        SELECT event_type, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT::BIGINT AS h
+        FROM events
+    ),
+    reg AS (
+        SELECT event_type, h % 256 AS bucket,
+               MAX(CASE WHEN h // 256 = 0 THEN 25
+                        ELSE 25 - length(bin(h // 256)) END) AS m
+        FROM h GROUP BY event_type, h % 256
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << (25 - m)) AS BIGINT) AS t_present,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM reg GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type,
+           e.n_exact,
+           CAST(256 - a.n_buckets AS BIGINT) AS v_empty,
+           CAST(a.t_present + (256 - a.n_buckets) * 33554432 AS BIGINT)
+               AS t_scaled,
+           {_S21_ALPHA_DUCK} * {_S21_2_41}
+               / (a.t_present + (256 - a.n_buckets) * 33554432)
+               AS hll_raw_estimate,
+           (256 - a.n_buckets) > 0
+               AND 2.0 * ({_S21_ALPHA_DUCK} * {_S21_2_41}
+                   / (a.t_present + (256 - a.n_buckets) * 33554432)) < 1280.0
+               AS small_range_regime
+    FROM agg a JOIN ex e ON a.event_type = e.event_type
+"""
+
+
+@register(
+    "s21_streaming_hll_registers",
+    _S21_ORACLE,
+    doc="""x113's deterministic HLL sketch run as STREAMING STATE —
+    the live distinct-users-per-event-type counter: the event stream
+    folds into the (event_type, bucket) → max(rho) register table as
+    ONE complete-mode streaming aggregate, and the estimate finish
+    (indicator sum, empty-register count, raw estimate, regime flag)
+    is batch arithmetic over the drained register table. This is the
+    production split: the REGISTERS are the only state the stream
+    maintains (≤ 256 rows per group key — max-merge makes every
+    micro-batch an associative register merge, the same algebra
+    tests/test_sketch_merge.py pins for shards), and the estimate is
+    computed at READ time, so one register table serves any
+    dashboard cadence without touching the stream. n_exact joins in
+    from the batch side so the sketch's error stays visible (the
+    150-user toy corpus sits in the flagged small-range regime —
+    exactly what the flag is for).
+
+    Scale: state is |event_types|·256 longs FOREVER, regardless of
+    event volume — the constant-memory distinct counter that an exact
+    streaming dropDuplicates (s06, per-key state) cannot give at
+    100 TB/day; no watermark needed (registers never evict, they
+    saturate). Spark's own approx_count_distinct cannot run as
+    incremental streaming state at all (no mergeable-state surface) —
+    re-implementing the registers makes the sketch composable AND
+    oracle-checkable.""",
+)
+def s21_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong conf if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(glob)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    reg = stream.groupBy(
+        "event_type", (F.col("h") % 256).alias("bucket")
+    ).agg(
+        F.max(
+            F.expr(
+                "CASE WHEN h div 256 = 0 THEN 25"
+                "     ELSE 25 - length(bin(h div 256)) END"
+            )
+        ).alias("m")
+    )
+    regs = _drain_to_memory(reg, "complete", "stream_hll")
+
+    agg = regs.groupBy("event_type").agg(
+        F.expr("CAST(SUM(shiftleft(1L, 25 - m)) AS BIGINT)").alias("t_present"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_buckets"),
+    )
+    ex = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_exact")
+        )
+    )
+    t_total = "(t_present + (256 - n_buckets) * 33554432)"
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr("CAST(256 - n_buckets AS BIGINT)").alias("v_empty"),
+        F.expr(t_total).alias("t_scaled"),
+        F.expr(f"{_S21_ALPHA_SPARK} * {_S21_2_41} / {t_total}").alias(
+            "hll_raw_estimate"
+        ),
+        F.expr(
+            f"(256 - n_buckets) > 0 AND "
+            f"CAST(2.0 AS DOUBLE) * ({_S21_ALPHA_SPARK} * {_S21_2_41}"
+            f" / {t_total}) < CAST(1280.0 AS DOUBLE)"
+        ).alias("small_range_regime"),
+    )
