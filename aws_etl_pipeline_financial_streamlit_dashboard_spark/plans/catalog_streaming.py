@@ -513,24 +513,25 @@ def _drain_to_memory(df, output_mode: str, prefix: str):
     import tempfile
     import uuid
 
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateconf import (
+        pinned_state_partitions,
+    )
+
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", n_state)
-        (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", os.path.join(ckpt, "state"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        with pinned_state_partitions(spark):
+            (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(ckpt, "state"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the drained memory table is independent of the checkpoint;
         # remove it eagerly so repeated verify/bench runs don't
         # accumulate orphaned state dirs (ADVICE r3)

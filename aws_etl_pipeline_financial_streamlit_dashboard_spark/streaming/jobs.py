@@ -171,17 +171,22 @@ def run_dedup_available_now(
         "event_id", "user_id", "event_type", "value"
     )
 
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateconf import (
+        pinned_state_partitions,
+    )
+
     name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with pinned_state_partitions(spark):
+        (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "state"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 

@@ -225,15 +225,20 @@ def run_running_totals_available_now(spark, events_parquet: str) -> DataFrame:
     )
     totals = running_user_totals(stream)
 
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.stateconf import (
+        pinned_state_partitions,
+    )
+
     name = f"running_totals_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(ckpt, "state"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_state_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(ckpt, "state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
