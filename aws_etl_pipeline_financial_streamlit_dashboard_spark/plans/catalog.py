@@ -907,7 +907,8 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 _SAMPLER_FRONT_R9 = [
     # new this round (never sampled by construction)
     "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
-    "s21_streaming_hll_registers",
+    "s21_streaming_hll_registers", "x115_annotator_agreement_kappa",
+    "x116_pii_scrub_audit",
     # semantically touched this round:
     # - s19's dedup key widened to (source, fingerprint) (ADVICE r8 —
     #   winner-independence by construction)

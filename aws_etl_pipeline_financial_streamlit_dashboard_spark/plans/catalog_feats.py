@@ -146,3 +146,202 @@ def x111_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x115 — inter-annotator agreement (Cohen's kappa) per language
+# ---------------------------------------------------------------------------
+# Two deterministic rule "annotators" label every document:
+#   A: long enough (n_chars >= 150)
+#   B: lexically diverse (distinct tokens >= 0.6 * tokens, via the
+#      division-free cross-multiplication 10*distinct >= 6*tokens)
+# kappa = (po - pe) / (1 - pe) over the per-language 2x2 table, emitted
+# in ppm. Division semantics trap: kappa can be NEGATIVE (worse than
+# chance) and Spark's `div` truncates toward zero while DuckDB's `//`
+# floors — so the ppm is computed as ONE IEEE double division of exact
+# integers (< 2^53 at any realistic scale) followed by the shared
+# FLOOR(x + 0.5) half-up, identical ops in both engines.
+_X115_KN = "(CAST(n AS DOUBLE) * agree - pe_num)"
+_X115_KD = "(CAST(n AS DOUBLE) * n - pe_num)"
+_X115_KAPPA = (
+    f"CAST(FLOOR({_X115_KN} * CAST(1000000 AS DOUBLE) / {_X115_KD} + 0.5)"
+    f" AS BIGINT)"
+)
+
+_X115_ORACLE = f"""
+    WITH lab AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS a,
+               CASE WHEN 10 * len(list_distinct(
+                        regexp_split_to_array(trim(text), '\\s+')))
+                         >= 6 * len(regexp_split_to_array(trim(text), '\\s+'))
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab GROUP BY lang
+    ),
+    k AS (
+        SELECT lang, n11, n10, n01, n00, n,
+               CAST(n11 + n00 AS DOUBLE) AS agree,
+               CAST((n11 + n10) AS DOUBLE) * (n11 + n01)
+                 + CAST((n01 + n00) AS DOUBLE) * (n10 + n00) AS pe_num
+        FROM cells
+    )
+    SELECT lang, n11, n10, n01, n00, n,
+           CASE WHEN {_X115_KD} = 0 THEN -2000000
+                ELSE {_X115_KAPPA} END AS kappa_ppm
+    FROM k
+"""
+
+
+@register(
+    "x115_annotator_agreement_kappa",
+    _X115_ORACLE,
+    doc="""Inter-annotator agreement (Cohen's kappa, exact ppm) between
+    two deterministic labeling rules per language — the label-quality
+    diagnostic a training-data pipeline runs before trusting ANY
+    labeling function (two rules that both "look reasonable" can agree
+    barely above chance; here the length rule and the lexical-diversity
+    rule land near zero kappa, which is exactly the warning the
+    statistic exists to give). The full 2x2 table rides along so the
+    disagreement STRUCTURE is visible, not just the score; degenerate
+    tables (pe = 1) emit the -2000000 sentinel rather than a divide
+    fault (x110's convention). Cohen 1960.
+
+    Scale: one narrow per-row labeling pass (codegen string ops) and
+    ONE |languages|-row aggregate — embarrassingly parallel, no
+    shuffle beyond the group-by exchange. The kappa finish is
+    arithmetic on the tiny frame; adding annotators generalizes to
+    Fleiss kappa with the same shape (per-item label counts ->
+    one aggregate).""",
+)
+def x115_annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("lang", "n_chars", "text")
+    lab = d.select(
+        "lang",
+        F.expr("CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END").alias("a"),
+        F.expr(
+            r"CASE WHEN 10 * size(array_distinct(split(trim(text), '\\s+')))"
+            r" >= 6 * size(split(trim(text), '\\s+')) THEN 1 ELSE 0 END"
+        ).alias("b"),
+    )
+    cells = lab.groupBy("lang").agg(
+        F.expr("CAST(SUM(a * b) AS BIGINT)").alias("n11"),
+        F.expr("CAST(SUM(a * (1 - b)) AS BIGINT)").alias("n10"),
+        F.expr("CAST(SUM((1 - a) * b) AS BIGINT)").alias("n01"),
+        F.expr("CAST(SUM((1 - a) * (1 - b)) AS BIGINT)").alias("n00"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    k = cells.select(
+        "lang", "n11", "n10", "n01", "n00", "n",
+        F.expr("CAST(n11 + n00 AS DOUBLE)").alias("agree"),
+        F.expr(
+            "CAST((n11 + n10) AS DOUBLE) * (n11 + n01)"
+            " + CAST((n01 + n00) AS DOUBLE) * (n10 + n00)"
+        ).alias("pe_num"),
+    )
+    return k.select(
+        "lang", "n11", "n10", "n01", "n00", "n",
+        F.expr(
+            f"CASE WHEN {_X115_KD} = 0 THEN -2000000"
+            f" ELSE {_X115_KAPPA} END"
+        ).alias("kappa_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x116 — PII injection → scrub → audit (compliance round trip)
+# ---------------------------------------------------------------------------
+# The corpus is synthetic word-salad with no real PII, so the entry
+# SYNTHESIZES it deterministically (the x91 span-corruption discipline:
+# the generator is part of the operator's contract, not test-only
+# scaffolding): every document gains one doc_id-derived email, every
+# third document a second one on another host. The scrubber is a
+# single email regex (char classes only — identical semantics in
+# Java's regex and DuckDB's RE2); the audit counts redactions per
+# source and PROVES zero residual matches after the scrub, in-data.
+_X116_PAT = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+
+_X116_ORACLE = f"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               text || ' contact user' || doc_id || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' and admin' || doc_id || '@mail.example.org'
+                            ELSE '' END || ' now' AS synth_text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, source, synth_text,
+               regexp_replace(synth_text, '{_X116_PAT}', '<EMAIL>', 'g')
+                   AS clean_text
+        FROM synth
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(synth_text, '{_X116_PAT}')))
+                AS BIGINT) AS n_redactions,
+           CAST(SUM(len(regexp_extract_all(clean_text, '{_X116_PAT}')))
+                AS BIGINT) AS n_residual,
+           CAST(SUM(CASE WHEN clean_text <> synth_text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_changed
+    FROM scrubbed
+    GROUP BY source
+"""
+
+
+@register(
+    "x116_pii_scrub_audit",
+    _X116_ORACLE,
+    doc="""PII redaction round trip with an in-data completeness proof
+    — the compliance step between raw crawl and training corpus:
+    deterministically synthesize emails into every document (x91's
+    generator-as-contract discipline, since the synthetic corpus holds
+    no real PII), scrub with one email regex (char-class-only pattern,
+    so Java regex and RE2 agree), and audit per source: documents,
+    redaction count (one per doc + a second on every third doc — the
+    oracle checks the exact arithmetic), RESIDUAL matches after the
+    scrub (must be zero — the audit is the proof, not a promise), and
+    changed-document count. A real deployment swaps the synthesizer
+    for the raw corpus and keeps the scrub+audit halves verbatim.
+
+    Scale: one narrow codegen pass (concat, two regex evaluations per
+    row) and one |sources|-row aggregate; no UDFs, no shuffle beyond
+    the rollup exchange. Redaction at 100 TB is exactly this shape —
+    regex-scan bound, embarrassingly parallel.""",
+)
+def x116_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    synth = d.select(
+        "doc_id", "source",
+        F.expr(
+            "CONCAT(text, ' contact user', doc_id, '@example.com',"
+            " CASE WHEN doc_id % 3 = 0"
+            " THEN CONCAT(' and admin', doc_id, '@mail.example.org')"
+            " ELSE '' END, ' now')"
+        ).alias("synth_text"),
+    )
+    scrubbed = synth.withColumn(
+        "clean_text",
+        F.expr(f"regexp_replace(synth_text, '{_X116_PAT}', '<EMAIL>')"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            f"CAST(SUM(regexp_count(synth_text, '{_X116_PAT}')) AS BIGINT)"
+        ).alias("n_redactions"),
+        F.expr(
+            f"CAST(SUM(regexp_count(clean_text, '{_X116_PAT}')) AS BIGINT)"
+        ).alias("n_residual"),
+        F.expr(
+            "CAST(SUM(CASE WHEN clean_text <> synth_text THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_docs_changed"),
+    )
