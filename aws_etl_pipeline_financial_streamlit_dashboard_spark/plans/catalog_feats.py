@@ -345,3 +345,132 @@ def x116_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_docs_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x117 — score-decile lift table (model-eval ops)
+# ---------------------------------------------------------------------------
+# The standard "is this scorer worth deploying" read-out: rank the
+# corpus by x95's learned quality score, cut into 10 deciles
+# (skew-safe ntile_at_scale — bit-identical to engine NTILE for the
+# total order (score DESC, doc_id)), and per decile report positives
+# under an INDEPENDENT outcome rule (x115's lexical-diversity
+# annotator), the positive rate, and the cumulative lift vs the base
+# rate — all in exact integer ppm (operands are non-negative, so
+# Spark's truncating `div` and DuckDB's flooring `//` agree; the
+# cumulative product is DECIMAL(38,0)/HUGEINT-widened).
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_llm import (  # noqa: E402
+    _X95_SCORE_SPARK as _X117_SCORE_SPARK,
+    _X95_W_DUCK as _X117_W_DUCK,
+    _X95_D as _X117_D,
+)
+
+_X117_SCORE_DUCK = (
+    f"list_sum([({_X117_W_DUCK})["
+    f"CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % {_X117_D} AS INT) + 1]"
+    r" FOR t IN regexp_split_to_array(trim(text), '\s+')])"
+)
+_X117_POS_DUCK = (
+    "CASE WHEN 10 * len(list_distinct("
+    r"regexp_split_to_array(trim(text), '\s+')))"
+    r" >= 6 * len(regexp_split_to_array(trim(text), '\s+'))"
+    " THEN 1 ELSE 0 END"
+)
+
+_X117_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, {_X117_SCORE_DUCK} AS score,
+               {_X117_POS_DUCK} AS pos
+        FROM documents
+    ),
+    dec AS (
+        SELECT *, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM scored
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM dec GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n, n_pos,
+               SUM(n) OVER (ORDER BY decile) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+               SUM(n) OVER () AS tot_n,
+               SUM(n_pos) OVER () AS tot_pos
+        FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+           CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm,
+           CAST((1000000 * cum_pos * tot_n) // (cum_n * tot_pos) AS BIGINT)
+               AS cum_lift_ppm
+    FROM c
+"""
+
+
+@register(
+    "x117_score_decile_lift",
+    _X117_ORACLE,
+    doc="""Score-decile lift table — the model-eval read-out between
+    training a scorer (x95) and gating a corpus on it (x95's keep
+    gate, x104's pipeline stage): corpus ranked by the learned quality
+    score, cut into 10 skew-safe deciles (operators/shuffle.
+    ntile_at_scale — q59's two-phase enumeration, no single-partition
+    window over the corpus), each decile scored against an INDEPENDENT
+    outcome rule (x115's diversity annotator), with exact-ppm positive
+    rates and cumulative lift vs the base rate. On this corpus the
+    table shows the strongest possible warning: the TOP score deciles
+    hold ZERO diversity positives (cumulative lift ~0, climbing to
+    1.0 only at the bottom) — the quality scorer actively ANTI-selects
+    lexical diversity. That inversion is invisible in x95's own
+    keep-rate audit and is exactly what a decile table exists to
+    catch before a filtering recipe ships.
+
+    Scale: one narrow scoring pass (the x95 fold), the two-phase
+    global enumeration (global_rank's per-partition offsets — no
+    corpus-sized window partition), ONE 10-row aggregate; the
+    cumulative window runs over 10 rows. The lift arithmetic is
+    DECIMAL(38,0)/HUGEINT-widened (sf10-proof per the q93/q94
+    overflow rule).""",
+)
+def x117_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        ntile_at_scale,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.select(
+        "doc_id",
+        F.expr(_X117_SCORE_SPARK).alias("score"),
+        F.expr(
+            r"CASE WHEN 10 * size(array_distinct(split(trim(text), '\\s+')))"
+            r" >= 6 * size(split(trim(text), '\\s+')) THEN 1 ELSE 0 END"
+        ).alias("pos"),
+    )
+    dec = ntile_at_scale(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()], 10, "decile"
+    )
+    per = dec.groupBy("decile").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = per.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("long").alias("decile"), "n", "n_pos",
+        F.expr("CAST((1000000 * n_pos) div n AS BIGINT)").alias("pos_rate_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos * tot_n)"
+            " div (cum_n * tot_pos) AS BIGINT)"
+        ).alias("cum_lift_ppm"),
+    )

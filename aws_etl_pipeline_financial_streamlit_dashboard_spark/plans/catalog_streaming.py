@@ -1458,3 +1458,143 @@ def s21_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {t_total}) < CAST(1280.0 AS DOUBLE)"
         ).alias("small_range_regime"),
     )
+
+
+# ===========================================================================
+# s22 — streaming latency-histogram quantiles (x114's sketch as state)
+# ===========================================================================
+# s21 shows the MAX-merge sketch (HLL registers) as streaming state;
+# this is the SUM-merge one: per-(event_type, value-bucket) counts as
+# ONE complete-mode aggregate (state ≤ |event_types|·1024 rows
+# forever), with the p50/p95/p99 finish — integer rank targets and
+# within-bucket interpolation in micros, x114's exact arithmetic —
+# computed at READ time over the drained register table. The
+# production shape of every latency dashboard: the stream maintains
+# bucket counts; percentiles are display-side arithmetic at any
+# cadence.
+
+_S22_PCTS = (50, 95, 99)
+_S22_BUCKET_DUCK = "LEAST(CAST(FLOOR(value) AS BIGINT), 1023)"
+
+_S22_ORACLE = f"""
+    WITH b AS (
+        SELECT event_type, {_S22_BUCKET_DUCK} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM b
+    ),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _S22_PCTS)}]) AS pct),
+    hit AS (
+        SELECT c.event_type, p.pct, c.bucket, c.cnt, c.cum, c.n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_type, p.pct ORDER BY c.bucket
+               ) AS rn
+        FROM c JOIN p ON 100 * c.cum >= p.pct * c.n
+    ),
+    q AS (
+        SELECT event_type, pct, n,
+               CAST(bucket * 1000000
+                 + (((((pct * n + 99) // 100) - (cum - cnt)) * 1000000)
+                    // cnt) AS BIGINT) AS am
+        FROM hit WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN pct = 50 THEN am END) AS p50_micros,
+           MAX(CASE WHEN pct = 95 THEN am END) AS p95_micros,
+           MAX(CASE WHEN pct = 99 THEN am END) AS p99_micros
+    FROM q GROUP BY event_type
+"""
+
+
+@register(
+    "s22_streaming_histogram_quantiles",
+    _S22_ORACLE,
+    doc="""x114's histogram quantile sketch as STREAMING STATE — the
+    live latency dashboard: the event stream folds into per-
+    (event_type, unit-width value bucket) counts as ONE complete-mode
+    aggregate, and p50/p95/p99 are computed at READ time over the
+    drained bucket table with x114's exact integer rank/interpolation
+    arithmetic. s21 is the MAX-merge sketch (HLL registers); this is
+    the SUM-merge one — together they pin that both mergeable-sketch
+    algebras run as incremental streaming state with a batch-oracle-
+    checkable finish.
+
+    Scale: state is ≤ |event_types|·1024 longs FOREVER regardless of
+    event volume (no watermark needed — buckets saturate, never
+    evict); every micro-batch is a bucket-wise count merge, the same
+    associativity tests/test_sketch_merge.py pins for shards. The
+    finish never touches the stream: one register table serves any
+    dashboard cadence. Accuracy contract: ±1 value unit (bucket
+    width), vs approx_percentile's opaque engine-internal t-digest
+    that cannot run as incremental streaming state at all.""",
+)
+def s22_streaming_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "events")  # sets nanosAsLong conf if needed
+    leaf = "events.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(glob)
+        .select(
+            "event_type",
+            F.expr("LEAST(CAST(FLOOR(value) AS BIGINT), 1023L)").alias(
+                "bucket"
+            ),
+        )
+    )
+    reg = stream.groupBy("event_type", "bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")
+    )
+    regs = _drain_to_memory(reg, "complete", "stream_hist")
+
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    c = regs.select(
+        "event_type", "bucket", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _S22_PCTS])).alias("pct")
+    )
+    hit = c.join(pcts, F.expr("100 * cum >= pct * n"))
+    w_first = W.partitionBy("event_type", "pct").orderBy("bucket")
+    q = (
+        hit.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", "pct", "n",
+            F.expr(
+                "CAST(bucket * 1000000"
+                " + ((((pct * n + 99) div 100) - (cum - cnt)) * 1000000)"
+                " div cnt AS BIGINT)"
+            ).alias("am"),
+        )
+    )
+    return q.groupBy("event_type").agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_rows"),
+        F.max(F.when(F.col("pct") == 50, F.col("am"))).alias("p50_micros"),
+        F.max(F.when(F.col("pct") == 95, F.col("am"))).alias("p95_micros"),
+        F.max(F.when(F.col("pct") == 99, F.col("am"))).alias("p99_micros"),
+    )
