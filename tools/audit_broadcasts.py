@@ -153,6 +153,9 @@ ALLOWLIST = {
     "x72_ann_recall_eval": {
         "top=Project scans=embeddings": (3, "capped query side x3 rankers (_QUERY_ID_CAP)"),
     },
+    "x117_score_decile_lift": {
+        "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row offsets side tables (ntile_at_scale/global_rank — q59/x42 pattern)"),
+    },
     "x73_token_budget_mix": {
         "top=Aggregate scans=LogicalRDD:doc_id": (1, "per-source token budgets (|sources|-bounded)"),
     },
