@@ -125,3 +125,41 @@ def test_stateful_results_identical_on_rocksdb(spark, sf_dir, tmp_path, shape):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert results["default"] == results["rocksdb"]
     assert len(results["rocksdb"]) > 0
+
+
+@pytest.mark.parametrize(
+    "entry",
+    ["s21_streaming_hll_registers", "s22_streaming_histogram_quantiles"],
+)
+def test_sketch_state_entries_identical_on_rocksdb(spark, sf_dir, entry):
+    """Round-9 sketch-as-streaming-state entries (s21 MAX-merge HLL
+    registers, s22 SUM-merge histogram buckets) produce identical
+    finished frames on RocksDB — the catalog callables themselves run
+    under both providers (each run drains into a FRESH checkpoint, so
+    the provider conf binds at query start)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import QUERIES
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    results = {}
+    try:
+        for provider in ("default", "rocksdb"):
+            if provider == "rocksdb":
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", _ROCKS
+                )
+            elif prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            results[provider] = sorted(
+                tuple(r) for r in QUERIES[entry].spark(spark, sf_dir).collect()
+            )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert results["default"] == results["rocksdb"]
+    assert len(results["default"]) > 0
