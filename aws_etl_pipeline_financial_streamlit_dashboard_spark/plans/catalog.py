@@ -819,6 +819,8 @@ def _q16_sql(cr_hint: str) -> str:
 """
 
 
+# canonical fully-hinted form (referenced by docs; plans always go
+# through _q16_sql so the guard decides the hint)
 _Q16_SPARK_SQL = _q16_sql(", BROADCAST(cr)")
 
 
