@@ -911,7 +911,7 @@ _SAMPLER_FRONT_R9 = [
     "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
     "s21_streaming_hll_registers", "x115_annotator_agreement_kappa",
     "x116_pii_scrub_audit", "x117_score_decile_lift",
-    "s22_streaming_histogram_quantiles",
+    "s22_streaming_histogram_quantiles", "x118_langid_confusion_matrix",
     # semantically touched this round:
     # - s19's dedup key widened to (source, fingerprint) (ADVICE r8 —
     #   winner-independence by construction)

@@ -474,3 +474,81 @@ def x117_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cum_n * tot_pos) AS BIGINT)"
         ).alias("cum_lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x118 — language-ID confusion matrix (classifier eval vs gold labels)
+# ---------------------------------------------------------------------------
+# Completes the eval-ops arc: x115 scores AGREEMENT between labelers,
+# x117 scores a RANKER against an outcome, this scores a CLASSIFIER
+# (x08's marker-word language ID) against the corpus's gold ``lang``
+# column as the full confusion matrix — per (gold, predicted) counts
+# plus each cell's share of its gold row in exact ppm (non-negative,
+# so div/// agree). The verbatim x08 decision path runs inside both
+# engines, so the eval can never drift from the classifier it scores.
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_ext import (  # noqa: E402
+    _LANG_ORACLE as _X118_PRED_ORACLE,
+)
+
+_X118_ORACLE = f"""
+    WITH pred AS ({_X118_PRED_ORACLE}),
+    joined AS (
+        SELECT d.lang AS gold_lang, p.pred_lang
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ),
+    cells AS (
+        SELECT gold_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM joined GROUP BY gold_lang, pred_lang
+    ),
+    totals AS (
+        SELECT gold_lang, CAST(SUM(n) AS BIGINT) AS n_gold FROM cells
+        GROUP BY gold_lang
+    )
+    SELECT c.gold_lang, c.pred_lang, c.n, t.n_gold,
+           CAST((1000000 * c.n) // t.n_gold AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN totals t ON c.gold_lang = t.gold_lang
+"""
+
+
+@register(
+    "x118_langid_confusion_matrix",
+    _X118_ORACLE,
+    doc="""Confusion matrix for x08's heuristic language ID against the
+    corpus's gold ``lang`` labels: per (gold, predicted) counts and
+    each cell's exact-ppm share of its gold row. On this corpus the
+    matrix is maximally informative in the unflattering direction —
+    the synthetic word-salad text carries English-ish tokens under
+    every gold label, so the marker heuristic floods the 'en'/'und'
+    columns for all five gold languages (including 'zh', for which it
+    has no markers at all). That per-class breakdown — WHICH languages
+    fail and WHERE the mass goes — is what an aggregate accuracy
+    number hides, and is the eval a pipeline needs before gating a
+    corpus on predicted language (x19's first stage). Completes the
+    eval-ops arc: x115 agreement, x117 lift, x118 confusion.
+
+    Scale: the x08 scoring pass (narrow regex counting, fan_out for
+    single-split scans) + one |langs|²-bounded aggregate and a
+    |langs|-row totals join. The verbatim classifier expression is
+    IMPORTED from x08 in both dialects, so classifier and eval cannot
+    drift.""",
+)
+def x118_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import text as X
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    pred = X.lang_id(docs).select(F.col("lang").alias("gold_lang"), "pred_lang")
+    cells = pred.groupBy("gold_lang", "pred_lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    totals = cells.groupBy("gold_lang").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_gold")
+    )
+    return cells.join(totals, "gold_lang").select(
+        "gold_lang", "pred_lang", "n", "n_gold",
+        F.expr("CAST((1000000 * n) div n_gold AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
+    )
