@@ -88,10 +88,17 @@ class CheckpointRotator:
     whole loop. Frames a caller keeps (e.g. BPE's per-round outputs)
     must NOT be rotated — deletion would break them.
 
-    New-checkpoint detection diffs the ``rdd-*`` entries of the
-    context's checkpoint dir through the Hadoop FileSystem API (works
-    on HDFS/S3/local alike); that makes the rotator single-threaded-
-    driver-loop only, which is what every iterative operator here is.
+    Ownership of the new checkpoint is established by asking the
+    RETURNED frame for its checkpoint file (the analyzed plan of a
+    ``DataFrame.checkpoint`` result is a ``LogicalRDD`` wrapping the
+    reliably-checkpointed RDD; ``RDD.getCheckpointFile`` names its
+    ``rdd-N`` directory) — so a concurrent checkpoint by another
+    caller on the same SparkContext can never be misattributed to this
+    rotator and deleted (ADVICE r9). Only if that introspection path
+    is unavailable do we fall back to before/after directory diffing,
+    and then we claim ownership ONLY when exactly one ``rdd-*`` dir
+    appeared — an ambiguous diff skips the claim (footprint grows, but
+    nothing foreign is ever deleted).
 
     ``reliable=False`` degrades to plain :func:`truncate_lineage`
     (localCheckpoint blocks are executor-memory/disk-managed and
@@ -127,14 +134,39 @@ class CheckpointRotator:
             if st.getPath().getName().startswith("rdd-")
         }
 
+    @staticmethod
+    def _own_checkpoint_dir(out: DataFrame) -> str | None:
+        """The rdd-N directory holding ``out``'s reliable checkpoint,
+        read off the returned frame itself: checkpoint() wraps the
+        checkpointed RDD in a LogicalRDD, and RDD.getCheckpointFile
+        names exactly the directory this rotate created — no directory
+        diffing, no concurrent-writer misattribution."""
+        try:
+            plan = out._jdf.queryExecution().analyzed()
+            f = plan.rdd().getCheckpointFile()
+            if f.isDefined():
+                return f.get()
+        except Exception:  # noqa: BLE001 — plan shape/py4j accessor drift
+            return None
+        return None
+
     def rotate(self, df: DataFrame) -> DataFrame:
         if not self._reliable:
             return truncate_lineage(df, reliable=False)
         before = self._rdd_dirs()
         out = truncate_lineage(df, reliable=True, eager=True)
-        created = self._rdd_dirs() - before
+        own = self._own_checkpoint_dir(out)
+        if own is not None:
+            created = [own]
+        else:
+            # fallback: claim the diff ONLY when it is unambiguous —
+            # a concurrent checkpoint between the snapshots would make
+            # len(diff) != 1, and deleting a foreign dir one round
+            # later is silent data loss in an unrelated job (ADVICE r9)
+            diff = sorted(self._rdd_dirs() - before)
+            created = diff if len(diff) == 1 else []
         for p in self._prev:
             self._fs.delete(self._jpath_cls(p), True)
-        self._prev = sorted(created)
+        self._prev = created
         self.high_water = max(self.high_water, len(self._rdd_dirs()))
         return out

@@ -1216,13 +1216,23 @@ def _bucketed_pair(
     files. The count is part of each table name so a layout change
     never silently reuses tables bucketed differently; names are
     sf-scoped so driver (sf0.01) and bench (sf0.1) runs never collide.
+
+    Round 10: builds are REUSED across sessions and processes. The old
+    dance dropped + rewrote the warehouse directory in every new
+    session (the in-memory catalog forgets the tables), which both
+    repaid the write-time shuffle per run and — worse — let a second
+    process clobber the part files out from under a first process
+    mid-scan (observed: FAILED_READ_FILE in a suite running next to a
+    catalog sweep). Now a ``_SPARK_GRAFT_BUCKETS_OK`` marker (bucket
+    spec + source file signature) makes a finished layout recognizable:
+    a new session registers an EXTERNAL bucketed table over the
+    existing files instead of rebuilding, and the whole ensure step
+    runs under an exclusive flock so two cold processes can't race the
+    initial build. Rebuilds happen only when the marker mismatches
+    (testdata regenerated, spec changed).
     """
     import os
     import re
-
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.bucketing import (
-        write_bucketed,
-    )
 
     tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
     probe = os.path.join(sf_dir, f"{probe_table}.parquet")
@@ -1239,26 +1249,91 @@ def _bucketed_pair(
     cache_key = (spark.sparkContext.applicationId,) + names
     if cache_key in _BUCKETED_READY:
         return names
-    if not all(spark.catalog.tableExists(t) for t in names):
-        # a previous SESSION may have left the managed-table directory
-        # behind while this session's in-memory catalog has no entry —
-        # saveAsTable would fail with LOCATION_ALREADY_EXISTS; clear all
-        import shutil
+    import fcntl
 
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
-        for t in names:
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = wh[len("file:"):] if wh.startswith("file:") else wh
+    os.makedirs(wh_path, exist_ok=True)
+    lock_path = os.path.join(wh_path, f".bucketed_{tag}_{n_buckets}.lock")
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
         for name, (_, source, cols, bucket_cols) in zip(names, specs):
-            write_bucketed(
-                read_table(spark, sf_dir, source).select(*cols),
-                name,
+            _ensure_bucketed_table(
+                spark, wh_path, sf_dir, name, source, cols, bucket_cols,
                 n_buckets,
-                bucket_cols,
             )
     _BUCKETED_READY.add(cache_key)
     return names
+
+
+def _ensure_bucketed_table(
+    spark: SparkSession,
+    wh_path: str,
+    sf_dir: str,
+    name: str,
+    source: str,
+    cols: list[str],
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> None:
+    """Make ``name`` queryable as a bucketed table: reuse a finished
+    on-disk layout (marker match → external CREATE TABLE over it),
+    else build it and stamp the marker. Caller holds the build lock."""
+    import json
+    import os
+    import shutil
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    loc = os.path.join(wh_path, name)
+    marker = os.path.join(loc, "_SPARK_GRAFT_BUCKETS_OK")
+    src = os.path.join(sf_dir, f"{source}.parquet")
+    if os.path.isdir(src):
+        sig = sorted(
+            (f, os.path.getsize(os.path.join(src, f)))
+            for f in os.listdir(src)
+        )
+    else:
+        sig = [(os.path.basename(src), os.path.getsize(src))]
+    expected = {
+        "n_buckets": n_buckets,
+        "bucket_cols": list(bucket_cols),
+        "cols": list(cols),
+        "source_sig": [list(t) for t in sig],
+    }
+    if spark.catalog.tableExists(name):
+        return  # registered earlier in this session (marker-checked then)
+    if os.path.isfile(marker):
+        try:
+            got = json.load(open(marker))
+        except (OSError, ValueError):
+            got = None
+        if got == expected:
+            # parquet footers only — no data read; files named by the
+            # bucketed writer, so BucketingUtils can map file -> bucket
+            schema = spark.read.parquet(loc).schema
+            coldefs = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema
+            )
+            bc = ", ".join(bucket_cols)
+            spark.sql(
+                f"CREATE TABLE {name} ({coldefs}) USING PARQUET "
+                f"CLUSTERED BY ({bc}) SORTED BY ({bc}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+            )
+            return
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(
+        read_table(spark, sf_dir, source).select(*cols),
+        name,
+        n_buckets,
+        bucket_cols,
+    )
+    with open(marker, "w") as fh:
+        json.dump(expected, fh)
 
 
 def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

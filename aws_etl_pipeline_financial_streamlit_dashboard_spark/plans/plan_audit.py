@@ -26,7 +26,10 @@ analyzed plan of a WITH query keeps defs under ``WithCTE``);
 identity-less leaves that are literally driver-local data
 (``LocalRelation``/``OneRowRelation``/``Range``) are bounded, and
 identity-less distributed leaves (``LogicalRDD`` from a checkpoint)
-fall back to the attribute-marker heuristic as a last resort.
+use the attribute-marker list only to NAME which linear table leaked —
+a marker-less one still flags as ``LogicalRDD:unknown`` (DEFAULT-LINEAR
+uniformly; ADVICE r9), with known-bounded offsets frames allowlisted
+by flag signature in ``tools/audit_broadcasts.py``.
 
 These helpers walk an ANALYZED logical plan via py4j (no execution)
 and classify every broadcast-strategy ResolvedHint. Used by
@@ -169,12 +172,17 @@ def unbounded_broadcast_hints(df: DataFrame) -> list[str]:
                 acc.append(t)
                 return False
             # identity-less distributed leaf: attribute-marker fallback
+            # names WHICH linear table leaked; no marker match means we
+            # cannot prove boundedness, and the rule is DEFAULT-LINEAR
+            # (ADVICE r9) — a checkpointed frame whose key columns were
+            # renamed before hinting must surface, not silently pass.
+            # Known-bounded identity-less frames (the |partitions|-row
+            # offsets side tables) are allowlisted by flag signature in
+            # tools/audit_broadcasts.py, same as the marker-named ones.
             s = node.toString()
             leaks = [m.rstrip("#") for m in LINEAR_MARKERS if m in s]
-            if leaks:
-                acc.extend(f"{c}:{x}" for x in leaks)
-                return False
-            return True
+            acc.extend(f"{c}:{x}" for x in (leaks or ["unknown"]))
+            return False
         ok = True
         for k in kids:
             if not linear_leaves(k, acc):

@@ -23,17 +23,45 @@ sized to key cardinality and executor count, not a tuning knob
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
+# The pin mutates the SESSION-GLOBAL spark.sql.shuffle.partitions for
+# the window's duration: any streaming query started concurrently on
+# the shared session would bind its checkpoint-lifetime state
+# partitioning to the toy value (ADVICE r9). In-process we ENFORCE the
+# single-window assumption with a non-blocking lock — overlapping
+# windows raise instead of silently cross-binding; cross-process
+# sharing of one session is not a shape these test drains have.
+_WINDOW = threading.Lock()
+
 
 @contextmanager
 def pinned_state_partitions(spark: SparkSession):
-    n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
     try:
-        yield
+        n = int(raw)
+        if n <= 0:
+            raise ValueError
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be a positive "
+            f"integer, got {raw!r}"
+        ) from None
+    if not _WINDOW.acquire(blocking=False):
+        raise RuntimeError(
+            "pinned_state_partitions windows must not overlap: a "
+            "concurrently-started streaming query would bind its "
+            "checkpoint-lifetime state partitioning to the pinned value"
+        )
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _WINDOW.release()

@@ -33,7 +33,32 @@ sys.path.insert(0, ".")
 # Signature-keyed (ADVICE r8): replacing a bounded hint with a new
 # unbounded one at the same count changes the signature and
 # re-surfaces. Regenerate observed signatures with --emit-allowlist.
+#
+# ``LogicalRDD:unknown`` signatures (ADVICE r9): a localCheckpoint
+# erases the bounding Aggregate/Limit from the plan, so the walker's
+# DEFAULT-LINEAR rule names the checkpointed frame unknown instead of
+# silently passing it — each such site below is adjudicated bounded by
+# the construction the checkpoint hid (centroid/codebook/fraction/
+# margin/offsets frames; see the entry docstrings).
 ALLOWLIST = {
+    "x94_semantic_dedup": {
+        "top=LogicalRDD scans=LogicalRDD:unknown": (3, "checkpointed k-means centroid frames (bounded k)"),
+    },
+    "x88_ivf_cell_occupancy": {
+        "top=LogicalRDD scans=LogicalRDD:unknown": (2, "checkpointed k-means centroid frames (bounded k)"),
+    },
+    "x51_kmeans_deterministic": {
+        "top=LogicalRDD scans=LogicalRDD:unknown": (1, "checkpointed k-means centroid frame (bounded k)"),
+    },
+    "x93_source_drift_chi2": {
+        "top=Aggregate scans=LogicalRDD:unknown": (1, "per-bucket margin (|buckets|-bounded) over the checkpointed (source,bucket) counts"),
+    },
+    "q79_rfm_segmentation": {
+        "top=Project scans=LogicalRDD:unknown": (2, "|partitions|-row ntile_at_scale offsets side tables (q59/x42 pattern; custkey renamed so the marker cannot name it)"),
+    },
+    "q66_market_beta": {
+        "top=Aggregate scans=LogicalRDD:unknown": (1, "per-day market aggregate (|days|-bounded) over the checkpointed daily-close"),
+    },
     "q16_star_join_revenue": {
         "top=SubqueryAlias scans=customer": (1, "size-guarded via dim_fits_broadcast (cust_region fold)"),
     },
@@ -81,15 +106,19 @@ ALLOWLIST = {
         "top=Project scans=embeddings": (1, "per-query rank frames + cosine query side (bounded query set)"),
     },
     "x104_corpus_pipeline_e2e": {
-        "top=Deduplicate scans=documents": (2, "eval shingles (benchmark-sized) x2 forks + mix fractions (|sources|)"),
-        "top=Project scans=documents": (1, "eval shingles (benchmark-sized) x2 forks + mix fractions (|sources|)"),
+        "top=Deduplicate scans=documents": (2, "eval shingles (benchmark-sized) x2 forks"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (1, "checkpointed mix-fraction frame (|sources|-bounded, x47 stage)"),
+        "top=Project scans=LogicalRDD:unknown,documents": (1, "mix fractions joined to the per-source rollup (|sources|-bounded)"),
     },
     "x105_corpus_pipeline_audit": {
-        "top=Deduplicate scans=documents": (6, "same two bounded hints across the 8 stage forks"),
-        "top=Project scans=documents": (2, "same two bounded hints across the 8 stage forks"),
+        "top=Deduplicate scans=documents": (6, "same bounded hints recurring across the 8 stage forks"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (2, "checkpointed mix-fraction frames across forks (|sources|-bounded)"),
+        "top=Project scans=LogicalRDD:unknown,documents": (2, "mix fractions joined to per-source rollups across forks (|sources|-bounded)"),
     },
     "x108_pq_recall": {
-        "top=Project scans=embeddings": (3, "PQ codebooks (bounded 8 codewords/subspace) + capped query side"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (4, "checkpointed PQ codebooks per subspace (bounded 8 codewords x 4 subspaces)"),
+        "top=Project scans=LogicalRDD:unknown": (4, "codebook-derived projections (same bounded frames)"),
+        "top=Project scans=embeddings": (3, "capped query side (_QUERY_ID_CAP)"),
     },
     "x10_ivf_topk": {
         "top=Project scans=embeddings": (6, "query side + k-means centroid frames (bounded k)"),
@@ -111,7 +140,8 @@ ALLOWLIST = {
         "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
     },
     "x29_corpus_mix": {
-        "top=Project scans=documents": (1, "per-source fraction frame (|sources|-bounded)"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (1, "checkpointed per-source fraction frame (|sources|-bounded)"),
+        "top=Project scans=LogicalRDD:unknown,documents": (1, "fraction frame joined to the per-source rollup (|sources|-bounded either side)"),
     },
     "x30_decontamination": {
         "top=Deduplicate scans=documents": (1, "eval-side frame (benchmark-sized by construction)"),
@@ -127,7 +157,8 @@ ALLOWLIST = {
         "top=Project scans=LogicalRDD:doc_id": (1, "|partitions|-row offsets side table"),
     },
     "x47_corpus_mix_deterministic": {
-        "top=Project scans=documents": (1, "per-source fraction frame (|sources|-bounded)"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (1, "checkpointed per-source fraction frame (|sources|-bounded)"),
+        "top=Project scans=LogicalRDD:unknown,documents": (1, "fraction frame joined to the per-source rollup (|sources|-bounded either side)"),
     },
     "x50_bm25_topk": {
         "top=Aggregate scans=documents": (1, "query-term frame (bounded query set)"),
@@ -142,7 +173,9 @@ ALLOWLIST = {
         "top=Project scans=embeddings": (2, "query/labeled side (workload-bounded)"),
     },
     "x58_ivf_deterministic_topk": {
-        "top=Project scans=embeddings": (3, "query side + centroid frames (bounded k)"),
+        "top=LogicalRDD scans=LogicalRDD:unknown": (1, "checkpointed centroid frame (bounded k)"),
+        "top=Project scans=LogicalRDD:unknown,embeddings": (1, "centroid frame joined to the capped query side"),
+        "top=Project scans=embeddings": (2, "query side (workload-bounded)"),
     },
     "x59_lsh_deterministic_topk": {
         "top=Project scans=embeddings": (1, "query side (workload-bounded)"),
