@@ -888,6 +888,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
     catalog_llm,
     catalog_more,
     catalog_pipeline,
+    catalog_r10,
     catalog_rag,
     catalog_sketch,
     catalog_streaming,
@@ -906,40 +907,34 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
-_SAMPLER_FRONT_R9 = [
+_SAMPLER_FRONT_R10 = [
     # new this round (never sampled by construction)
-    "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
-    "s21_streaming_hll_registers", "x115_annotator_agreement_kappa",
-    "x116_pii_scrub_audit", "x117_score_decile_lift",
-    "s22_streaming_histogram_quantiles", "x118_langid_confusion_matrix",
+    "x119_k_anonymity_audit", "x120_curriculum_interleave",
+    "x121_vocabulary_profile", "x122_link_prediction",
+    "s23_streaming_pii_scrub",
     # semantically touched this round:
-    # - s19's dedup key widened to (source, fingerprint) (ADVICE r8 —
-    #   winner-independence by construction)
-    "s19_streaming_corpus_pipeline",
-    # - every _drain_to_memory streaming entry now pins toy-scale state
-    #   partitions (results partitioning-independent, but re-confirm)
-    "s07_stream_static_join", "s09_stream_stream_join",
-    "s10_stream_stream_left_join", "s11_stream_incremental_dedup",
-    "s12_streaming_ohlc", "s13_streaming_ohlc_append",
-    "s14_update_mode_counts", "s15_streaming_session_window",
-    "s18_streaming_quality_gate", "s20_streaming_rag_chunking",
-    # - iterative operators now rotate durable checkpoints
-    #   (lineage.CheckpointRotator; localCheckpoint default path
-    #   unchanged, but the loop code was touched)
+    # - bucketed tables now reuse finished layouts across sessions
+    #   (external CREATE TABLE over marker-validated files)
+    "q16_star_join_revenue", "q34_star_join_bucketed",
+    "q73_flagship_bucketed",
+    # - CheckpointRotator ownership now read off the returned frame
+    #   (iterative operators route through it under reliable=True)
     "x18_dedup_components", "x43_components_star",
     "x46_graph_pagerank", "x61_triangle_count",
-    # - q16's BROADCAST(cr) guard rebuilt programmatically (same SQL)
-    "q16_star_join_revenue",
-    # - eval-ladder query workload capped (vec_id < _QUERY_ID_CAP;
-    #   results identical at the sf0.01 gate scale by construction,
-    #   but re-confirm through the driver)
-    "x72_ann_recall_eval", "x74_matryoshka_recall", "x77_int8_recall",
-    "x107_mmr_rerank", "x108_pq_recall",
+    # - pinned_state_partitions validates + serializes its window
+    #   (every _drain_to_memory streaming entry passes through it)
+    "s09_stream_stream_join", "s15_streaming_session_window",
+    "s18_streaming_quality_gate", "s19_streaming_corpus_pipeline",
+    # round-9 additions the r9 sample may not have fully drawn
+    "x113_hll_sketch_deterministic", "x114_histogram_quantile_sketch",
+    "x115_annotator_agreement_kappa", "x116_pii_scrub_audit",
+    "x117_score_decile_lift", "x118_langid_confusion_matrix",
+    "s21_streaming_hll_registers", "s22_streaming_histogram_quantiles",
 ]
 
 
 def _rotate_front() -> None:
-    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R9 if n in QUERIES}
+    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R10 if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)

@@ -1,0 +1,454 @@
+"""Round-10 catalog entries: compliance risk profiling (k-anonymity),
+curriculum training-order construction, corpus vocabulary statistics,
+and graph link prediction — four genres the catalog lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog import register
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+# ---------------------------------------------------------------------------
+# x119 — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_X119_ORACLE = """
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size,
+               CAST(SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(COALESCE(SUM(CASE WHEN sz < 2 THEN sz END), 0)
+                    AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+               CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0)
+                    AS BIGINT) AS r5,
+               CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+               CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz END), 0)
+                    AS BIGINT) AS r10,
+               CAST(SUM(CASE WHEN sz < 20 THEN 1 ELSE 0 END) AS BIGINT) AS c20,
+               CAST(COALESCE(SUM(CASE WHEN sz < 20 THEN sz END), 0)
+                    AS BIGINT) AS r20
+        FROM cls
+    )
+    SELECT k, n_small_classes, rows_at_risk,
+           CAST((1000000 * rows_at_risk) // n_rows AS BIGINT) AS risk_ppm,
+           min_class_size, n_classes, n_rows
+    FROM (
+        SELECT CAST(2 AS BIGINT) AS k, c2 AS n_small_classes,
+               r2 AS rows_at_risk, min_class_size, n_classes, n_rows FROM s
+        UNION ALL SELECT 5, c5, r5, min_class_size, n_classes, n_rows FROM s
+        UNION ALL SELECT 10, c10, r10, min_class_size, n_classes, n_rows FROM s
+        UNION ALL SELECT 20, c20, r20, min_class_size, n_classes, n_rows FROM s
+    )
+"""
+
+
+@register(
+    "x119_k_anonymity_audit",
+    _X119_ORACLE,
+    doc="""k-anonymity audit over a quasi-identifier tuple — the
+    re-identification risk read-out (Sweeney 2002) a compliance pass
+    runs before releasing or training on user-linked records: group
+    customers by the QI tuple (nation, market segment, account-balance
+    band of width 1000), measure each equivalence class, and report —
+    for k ∈ {2, 5, 10, 20} — how many classes fall below k and how
+    many rows sit in them (the rows a k-anonymizing release would have
+    to suppress or generalize), as exact-ppm risk shares; plus the
+    dataset's achieved anonymity level (the minimum class size) and
+    the class/row totals. Completes the compliance arc (x25/x116 scrub
+    what a record SAYS; this measures what its attributes IMPLY).
+
+    Scale: ONE exchange — the QI group-by (partial aggregation
+    map-side); everything after runs on the |classes|-bounded frame
+    (class count is capped by the QI domain, not the corpus), with the
+    threshold fan-out as a 4-row stack of one global-aggregate row.
+    Embarrassingly parallel at 100 TB.""",
+)
+def x119_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cls = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("band"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("sz"))
+    )
+    s = cls.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_classes"),
+        F.expr("CAST(SUM(sz) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(MIN(sz) AS BIGINT)").alias("min_class_size"),
+        *[
+            e
+            for k in (2, 5, 10, 20)
+            for e in (
+                F.expr(
+                    f"CAST(SUM(CASE WHEN sz < {k} THEN 1 ELSE 0 END)"
+                    f" AS BIGINT)"
+                ).alias(f"c{k}"),
+                F.expr(
+                    f"CAST(COALESCE(SUM(CASE WHEN sz < {k} THEN sz END), 0)"
+                    f" AS BIGINT)"
+                ).alias(f"r{k}"),
+            )
+        ],
+    )
+    stacked = s.select(
+        F.expr(
+            "stack(4, CAST(2 AS BIGINT), c2, r2,"
+            " CAST(5 AS BIGINT), c5, r5,"
+            " CAST(10 AS BIGINT), c10, r10,"
+            " CAST(20 AS BIGINT), c20, r20)"
+            " AS (k, n_small_classes, rows_at_risk)"
+        ),
+        "min_class_size",
+        "n_classes",
+        "n_rows",
+    )
+    return stacked.select(
+        "k",
+        "n_small_classes",
+        "rows_at_risk",
+        F.expr(
+            "CAST((1000000 * rows_at_risk) div n_rows AS BIGINT)"
+        ).alias("risk_ppm"),
+        "min_class_size",
+        "n_classes",
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x120 — curriculum interleave schedule (quality deciles, round-robin)
+# ---------------------------------------------------------------------------
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_feats import (  # noqa: E402
+    _X117_SCORE_DUCK as _X120_SCORE_DUCK,
+    _X117_SCORE_SPARK as _X120_SCORE_SPARK,
+)
+
+_X120_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, {_X120_SCORE_DUCK} AS score FROM documents
+    ),
+    dec AS (
+        SELECT doc_id, score,
+               NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM scored
+    ),
+    sch AS (
+        SELECT doc_id, decile,
+               ROW_NUMBER() OVER (
+                   PARTITION BY decile ORDER BY score DESC, doc_id
+               ) AS rid
+        FROM dec
+    )
+    SELECT CAST((rid - 1) * 10 + decile AS BIGINT) AS pos, doc_id,
+           CAST(decile AS BIGINT) AS decile, CAST(rid AS BIGINT) AS rank_in_decile
+    FROM sch ORDER BY pos LIMIT 50
+"""
+
+# closed-form NTILE(10) pieces over (__r = global rank, __nt = total):
+# the same formula ntile_at_scale pins bit-identical to engine NTILE
+_X120_Q = "(__nt div 10)"
+_X120_REM = "(__nt % 10)"
+_X120_BIG = f"(({_X120_Q} + 1) * {_X120_REM})"
+_X120_DECILE = (
+    f"CASE WHEN __r <= {_X120_BIG} THEN (__r - 1) div ({_X120_Q} + 1) + 1 "
+    f"ELSE {_X120_REM} + (__r - {_X120_BIG} - 1)"
+    f" div GREATEST({_X120_Q}, 1) + 1 END"
+)
+# NTILE start offset of tile d: (d-1)*q + LEAST(d-1, rem) + 1, so the
+# within-tile rank is algebraically local once (__r, d, q, rem) exist
+_X120_RID = (
+    f"__r - (decile - 1) * {_X120_Q} - LEAST(decile - 1, {_X120_REM})"
+)
+
+
+@register(
+    "x120_curriculum_interleave",
+    _X120_ORACLE,
+    doc="""Curriculum training-order construction: rank the corpus by
+    the learned quality score (x95's scorer — the same expression
+    text x117's lift table grades), cut into 10 difficulty deciles,
+    and emit the round-robin interleaved schedule position pos =
+    (rank_within_decile − 1) × 10 + decile — every consecutive run of
+    10 training examples then spans all 10 difficulty levels (the
+    anti-curriculum-shock mixing used when ordered data would skew
+    early optimization). Output is the first 50 schedule slots
+    (content-pinned against DuckDB's NTILE + per-decile ROW_NUMBER).
+
+    Scale: NO per-decile window over the corpus (10 partitions of
+    corpus/10 rows each is the classic hot-window) — the decile AND
+    the within-decile rank are closed-form functions of the global
+    rank and the total count: one two-phase global_rank enumeration
+    (range partition + |partitions|-row offsets broadcast, q59/x42
+    machinery) plus a 1-row total broadcast, then pure row-local
+    arithmetic and a top-50 TakeOrdered. The schedule for ALL rows is
+    materializable with the same plan minus the limit.""",
+)
+def x120_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        global_rank,
+    )
+
+    scored = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_X120_SCORE_SPARK).alias("score")
+    )
+    ranked = global_rank(
+        scored, [F.col("score").desc(), F.col("doc_id").asc()], "__r"
+    )
+    total = ranked.groupBy().agg(F.count("*").alias("__nt"))
+    j = ranked.crossJoin(F.broadcast(total))
+    dec = j.select("doc_id", "__r", "__nt", F.expr(_X120_DECILE).alias("decile"))
+    sch = dec.select(
+        "doc_id",
+        "decile",
+        F.expr(_X120_RID).alias("rid"),
+    )
+    return (
+        sch.select(
+            F.expr("CAST((rid - 1) * 10 + decile AS BIGINT)").alias("pos"),
+            "doc_id",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("rid").cast("long").alias("rank_in_decile"),
+        )
+        .orderBy("pos")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x121 — vocabulary profile (type-token ratio, hapax share) per source
+# ---------------------------------------------------------------------------
+
+_X121_ORACLE = r"""
+    WITH tok AS (
+        SELECT source, u.token AS token
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(token)
+        WHERE u.token <> ''
+    ),
+    tc AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((1000000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS ttr_ppm,
+           CAST((1000000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_share_ppm
+    FROM tc GROUP BY source
+"""
+
+
+@register(
+    "x121_vocabulary_profile",
+    _X121_ORACLE,
+    doc="""Per-source vocabulary profile — the Heaps-law corpus
+    statistics a pretraining data card reports: total token count,
+    distinct-token (type) count, hapax-legomena count (types occurring
+    exactly once — the spelling-noise/OCR-junk tail), type-token ratio
+    and hapax share in exact ppm. A source whose TTR collapses is
+    boilerplate; one whose hapax share explodes is noisy — both feed
+    the curation thresholds next to x06/x26's per-document scores
+    (this is the per-SOURCE roll-up those per-document gates can't
+    see).
+
+    Scale: the canonical two-level aggregate — explode whitespace
+    tokens (narrow, codegen), partial-agg (source, token) counts
+    map-side so the exchange carries per-type partials rather than the
+    token stream, then a |sources|-bounded finish. The same shape as
+    x22's heavy-hitters; no windows, no UDFs.""",
+)
+def x121_vocabulary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter("token <> ''")
+    )
+    tc = tok.groupBy("source", "token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")
+    )
+    return tc.groupBy("source").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_types"),
+        F.expr(
+            "CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_hapax"),
+        F.expr(
+            "CAST((1000000 * COUNT(*)) div SUM(cnt) AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x122 — link prediction (resource-allocation index over the host graph)
+# ---------------------------------------------------------------------------
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.web import (  # noqa: E402
+    sql_canon_parts,
+)
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_web import (  # noqa: E402
+    _DUCK_PARTS,
+    _HTML,
+    _RAW,
+    _SPARK_PARTS,
+    _X86_HREFS,
+)
+
+
+def _x122_oracle() -> str:
+    link_host = sql_canon_parts("link_url", "duckdb")["host"]
+    return f"""
+    WITH pages AS (
+        SELECT doc_id, {_DUCK_PARTS["host"]} AS src_host, {_HTML} AS html
+        FROM (SELECT doc_id, source, text, {_RAW} AS raw_url FROM documents)
+    ),
+    edges AS (
+        SELECT src_host, {link_host} AS dst_host
+        FROM (SELECT doc_id, src_host,
+                     unnest({_X86_HREFS}) AS link_url
+              FROM pages)
+    ),
+    und AS (
+        SELECT DISTINCT least(src_host, dst_host) AS a,
+               greatest(src_host, dst_host) AS b
+        FROM edges WHERE src_host <> dst_host
+    ),
+    adj AS (
+        SELECT a AS host, b AS nbr FROM und
+        UNION ALL SELECT b AS host, a AS nbr FROM und
+    ),
+    deg AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY host),
+    pairs AS (
+        SELECT a1.host AS ha, a2.host AS hb, dn.d AS nd
+        FROM adj a1
+        JOIN adj a2 ON a1.nbr = a2.nbr AND a1.host < a2.host
+        JOIN deg dn ON dn.host = a1.nbr
+    ),
+    sc AS (
+        SELECT ha, hb,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(1000000 // nd) AS BIGINT) AS ra_ppm
+        FROM pairs GROUP BY ha, hb
+    ),
+    non_adj AS (
+        SELECT sc.* FROM sc
+        LEFT JOIN und ON und.a = sc.ha AND und.b = sc.hb
+        WHERE und.a IS NULL
+    )
+    SELECT na.ha AS host_a, na.hb AS host_b, na.n_common, na.ra_ppm,
+           CAST((1000000 * na.n_common) // (da.d + db.d - na.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM non_adj na
+    JOIN deg da ON da.host = na.ha
+    JOIN deg db ON db.host = na.hb
+    ORDER BY na.ra_ppm DESC, na.n_common DESC, host_a, host_b LIMIT 20
+    """
+
+
+@register(
+    "x122_link_prediction",
+    _x122_oracle(),
+    doc="""Link prediction over the host graph x86 extracts: for every
+    NON-adjacent host pair sharing at least one neighbor, the
+    resource-allocation index (Zhou, Lü & Zhang 2009 — each common
+    neighbor contributes 1/degree, so promiscuous hubs certify little)
+    in exact integer ppm, the raw common-neighbor count, and the
+    neighbor-set Jaccard; top-20 predicted links with a fully
+    deterministic tie-break. The crawl-frontier/graph-completion
+    primitive: high-RA non-edges are where a crawler looks next and
+    what a knowledge-graph completion pass proposes.
+
+    Scale: candidate pairs are generated ONLY through shared
+    neighbors — adj ⋈ adj on the neighbor key, never hosts × hosts —
+    so a neighbor of degree d contributes d·(d−1)/2 pairs; the Zipf
+    hub is the known hot key (SCALE.md link-graph note) and the
+    standard mitigation is to cap or drop top-degree hub neighbors
+    before the self-join (they carry ~0 RA weight by definition, so
+    the top-k is insensitive); the final top-20 is a TakeOrdered, not
+    a global sort.""",
+)
+def x122_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    link_host = sql_canon_parts("link_url", "spark")["host"]
+    pages = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", F.expr(_RAW).alias("raw_url"))
+        .select(
+            "doc_id",
+            F.expr(_SPARK_PARTS["host"]).alias("src_host"),
+            F.expr(_HTML).alias("html"),
+        )
+    )
+    edges = pages.select(
+        "src_host", F.explode(F.expr(_X86_HREFS)).alias("link_url")
+    ).select("src_host", F.expr(link_host).alias("dst_host"))
+    und = (
+        edges.filter("src_host <> dst_host")
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("host"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("host"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("host").agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("d"))
+    pairs = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.expr("a1.nbr = a2.nbr AND a1.host < a2.host"))
+        .join(deg.alias("dn"), F.expr("dn.host = a1.nbr"))
+        .select(
+            F.col("a1.host").alias("ha"),
+            F.col("a2.host").alias("hb"),
+            F.col("dn.d").alias("nd"),
+        )
+    )
+    sc = pairs.groupBy("ha", "hb").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_common"),
+        F.expr("CAST(SUM(1000000 div nd) AS BIGINT)").alias("ra_ppm"),
+    )
+    non_adj = sc.join(
+        und, (und.a == sc.ha) & (und.b == sc.hb), "left_anti"
+    )
+    out = (
+        non_adj.join(deg.alias("da"), F.expr("da.host = ha"))
+        .join(deg.alias("db"), F.expr("db.host = hb"))
+        .select(
+            F.col("ha").alias("host_a"),
+            F.col("hb").alias("host_b"),
+            "n_common",
+            "ra_ppm",
+            F.expr(
+                "CAST((1000000 * n_common) div (da.d + db.d - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("ra_ppm").desc(),
+        F.col("n_common").desc(),
+        "host_a",
+        "host_b",
+    ).limit(20)

@@ -1598,3 +1598,75 @@ def s22_streaming_histogram_quantiles(
         F.max(F.when(F.col("pct") == 95, F.col("am"))).alias("p95_micros"),
         F.max(F.when(F.col("pct") == 99, F.col("am"))).alias("p99_micros"),
     )
+
+
+# ===========================================================================
+# s23 — streaming PII scrub + audit (x116's compliance pass in-stream)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_feats import (  # noqa: E402
+    _X116_ORACLE,
+    _X116_PAT,
+)
+
+
+@register(
+    "s23_streaming_pii_scrub",
+    _X116_ORACLE,
+    doc="""x116's PII redaction + completeness audit as a REAL
+    streaming query — the compliance shape of a continuous-ingestion
+    pipeline: documents stream in (file source), each row is
+    deterministically salted with synthetic emails (x91's
+    generator-as-contract — the synthetic corpus holds no real PII),
+    scrubbed with the same char-class-only email regex (Java and RE2
+    agree by construction), and a per-source complete-mode aggregate
+    maintains the audit: redaction count, RESIDUAL matches after the
+    scrub (zero, proven in-data), and changed-document count. Shares
+    x116's oracle verbatim: at Trigger.AvailableNow the running audit
+    equals the batch answer — the invariant that lets one audit query
+    serve both the backfill and the live feed.
+
+    Scale: synth+scrub+count is a stateless narrow projection (two
+    regex evaluations per row, zero state); the only stateful piece is
+    the |sources|-row aggregate. On a live feed the same query runs
+    unmodified with a processing-time trigger, with scrubbed text
+    routed to the corpus sink via foreachBatch in production.""",
+)
+def s23_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .format("parquet")
+        .load(glob)
+    )
+    synth = stream.select(
+        "source",
+        F.expr(
+            "CONCAT(text, ' contact user', doc_id, '@example.com',"
+            " CASE WHEN doc_id % 3 = 0"
+            " THEN CONCAT(' and admin', doc_id, '@mail.example.org')"
+            " ELSE '' END, ' now')"
+        ).alias("synth_text"),
+    )
+    scrubbed = synth.withColumn(
+        "clean_text",
+        F.expr(f"regexp_replace(synth_text, '{_X116_PAT}', '<EMAIL>')"),
+    )
+    agg = scrubbed.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            f"CAST(SUM(regexp_count(synth_text, '{_X116_PAT}')) AS BIGINT)"
+        ).alias("n_redactions"),
+        F.expr(
+            f"CAST(SUM(regexp_count(clean_text, '{_X116_PAT}')) AS BIGINT)"
+        ).alias("n_residual"),
+        F.expr(
+            "CAST(SUM(CASE WHEN clean_text <> synth_text THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_docs_changed"),
+    )
+    return _drain_to_memory(agg, "complete", "stream_pii")

@@ -189,6 +189,9 @@ ALLOWLIST = {
     "x117_score_decile_lift": {
         "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row offsets side tables (ntile_at_scale/global_rank — q59/x42 pattern)"),
     },
+    "x120_curriculum_interleave": {
+        "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables + 1-row total (q59/x42 pattern)"),
+    },
     "x73_token_budget_mix": {
         "top=Aggregate scans=LogicalRDD:doc_id": (1, "per-source token budgets (|sources|-bounded)"),
     },
