@@ -911,7 +911,8 @@ _SAMPLER_FRONT_R10 = [
     # new this round (never sampled by construction)
     "x119_k_anonymity_audit", "x120_curriculum_interleave",
     "x121_vocabulary_profile", "x122_link_prediction",
-    "s23_streaming_pii_scrub",
+    "x123_negative_sampling_table", "x124_generalization_ladder",
+    "s23_streaming_pii_scrub", "s24_streaming_k_anonymity",
     # semantically touched this round:
     # - bucketed tables now reuse finished layouts across sessions
     #   (external CREATE TABLE over marker-validated files)

@@ -84,6 +84,12 @@ def x119_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("sz"))
     )
+    return k_anonymity_report(cls)
+
+
+def k_anonymity_report(cls: DataFrame) -> DataFrame:
+    """x119's read-out over any (…QI…, sz) class-size frame — shared
+    with the streaming twin s24, whose state IS this frame."""
     s = cls.agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_classes"),
         F.expr("CAST(SUM(sz) AS BIGINT)").alias("n_rows"),
@@ -452,3 +458,174 @@ def x122_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host_a",
         "host_b",
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# x123 — negative-sampling table (unigram^0.75 smoothing, word2vec-style)
+# ---------------------------------------------------------------------------
+
+_X123_ORACLE = r"""
+    WITH tok AS (
+        SELECT u.token AS token
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(token)
+        WHERE u.token <> ''
+    ),
+    freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+    ),
+    w AS (
+        SELECT token, f,
+               CAST(FLOOR(SQRT(f * FLOOR(SQRT(f)))) AS BIGINT) AS w
+        FROM freq
+    ),
+    tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(f) AS BIGINT) AS tf
+        FROM w
+    )
+    SELECT token, f AS n_occurrences, w AS smoothed_weight,
+           CAST((1000000 * f) // tf AS BIGINT) AS unigram_ppm,
+           CAST((1000000 * w) // tw AS BIGINT) AS sample_ppm
+    FROM w, tot
+    ORDER BY w DESC, token ASC LIMIT 50
+"""
+
+
+@register(
+    "x123_negative_sampling_table",
+    _X123_ORACLE,
+    doc="""Negative-sampling distribution table — the word2vec /
+    contrastive-training primitive (Mikolov et al. 2013): unigram
+    frequencies smoothed by the 3/4 power so rare tokens are sampled
+    more than their raw share and stopwords less. The fractional power
+    is computed WITHOUT libm pow (whose last-bit rounding differs per
+    implementation): f^(3/4) = sqrt(f · sqrt(f)) uses only SQRT, which
+    IEEE-754 REQUIRES correctly rounded — both engines produce the
+    identical double, and the FLOOR makes the weight an exact integer.
+    Output: top-50 tokens with raw and smoothed sampling shares in
+    exact ppm (the visible flattening IS the smoothing). Above
+    f·√f ≈ 2^53 the double conversion rounds, deterministically and
+    identically in both engines (document-scale counts reach that only
+    past ~10^12 occurrences of one token).
+
+    Scale: x22's heavy-hitter shape — explode, two-level hash
+    aggregate (map-side partials carry per-token counts, not the token
+    stream), a 1-row total broadcast, TakeOrdered(50). The FULL table
+    (all tokens, for the trainer's alias-sampler build) is the same
+    plan minus the limit.""",
+)
+def x123_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter("token <> ''")
+    )
+    freq = tok.groupBy("token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("f")
+    )
+    w = freq.select(
+        "token",
+        "f",
+        F.expr("CAST(FLOOR(SQRT(f * FLOOR(SQRT(f)))) AS BIGINT)").alias("w"),
+    )
+    tot = w.groupBy().agg(
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("tw"),
+        F.expr("CAST(SUM(f) AS BIGINT)").alias("tf"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("f").alias("n_occurrences"),
+            F.col("w").alias("smoothed_weight"),
+            F.expr("CAST((1000000 * f) div tf AS BIGINT)").alias("unigram_ppm"),
+            F.expr("CAST((1000000 * w) div tw AS BIGINT)").alias("sample_ppm"),
+        )
+        .orderBy(F.col("smoothed_weight").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x124 — k-anonymity generalization ladder
+# ---------------------------------------------------------------------------
+
+_X124_ORACLE = """
+    WITH widths(wd) AS (VALUES (500),(1000),(2000),(5000),(10000)),
+    cls AS (
+        SELECT w.wd, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / w.wd) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM customer, widths w
+        GROUP BY w.wd, c_nationkey, c_mktsegment, band
+    )
+    SELECT CAST(wd AS BIGINT) AS band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk_k5,
+           CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))
+                // SUM(sz) AS BIGINT) AS risk_ppm_k5
+    FROM cls GROUP BY wd ORDER BY band_width
+"""
+
+
+@register(
+    "x124_generalization_ladder",
+    _X124_ORACLE,
+    doc="""k-anonymity generalization ladder — the decision curve
+    behind x119's audit: re-band the quasi-identifier's numeric
+    attribute at widths 500…10000 and report, per width, the class
+    count, the achieved anonymity level, and the rows still at risk at
+    k=5 (exact ppm). This is the table an anonymizing release reads to
+    pick the coarsest banding that meets its k target with the least
+    information loss (wider bands = fewer, larger classes = lower risk
+    — the sf0.01 probe shows risk falling 99.7% → 8.1% across the
+    ladder, so the trade-off is visible in-data, not hypothetical).
+
+    Scale: the width fan-out happens BEFORE the aggregate as a 5-row
+    broadcast cross join, so it is ONE exchange over 5× the fact rows
+    (each carrying a different banding) into one partial-agg shuffle —
+    not five corpus scans; everything after runs on the
+    |widths × classes|-bounded frame.""",
+)
+def x124_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VALUES → LocalRelation (a driver-literal leaf the broadcast
+    # auditor can prove bounded; createDataFrame would plan a LogicalRDD)
+    widths = spark.sql(
+        "SELECT * FROM VALUES (500),(1000),(2000),(5000),(10000) AS t(wd)"
+    )
+    cls = (
+        read_table(spark, sf_dir, "customer")
+        .crossJoin(F.broadcast(widths))
+        .groupBy(
+            "wd",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(FLOOR(c_acctbal / wd) AS BIGINT)").alias("band"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("sz"))
+    )
+    return (
+        cls.groupBy("wd")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_classes"),
+            F.expr("CAST(MIN(sz) AS BIGINT)").alias("min_class_size"),
+            F.expr(
+                "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)"
+            ).alias("rows_at_risk_k5"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END))"
+                " div SUM(sz) AS BIGINT)"
+            ).alias("risk_ppm_k5"),
+        )
+        .select(
+            F.col("wd").cast("long").alias("band_width"),
+            "n_classes",
+            "min_class_size",
+            "rows_at_risk_k5",
+            "risk_ppm_k5",
+        )
+    )

@@ -1670,3 +1670,55 @@ def s23_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_docs_changed"),
     )
     return _drain_to_memory(agg, "complete", "stream_pii")
+
+
+# ===========================================================================
+# s24 — streaming k-anonymity monitor (x119's audit over streaming state)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_r10 import (  # noqa: E402
+    _X119_ORACLE,
+    k_anonymity_report,
+)
+
+
+@register(
+    "s24_streaming_k_anonymity",
+    _X119_ORACLE,
+    doc="""x119's k-anonymity audit as a CONTINUOUS compliance monitor:
+    customer records stream in (file source), the equivalence-class
+    sizes over the quasi-identifier tuple (nation, segment, balance
+    band) are maintained as complete-mode streaming state, and the
+    risk read-out (per-k small-class/rows-at-risk counts, achieved
+    anonymity level) is x119's IMPORTED finish applied at read time —
+    the s21/s22 pattern: the streaming state is the mergeable core
+    (class counts sum across micro-batches), the report is a bounded
+    batch finish on the drained state. Shares x119's oracle verbatim:
+    at Trigger.AvailableNow the monitored audit equals the batch
+    answer, which is what lets one risk dashboard serve backfill and
+    live ingestion.
+
+    Scale: state is |classes| rows (QI-domain-bounded, NOT corpus-
+    bounded) — the aggregation state every ingestion monitor of this
+    shape keeps; the finish never touches the fact stream.""",
+)
+def s24_streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "customer")  # sets raw-read confs if needed
+    leaf = "customer.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema(
+            "c_nationkey int, c_mktsegment string, c_acctbal double"
+        )
+        .format("parquet")
+        .load(glob)
+    )
+    cls = stream.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("band"),
+    ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("sz"))
+    state = _drain_to_memory(cls, "complete", "stream_kanon")
+    return k_anonymity_report(state)
