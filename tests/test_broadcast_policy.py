@@ -102,3 +102,29 @@ def test_q95_routes_through_grouped_topk(spark, sf_dir):
     # two-phase: partial (segment, salt) window + final (segment) window
     assert plan.count("Window [") == 2
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_markerless_checkpointed_frame_defaults_linear(spark, sf_dir):
+    """ADVICE r9 regression net: a broadcast hint on a checkpointed
+    frame whose key columns were RENAMED (so no attribute marker can
+    name the source table) must still flag — as LogicalRDD:unknown —
+    under the uniform DEFAULT-LINEAR rule. The old fallback returned
+    'bounded' for exactly this shape."""
+    import pyspark.sql.functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    renamed = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("k"), F.col("source").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    fact = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("k"), "n_chars"
+    )
+    df = fact.join(F.broadcast(renamed), "k")
+    flags = unbounded_broadcast_hints(df)
+    assert flags, "renamed-key checkpointed broadcast passed as bounded"
+    assert any("LogicalRDD:unknown" in f for f in flags), flags

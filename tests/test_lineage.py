@@ -208,3 +208,57 @@ def test_rotator_noop_tier_matches_local_checkpoint(spark):
     rot = CheckpointRotator(df, reliable=False)
     out = rot.rotate(df)
     assert _rows(out, "id", "v") == _rows(df, "id", "v")
+
+
+def test_rotator_ownership_read_off_returned_frame(spark, tmp_path_factory):
+    """ADVICE r9: the rotator must identify ITS checkpoint dir from the
+    returned frame (LogicalRDD → RDD.getCheckpointFile), not by
+    diffing the directory — pin that the introspection path actually
+    resolves and names a dir that exists inside the checkpoint root."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.lineage import (
+        CheckpointRotator,
+    )
+
+    d = str(tmp_path_factory.mktemp("own_ckpt"))
+    spark.sparkContext.setCheckpointDir(d)
+    df = spark.range(40).withColumn("v", F.col("id") + 7)
+    rot = CheckpointRotator(df, reliable=True)
+    out = rot.rotate(df)
+    own = rot._own_checkpoint_dir(out)
+    assert own is not None, (
+        "introspection path regressed — rotate fell back to directory "
+        "diffing, the concurrent-writer-unsafe mechanism"
+    )
+    assert "rdd-" in own
+    assert rot._prev == [own]
+    assert _rows(out, "id", "v") == _rows(df, "id", "v")
+
+
+def test_rotator_never_deletes_foreign_checkpoint(spark, tmp_path_factory):
+    """ADVICE r9 (the actual hazard): a checkpoint taken by ANOTHER
+    caller on the same SparkContext between two rotates must survive
+    the rotator's cleanup — misattribution deleted it one round later
+    under the old directory-diff scheme."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.lineage import (
+        CheckpointRotator,
+    )
+
+    d = str(tmp_path_factory.mktemp("foreign_ckpt"))
+    spark.sparkContext.setCheckpointDir(d)
+    loop_df = spark.range(30).withColumn("v", F.col("id") * 2)
+    rot = CheckpointRotator(loop_df, reliable=True)
+    r1 = rot.rotate(loop_df)
+
+    # a foreign caller checkpoints between this rotator's rounds
+    foreign = spark.range(25).withColumn("w", F.col("id") + 100).checkpoint(
+        eager=True
+    )
+    foreign_rows = _rows(foreign, "id", "w")
+
+    # two more rotations — under misattribution the foreign dir would
+    # have been claimed at rotate 2 and deleted at rotate 3
+    r2 = rot.rotate(r1.withColumn("v", F.col("v") + 1))
+    rot.rotate(r2.withColumn("v", F.col("v") + 1))
+
+    # the foreign frame must still be fully readable from its files
+    assert _rows(foreign, "id", "w") == foreign_rows
