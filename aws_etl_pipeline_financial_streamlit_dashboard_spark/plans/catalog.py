@@ -912,7 +912,11 @@ _SAMPLER_FRONT_R10 = [
     "x119_k_anonymity_audit", "x120_curriculum_interleave",
     "x121_vocabulary_profile", "x122_link_prediction",
     "x123_negative_sampling_table", "x124_generalization_ladder",
+    "x125_mrr_map_eval",
     "s23_streaming_pii_scrub", "s24_streaming_k_anonymity",
+    # x72's LSH block refactored into the shared helper x125 consumes
+    # (result-identical, gate re-verified — but let the driver redraw)
+    "x72_ann_recall_eval",
     # semantically touched this round:
     # - bucketed tables now reuse finished layouts across sessions
     #   (external CREATE TABLE over marker-validated files)

@@ -1398,8 +1398,12 @@ def _exact_topk_spark(emb: DataFrame, mod: int, k: int, dim: int) -> DataFrame:
     ).select("query_id", "neighbor_id")
 
 
-def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
-                n_planes: int = 4, n_tables: int = 8) -> str:
+def _lsh_approx_ctes(mod: int, k: int, dim: int,
+                     n_planes: int, n_tables: int) -> str:
+    """vm/b/qb/cand/ap/apr/approx — the deterministic hyperplane-LSH
+    candidate + rounded-cosine ranking CTE block shared by x72's
+    recall gate and x125's MRR/MAP gate, so the index under evaluation
+    is literally the same text in both entries."""
     vm = S.duckdb_vm_sql("embedding", dim)
     bcols = ",\n           ".join(
         f"{S.duckdb_bucket_sql(t, n_planes, dim)} AS b{t}"
@@ -1407,8 +1411,7 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     )
     collide = " OR ".join(f"c.b{t} = qb.b{t}" for t in range(n_tables))
     cos_ap = S.duckdb_cosine_sql("e.embedding", "q.embedding")
-    return f"""
-    WITH vm AS (SELECT vec_id, {vm} AS xm FROM embeddings),
+    return f"""vm AS (SELECT vec_id, {vm} AS xm FROM embeddings),
     b AS (SELECT vec_id,
            {bcols}
           FROM vm),
@@ -1425,7 +1428,13 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
                                       ORDER BY cosine_sim DESC, neighbor_id)
                        AS rn
             FROM ap),
-    approx AS (SELECT query_id, neighbor_id FROM apr WHERE rn <= {k}),
+    approx AS (SELECT query_id, neighbor_id FROM apr WHERE rn <= {k})"""
+
+
+def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
+                n_planes: int = 4, n_tables: int = 8) -> str:
+    return f"""
+    WITH {_lsh_approx_ctes(mod, k, dim, n_planes, n_tables)},
     {_exact_gt_ctes(mod, k)}
     {_recall_tail_sql('approx')}
     """
@@ -1454,14 +1463,26 @@ def _x72_oracle(mod: int = 29, k: int = 10, dim: int = 64,
     occupancy), not corpus².""",
 )
 def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mod, k, dim = 29, 10, 64
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = _exact_topk_spark(emb, mod, k, dim)
+    approx = _lsh_approx_ranked_spark(emb, mod, k, dim).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_vs_exact(exact, approx, k)
+
+
+def _lsh_approx_ranked_spark(
+    emb: DataFrame, mod: int, k: int, dim: int,
+    n_planes: int = 4, n_tables: int = 8,
+) -> DataFrame:
+    """Spark twin of :func:`_lsh_approx_ctes`: the deterministic
+    hyperplane-LSH candidate generation + rounded-cosine top-k, WITH
+    the rank column (``__rn``) — x72 drops the rank for recall, x125
+    consumes it for MRR/MAP."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
 
-    mod, k, dim, n_planes, n_tables = 29, 10, 64, 4, 8
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    is_q = _q_sample_col(mod)
-    queries = emb.filter(is_q)
-
-    exact = _exact_topk_spark(emb, mod, k, dim)
+    queries = emb.filter(_q_sample_col(mod))
 
     # the bucket table feeds BOTH probe sides (queries and corpus);
     # checkpoint it so the explode + 32-conditional-sum aggregate runs
@@ -1508,15 +1529,13 @@ def x72_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    approx = grouped_topk(
+    return grouped_topk(
         sims,
         ["query_id"],
         [F.col("cosine_sim").desc(), F.col("neighbor_id")],
         k,
         rank_col="__rn",
-    ).select("query_id", "neighbor_id")
-
-    return _recall_vs_exact(exact, approx, k)
+    ).select("query_id", "neighbor_id", "__rn")
 
 
 # ===========================================================================
@@ -2452,3 +2471,100 @@ def x108_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="__rn",
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(exact, approx, _PQ_K)
+
+
+# ===========================================================================
+# x125 — MRR / MAP@10 retrieval-quality gate (rank-position eval)
+# ===========================================================================
+
+def _x125_oracle(mod: int = 29, k: int = 10, dim: int = 64,
+                 n_planes: int = 4, n_tables: int = 8) -> str:
+    return f"""
+    WITH {_lsh_approx_ctes(mod, k, dim, n_planes, n_tables)},
+    {_exact_gt_ctes(mod, k)},
+    rel AS (
+        SELECT a.query_id, a.rn,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY a.rn)
+                   AS j
+        FROM (SELECT query_id, neighbor_id, rn FROM apr WHERE rn <= {k}) a
+        JOIN exact ex ON ex.query_id = a.query_id
+                     AND ex.neighbor_id = a.neighbor_id
+    ),
+    pq AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(rn) AS BIGINT) AS first_rank,
+               CAST(SUM((1000000 * j) // rn) AS BIGINT) AS ap_num
+        FROM rel GROUP BY query_id
+    ),
+    nx AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY query_id
+    )
+    SELECT nx.query_id,
+           CAST(COALESCE(pq.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(pq.first_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN pq.first_rank IS NULL THEN 0
+                     ELSE 1000000 // pq.first_rank END AS BIGINT) AS rr_ppm,
+           CAST(COALESCE(pq.ap_num, 0) // nx.n_exact AS BIGINT) AS ap_ppm
+    FROM nx LEFT JOIN pq ON pq.query_id = nx.query_id
+    """
+
+
+@register(
+    "x125_mrr_map_eval",
+    _x125_oracle(),
+    doc="""Rank-position retrieval-quality gate — MRR and MAP@10 of
+    the deterministic hyperplane-LSH index against the brute-force
+    ground truth, per query: recall (x72) says WHETHER the true
+    neighbors surface; these say WHERE. Reciprocal rank = 1e6 div
+    (rank of the first true neighbor, 0-sentinel when none lands in
+    the top 10); AP@10 uses the standard sum-of-precision-at-relevant-
+    positions with an exact integer convention (Σ over relevant
+    positions i of (1e6·hits≤i) div i, then div |ground truth|) —
+    non-negative operands throughout, so Spark's truncating div and
+    DuckDB's flooring // agree and even the eval numbers hash-check.
+    The LSH candidate block and the exact ground-truth block are the
+    SHARED CTE/builder text of the x72/x74/x77/x108 ladder — one
+    definition of the index under test.
+
+    Scale: identical cost shape to x72 (banded candidate equi-join +
+    skew-safe top-k on the capped query workload); the rank algebra
+    adds one |Q|·k-row window — bounded by the curated query set,
+    never the corpus.""",
+)
+def x125_mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mod, k, dim = 29, 10, 64
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = _exact_topk_spark(emb, mod, k, dim)
+    approx = _lsh_approx_ranked_spark(emb, mod, k, dim).withColumnRenamed(
+        "__rn", "rn"
+    )
+    rel = approx.join(exact, ["query_id", "neighbor_id"]).withColumn(
+        "j",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("rn")
+        ),
+    )
+    pq = rel.groupBy("query_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hits"),
+        F.expr("CAST(MIN(rn) AS BIGINT)").alias("first_rank"),
+        F.expr("CAST(SUM((1000000 * j) div rn) AS BIGINT)").alias("ap_num"),
+    )
+    nx = exact.groupBy("query_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_exact")
+    )
+    return nx.join(pq, "query_id", "left").select(
+        "query_id",
+        F.expr("CAST(COALESCE(n_hits, 0) AS BIGINT)").alias("n_hits"),
+        F.expr("CAST(COALESCE(first_rank, 0) AS BIGINT)").alias(
+            "first_rel_rank"
+        ),
+        F.expr(
+            "CAST(CASE WHEN first_rank IS NULL THEN 0"
+            " ELSE 1000000 div first_rank END AS BIGINT)"
+        ).alias("rr_ppm"),
+        F.expr("CAST(COALESCE(ap_num, 0) div n_exact AS BIGINT)").alias(
+            "ap_ppm"
+        ),
+    )
