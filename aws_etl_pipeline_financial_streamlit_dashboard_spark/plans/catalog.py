@@ -912,8 +912,10 @@ _SAMPLER_FRONT_R10 = [
     "x119_k_anonymity_audit", "x120_curriculum_interleave",
     "x121_vocabulary_profile", "x122_link_prediction",
     "x123_negative_sampling_table", "x124_generalization_ladder",
-    "x125_mrr_map_eval",
+    "x125_mrr_map_eval", "x126_quantile_calibration",
+    "x127_consistent_hash_sharding",
     "s23_streaming_pii_scrub", "s24_streaming_k_anonymity",
+    "s25_streaming_negative_sampling",
     # x72's LSH block refactored into the shared helper x125 consumes
     # (result-identical, gate re-verified — but let the driver redraw)
     "x72_ann_recall_eval",

@@ -629,3 +629,284 @@ def x124_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "risk_ppm_k5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x126 — per-source quantile calibration table (rank-based normalization)
+# ---------------------------------------------------------------------------
+
+_X126_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_X120_SCORE_DUCK} AS score FROM documents
+    ),
+    per AS (
+        SELECT source, score,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id)
+                   AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    ),
+    src AS (
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(CASE WHEN r = (n+3)//4 THEN score END) AS BIGINT)
+                   AS q1_score,
+               CAST(MAX(CASE WHEN r = (n+1)//2 THEN score END) AS BIGINT)
+                   AS q2_score,
+               CAST(MAX(CASE WHEN r = (3*n+3)//4 THEN score END) AS BIGINT)
+                   AS q3_score
+        FROM per GROUP BY source
+    ),
+    gl AS (
+        SELECT score, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM scored
+    ),
+    grow AS (
+        SELECT '__global' AS source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(CASE WHEN r = (n+3)//4 THEN score END) AS BIGINT)
+                   AS q1_score,
+               CAST(MAX(CASE WHEN r = (n+1)//2 THEN score END) AS BIGINT)
+                   AS q2_score,
+               CAST(MAX(CASE WHEN r = (3*n+3)//4 THEN score END) AS BIGINT)
+                   AS q3_score
+        FROM gl
+    )
+    SELECT * FROM src UNION ALL SELECT * FROM grow
+"""
+
+
+@register(
+    "x126_quantile_calibration",
+    _X126_ORACLE,
+    doc="""Per-source quantile calibration table — the artifact behind
+    rank-based score normalization (quantile mapping): for every
+    source, the exact type-1 quartile cutpoints of the learned quality
+    score (rank ceil(n/4), ceil(n/2), ceil(3n/4) in the (score,
+    doc_id) total order), next to the GLOBAL cutpoints in a
+    ``__global`` row. A corpus build reads this to see that one
+    source's "top quartile" is another's bottom half BEFORE applying
+    a single global threshold (x95's gate, x32's per-source
+    percentile gate) — the calibration step that makes cross-source
+    score comparisons honest. Exact integers end to end; coincident
+    targets at tiny n each still select their own row (three
+    independent conditional aggregates, not one CASE ladder).
+
+    Scale: NO per-source window over the corpus — the per-source rank
+    is closed-form from ONE global_rank enumeration over (source,
+    score, doc_id) (contiguous source blocks) minus broadcast
+    per-source offsets (exclusive prefix sums over the
+    |sources|-bounded count frame, the x42/x81 machinery); the global
+    row is a second enumeration. Everything after is a
+    |sources|-bounded aggregate.""",
+)
+def x126_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.shuffle import (
+        global_rank,
+    )
+
+    scored = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_X120_SCORE_SPARK).alias("score")
+    )
+    g = global_rank(
+        scored,
+        [F.col("source").asc(), F.col("score").asc(), F.col("doc_id").asc()],
+        "__r",
+    )
+    cnts = scored.groupBy("source").agg(F.count("*").alias("n"))
+    # exclusive prefix sum over the |sources|-row frame (tiny window)
+    offs = cnts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("source").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    j = g.join(F.broadcast(offs), "source").select(
+        "source", "score", "n", (F.col("__r") - F.col("off")).alias("r")
+    )
+    agg_cols = [
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = (n+3) div 4 THEN score END) AS BIGINT)"
+        ).alias("q1_score"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = (n+1) div 2 THEN score END) AS BIGINT)"
+        ).alias("q2_score"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = (3*n+3) div 4 THEN score END) AS BIGINT)"
+        ).alias("q3_score"),
+    ]
+    src = j.groupBy("source").agg(*agg_cols)
+    gl = global_rank(
+        scored, [F.col("score").asc(), F.col("doc_id").asc()], "__r"
+    )
+    tot = scored.groupBy().agg(F.count("*").alias("n"))
+    grow = (
+        gl.crossJoin(F.broadcast(tot))
+        .select("score", "n", F.col("__r").alias("r"))
+        .select(F.lit("__global").alias("source"), "score", "n", "r")
+        .groupBy("source")
+        .agg(*agg_cols)
+    )
+    return src.unionAll(grow)
+
+
+# ---------------------------------------------------------------------------
+# x127 — consistent-hash sharding audit (ring vs naive mod rebalance)
+# ---------------------------------------------------------------------------
+
+_H_DUCK = "CAST(('0x' || substr(md5({x}), 1, 8))::UBIGINT AS BIGINT)"
+_H_SPARK = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+_X127_ORACLE = f"""
+    WITH ring AS (
+        SELECT tag, shard,
+               {_H_DUCK.format(x="'node-' || shard || '-' || vslot")} AS pos
+        FROM (SELECT 0 AS tag, unnest(range(8)) AS shard
+              UNION ALL SELECT 1, unnest(range(9))) s,
+             (SELECT unnest(range(16)) AS vslot) v
+    ),
+    docs AS (
+        SELECT doc_id, {_H_DUCK.format(x="CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, h,
+               MIN(CASE WHEN tag = 0 AND pos >= h
+                        THEN pos * 1000 + shard END) AS so,
+               MIN(CASE WHEN tag = 0 THEN pos * 1000 + shard END) AS wo,
+               MIN(CASE WHEN tag = 1 AND pos >= h
+                        THEN pos * 1000 + shard END) AS sn,
+               MIN(CASE WHEN tag = 1 THEN pos * 1000 + shard END) AS wn
+        FROM docs CROSS JOIN ring GROUP BY doc_id, h
+    ),
+    asg AS (
+        SELECT CAST(COALESCE(so, wo) % 1000 AS BIGINT) AS ring_old,
+               CAST(COALESCE(sn, wn) % 1000 AS BIGINT) AS ring_new,
+               CAST(h % 8 AS BIGINT) AS naive_old,
+               CAST(h % 9 AS BIGINT) AS naive_new
+        FROM a
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg),
+    ringside AS (
+        SELECT ring_new AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_in_ring
+        FROM asg GROUP BY ring_new
+    ),
+    naiveside AS (
+        SELECT naive_new AS shard,
+               CAST(SUM(CASE WHEN naive_old <> naive_new THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_in_naive
+        FROM asg GROUP BY naive_new
+    )
+    SELECT r.shard, r.n_docs,
+           CAST((1000000 * r.n_docs) // tot.n AS BIGINT) AS balance_ppm,
+           r.n_moved_in_ring,
+           CAST(COALESCE(nv.n_moved_in_naive, 0) AS BIGINT)
+               AS n_moved_in_naive
+    FROM ringside r
+    LEFT JOIN naiveside nv ON nv.shard = r.shard
+    CROSS JOIN tot
+"""
+
+
+@register(
+    "x127_consistent_hash_sharding",
+    _X127_ORACLE,
+    doc="""Consistent-hash shard-assignment audit — the data-placement
+    op behind every rebalance-safe storage layer (Karger et al.
+    1997): documents hash onto a ring of 8 shards × 16 virtual nodes,
+    the ring grows to 9 shards, and the per-new-shard report shows
+    (a) load balance in exact ppm and (b) how many resident documents
+    each strategy moves — the ring relocates ≈1/9 of the corpus
+    (measured 58/500 at the gate scale) while naive ``hash % N``
+    relocates ≈8/9 (437/500), the in-data demonstration of WHY the
+    ring exists. The successor lookup is a pure integer argmin
+    (MIN over pos·1000+shard with the wrap fallback) — no min_by
+    tie semantics, no floats, portable md5 positions on both ends.
+
+    Scale: the ring (272 rows) broadcast-crosses the corpus and the
+    partial aggregate collapses the 272 candidates per document
+    MAP-SIDE — the exchange carries |docs| rows, and the report
+    aggregates are |shards|-bounded. At real scale the ring lookup
+    compiles to the same bounded-literal pattern (a sorted ring array
+    + binary probe); the relational form here keeps both engines on
+    identical text.""",
+)
+def x127_consistent_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ring = spark.sql(
+        "SELECT tag, shard, "
+        + _H_SPARK.format(
+            x="CONCAT('node-', CAST(shard AS STRING), '-', CAST(vslot AS STRING))"
+        )
+        + " AS pos FROM ("
+        "  SELECT 0 AS tag, explode(sequence(0, 7)) AS shard"
+        "  UNION ALL SELECT 1, explode(sequence(0, 8))) s"
+        " CROSS JOIN (SELECT explode(sequence(0, 15)) AS vslot) v"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_H_SPARK.format(x="CAST(doc_id AS STRING)")).alias("h"),
+    )
+    a = (
+        docs.crossJoin(F.broadcast(ring))
+        .groupBy("doc_id", "h")
+        .agg(
+            F.expr(
+                "MIN(CASE WHEN tag = 0 AND pos >= h"
+                " THEN pos * 1000 + shard END)"
+            ).alias("so"),
+            F.expr("MIN(CASE WHEN tag = 0 THEN pos * 1000 + shard END)").alias(
+                "wo"
+            ),
+            F.expr(
+                "MIN(CASE WHEN tag = 1 AND pos >= h"
+                " THEN pos * 1000 + shard END)"
+            ).alias("sn"),
+            F.expr("MIN(CASE WHEN tag = 1 THEN pos * 1000 + shard END)").alias(
+                "wn"
+            ),
+        )
+    )
+    asg = a.select(
+        F.expr("CAST(COALESCE(so, wo) % 1000 AS BIGINT)").alias("ring_old"),
+        F.expr("CAST(COALESCE(sn, wn) % 1000 AS BIGINT)").alias("ring_new"),
+        F.expr("CAST(h % 8 AS BIGINT)").alias("naive_old"),
+        F.expr("CAST(h % 9 AS BIGINT)").alias("naive_new"),
+    )
+    tot = asg.groupBy().agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    ringside = asg.groupBy(F.col("ring_new").alias("shard")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_moved_in_ring"),
+    )
+    naiveside = asg.groupBy(F.col("naive_new").alias("shard")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN naive_old <> naive_new THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_moved_in_naive"),
+    )
+    return (
+        ringside.join(F.broadcast(naiveside), "shard", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            F.expr("CAST((1000000 * n_docs) div n AS BIGINT)").alias(
+                "balance_ppm"
+            ),
+            "n_moved_in_ring",
+            F.expr("CAST(COALESCE(n_moved_in_naive, 0) AS BIGINT)").alias(
+                "n_moved_in_naive"
+            ),
+        )
+    )

@@ -1722,3 +1722,69 @@ def s24_streaming_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("sz"))
     state = _drain_to_memory(cls, "complete", "stream_kanon")
     return k_anonymity_report(state)
+
+
+# ===========================================================================
+# s25 — streaming negative-sampling table (x123's counts as state)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_r10 import (  # noqa: E402
+    _X123_ORACLE,
+)
+
+
+@register(
+    "s25_streaming_negative_sampling",
+    _X123_ORACLE,
+    doc="""x123's negative-sampling distribution maintained over a
+    document stream: per-token counts are the complete-mode streaming
+    state (the mergeable core — counts sum across micro-batches), and
+    the ^0.75 smoothing + totals + top-50 finish is applied to the
+    drained state at read time (the s21/s22/s24 pattern). Shares
+    x123's oracle verbatim: at Trigger.AvailableNow the continuously-
+    maintained table equals the batch answer — so the sampling table a
+    trainer reads can be kept fresh by ingestion instead of rebuilt
+    per epoch.
+
+    Scale: state is |vocab| rows (sublinear in the corpus by Heaps'
+    law); the smoothing finish never touches the token stream.""",
+)
+def s25_streaming_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("text string")
+        .format("parquet")
+        .load(glob)
+    )
+    tok = stream.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter("token <> ''")
+    freq = tok.groupBy("token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("f")
+    )
+    state = _drain_to_memory(freq, "complete", "stream_negsamp")
+    w = state.select(
+        "token",
+        "f",
+        F.expr("CAST(FLOOR(SQRT(f * FLOOR(SQRT(f)))) AS BIGINT)").alias("w"),
+    )
+    tot = w.groupBy().agg(
+        F.expr("CAST(SUM(w) AS BIGINT)").alias("tw"),
+        F.expr("CAST(SUM(f) AS BIGINT)").alias("tf"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("f").alias("n_occurrences"),
+            F.col("w").alias("smoothed_weight"),
+            F.expr("CAST((1000000 * f) div tf AS BIGINT)").alias("unigram_ppm"),
+            F.expr("CAST((1000000 * w) div tw AS BIGINT)").alias("sample_ppm"),
+        )
+        .orderBy(F.col("smoothed_weight").desc(), F.col("token").asc())
+        .limit(50)
+    )

@@ -192,6 +192,13 @@ ALLOWLIST = {
     "x120_curriculum_interleave": {
         "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables + 1-row total (q59/x42 pattern)"),
     },
+    "x126_quantile_calibration": {
+        "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables x2 enumerations (q59/x42 pattern)"),
+        "top=Project scans=documents": (1, "per-source count/offset frame (|sources|-bounded prefix sums)"),
+    },
+    "x127_consistent_hash_sharding": {
+        "top=Aggregate scans=documents": (1, "per-shard naive-movement rollup (|shards|-bounded, <=9 rows)"),
+    },
     "x73_token_budget_mix": {
         "top=Aggregate scans=LogicalRDD:doc_id": (1, "per-source token budgets (|sources|-bounded)"),
     },
