@@ -192,6 +192,9 @@ ALLOWLIST = {
     "x120_curriculum_interleave": {
         "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables + 1-row total (q59/x42 pattern)"),
     },
+    "x125_mrr_map_eval": {
+        "top=Project scans=embeddings": (3, "capped query side, x72's shared LSH+GT blocks (_QUERY_ID_CAP)"),
+    },
     "x126_quantile_calibration": {
         "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables x2 enumerations (q59/x42 pattern)"),
         "top=Project scans=documents": (1, "per-source count/offset frame (|sources|-bounded prefix sums)"),
