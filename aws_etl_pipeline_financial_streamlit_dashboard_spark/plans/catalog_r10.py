@@ -910,3 +910,92 @@ def x127_consistent_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x128 — data-constrained repetition plan (epochs per source under budget)
+# ---------------------------------------------------------------------------
+
+_X128_ORACLE = r"""
+    WITH tok AS (
+        SELECT source,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               t -> t <> '')) AS n
+        FROM documents
+    ),
+    per AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS tokens
+        FROM tok GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM per
+    )
+    SELECT per.source, per.tokens,
+           CAST((2 * tot.corpus_tokens) // tot.n_sources AS BIGINT)
+               AS target_tokens,
+           CAST(LEAST(2000000,
+                (1000000 * ((2 * tot.corpus_tokens) // tot.n_sources))
+                    // per.tokens) AS BIGINT) AS epochs_ppm,
+           CAST((per.tokens * LEAST(2000000,
+                (1000000 * ((2 * tot.corpus_tokens) // tot.n_sources))
+                    // per.tokens)) // 1000000 AS BIGINT) AS planned_tokens,
+           CAST(CASE WHEN (1000000 * ((2 * tot.corpus_tokens)
+                               // tot.n_sources)) // per.tokens > 2000000
+                THEN ((2 * tot.corpus_tokens) // tot.n_sources)
+                     - (per.tokens * 2)
+                ELSE 0 END AS BIGINT) AS unfilled_tokens
+    FROM per, tot
+"""
+
+
+@register(
+    "x128_repetition_plan",
+    _X128_ORACLE,
+    doc="""Data-constrained repetition plan — the epoch allocator a
+    token-budgeted pretraining run uses when the corpus is smaller
+    than the budget (the Muennighoff et al. 2023 regime): each source
+    gets an equal share of a 2×-corpus token budget; its epoch count
+    is target/tokens in exact ppm, CAPPED at 2.0 epochs (the cap is
+    the quality knob — repeating data beyond a few epochs stops
+    helping), and the report shows planned tokens plus the budget a
+    capped source leaves UNFILLED (what the mixer reallocates or the
+    crawler must go get). The fixture exercises BOTH regimes: source
+    token counts straddle the mean, so below-average sources hit the
+    cap (unfilled > 0) and above-average ones don't — the branchy
+    arithmetic is proven in-data, not hypothetically.
+
+    Scale: one narrow token-count pass (same codegen shape as x121's
+    stage 1), a |sources|-row aggregate, a 1-row total broadcast, and
+    row-local exact-integer arithmetic. Embarrassingly parallel.""",
+)
+def x128_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            r"size(filter(split(trim(text), '\\s+'), t -> t <> ''))"
+        ).alias("n"),
+    )
+    per = tok.groupBy("source").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("tokens")
+    )
+    tot = per.groupBy().agg(
+        F.expr("CAST(SUM(tokens) AS BIGINT)").alias("corpus_tokens"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_sources"),
+    )
+    tgt = "((2 * corpus_tokens) div n_sources)"
+    eraw = f"((1000000 * {tgt}) div tokens)"
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"CAST({tgt} AS BIGINT)").alias("target_tokens"),
+        F.expr(f"CAST(LEAST(2000000, {eraw}) AS BIGINT)").alias("epochs_ppm"),
+        F.expr(
+            f"CAST((tokens * LEAST(2000000, {eraw})) div 1000000 AS BIGINT)"
+        ).alias("planned_tokens"),
+        F.expr(
+            f"CAST(CASE WHEN {eraw} > 2000000"
+            f" THEN {tgt} - (tokens * 2) ELSE 0 END AS BIGINT)"
+        ).alias("unfilled_tokens"),
+    )
