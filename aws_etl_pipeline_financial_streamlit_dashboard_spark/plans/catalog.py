@@ -914,6 +914,7 @@ _SAMPLER_FRONT_R10 = [
     "x123_negative_sampling_table", "x124_generalization_ladder",
     "x125_mrr_map_eval", "x126_quantile_calibration",
     "x127_consistent_hash_sharding", "x128_repetition_plan",
+    "x129_distinctive_terms",
     "s23_streaming_pii_scrub", "s24_streaming_k_anonymity",
     "s25_streaming_negative_sampling",
     # x72's LSH block refactored into the shared helper x125 consumes

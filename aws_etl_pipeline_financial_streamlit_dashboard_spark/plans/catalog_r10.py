@@ -999,3 +999,111 @@ def x128_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN {tgt} - (tokens * 2) ELSE 0 END AS BIGINT)"
         ).alias("unfilled_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x129 — distinctive terms per source (share-lift keyword extraction)
+# ---------------------------------------------------------------------------
+
+_X129_ORACLE = r"""
+    WITH tok AS (
+        SELECT source, u.token AS token
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(token)
+        WHERE u.token <> ''
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, token
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ca FROM st GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM st),
+    r AS (
+        SELECT st.source, st.token, st.c,
+               CAST((1000000::HUGEINT * st.c * tot.na)
+                    // (stot.ns::HUGEINT * ct.ca) AS BIGINT) AS lift_ppm
+        FROM st JOIN stot USING (source) JOIN ct USING (token)
+        CROSS JOIN tot
+        WHERE st.c >= 5
+    ),
+    top AS (
+        SELECT source, token, c AS n_in_source, lift_ppm,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY lift_ppm DESC, token) AS rk
+        FROM r
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, token, n_in_source, lift_ppm
+    FROM top WHERE rk <= 3
+"""
+
+
+@register(
+    "x129_distinctive_terms",
+    _X129_ORACLE,
+    doc="""Distinctive vocabulary per source — share-lift keyword
+    extraction at the SOURCE grain (x23's TF-IDF works per document;
+    a data card wants "what is src9 about, relative to the corpus"):
+    for every (source, token) with ≥ 5 occurrences, lift = (in-source
+    token share) / (corpus token share) as one exact integer division
+    (1e6·c·N_all) div (N_src·c_all) — numerators reach c·N_all ≈
+    corpus² at scale, so both engines widen (DECIMAL(38,0) / HUGEINT,
+    the q93 overflow lesson applied at design time, not post-hoc);
+    top-3 per source by (lift DESC, token). The min-count floor keeps
+    one-off hapax noise out of the lift ranking — the same reason
+    log-odds methods add priors, without the libm ln.
+
+    Scale: the (source, token) aggregate is the only fact-scale
+    exchange (two-level, map-side partials); the margins are
+    |sources| / |vocab|-bounded joins back onto it (vocab-keyed join
+    is broadcast-able when the vocab fits, shuffle otherwise — left to
+    AQE); the per-source top-3 runs through grouped_topk (salted
+    two-phase), never one window partition per source.""",
+)
+def x129_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+        grouped_topk,
+    )
+
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter("token <> ''")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    stot = st.groupBy("source").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("ns"))
+    ct = st.groupBy("token").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("ca"))
+    tot = st.groupBy().agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("na"))
+    r = (
+        st.filter("c >= 5")
+        .join(F.broadcast(stot), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "token",
+            F.col("c").alias("n_in_source"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c * na)"
+                " div (CAST(ns AS DECIMAL(38,0)) * ca) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return grouped_topk(
+        r,
+        ["source"],
+        [F.col("lift_ppm").desc(), F.col("token").asc()],
+        3,
+        rank_col="rk",
+    ).select(
+        "source",
+        F.col("rk").cast("long").alias("rank"),
+        "token",
+        "n_in_source",
+        "lift_ppm",
+    )

@@ -195,6 +195,9 @@ ALLOWLIST = {
     "x125_mrr_map_eval": {
         "top=Project scans=embeddings": (3, "capped query side, x72's shared LSH+GT blocks (_QUERY_ID_CAP)"),
     },
+    "x129_distinctive_terms": {
+        "top=Aggregate scans=documents": (1, "per-source token-total margin (|sources|-bounded)"),
+    },
     "x126_quantile_calibration": {
         "top=Project scans=LogicalRDD:doc_id": (2, "|partitions|-row global_rank offsets side tables x2 enumerations (q59/x42 pattern)"),
         "top=Project scans=documents": (1, "per-source count/offset frame (|sources|-bounded prefix sums)"),
