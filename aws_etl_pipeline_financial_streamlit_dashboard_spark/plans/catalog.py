@@ -916,7 +916,7 @@ _SAMPLER_FRONT_R10 = [
     "x127_consistent_hash_sharding", "x128_repetition_plan",
     "x129_distinctive_terms",
     "s23_streaming_pii_scrub", "s24_streaming_k_anonymity",
-    "s25_streaming_negative_sampling",
+    "s25_streaming_negative_sampling", "s26_streaming_distinctive_terms",
     # x72's LSH block refactored into the shared helper x125 consumes
     # (result-identical, gate re-verified — but let the driver redraw)
     "x72_ann_recall_eval",

@@ -1788,3 +1788,91 @@ def s25_streaming_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("smoothed_weight").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+# ===========================================================================
+# s26 — streaming distinctive-terms extraction (x129's counts as state)
+# ===========================================================================
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_r10 import (  # noqa: E402
+    _X129_ORACLE,
+)
+
+
+@register(
+    "s26_streaming_distinctive_terms",
+    _X129_ORACLE,
+    doc="""x129's per-source distinctive-terms table maintained over a
+    document stream: the (source, token) counts are the complete-mode
+    streaming state (mergeable — counts sum across micro-batches), and
+    the margin joins, widened share-lift division, and per-source
+    top-3 run as x129's finish on the drained state at read time.
+    Shares x129's oracle verbatim: at Trigger.AvailableNow the
+    continuously-maintained data card equals the batch answer, so
+    "what is each source about" stays fresh under ingestion without a
+    nightly rebuild.
+
+    Scale: state is |sources|×|vocab| rows (vocab sublinear by Heaps'
+    law); the finish never touches the token stream — same posture as
+    s21/s22/s24/s25's mergeable-state + bounded-finish pattern.""",
+)
+def s26_streaming_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import (
+        grouped_topk,
+    )
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .format("parquet")
+        .load(glob)
+    )
+    tok = stream.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter("token <> ''")
+    counts = tok.groupBy("source", "token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")
+    )
+    # checkpoint the drained state: four finish consumers (margins,
+    # total, filter side) would otherwise self-join the memory-sink
+    # VIEW, which trips conflicting-reference resolution — and the
+    # q54 materialize-once rationale applies anyway (|src|×|vocab| rows)
+    st = _drain_to_memory(
+        counts, "complete", "stream_distinct_terms"
+    ).localCheckpoint(eager=True)
+    stot = st.groupBy("source").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("ns"))
+    ct = st.groupBy("token").agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("ca"))
+    tot = st.groupBy().agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("na"))
+    r = (
+        st.filter("c >= 5")
+        .join(F.broadcast(stot), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "token",
+            F.col("c").alias("n_in_source"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c * na)"
+                " div (CAST(ns AS DECIMAL(38,0)) * ca) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return grouped_topk(
+        r,
+        ["source"],
+        [F.col("lift_ppm").desc(), F.col("token").asc()],
+        3,
+        rank_col="rk",
+    ).select(
+        "source",
+        F.col("rk").cast("long").alias("rank"),
+        "token",
+        "n_in_source",
+        "lift_ppm",
+    )
