@@ -384,7 +384,7 @@ def semdedup(
     cell-blocked, Σ|cell|² work, exactly the SemDeDup economics (k
     grows with the corpus so |cell| stays ~constant; the paper runs
     k=11k on 100M docs). The cosine kernel stays codegen
-    (precomputed norms + unrolled dot, similarity.with_l2_norm
+    (precomputed norms + the _sql_dot fold, similarity.with_l2_norm
     rationale); the only data-scale exchanges are the k-means
     assignment aggregate and the cell-keyed pair shuffle.
     """

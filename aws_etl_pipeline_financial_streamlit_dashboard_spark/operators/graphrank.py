@@ -140,3 +140,78 @@ def pagerank_oracle_sql(edges_cte: str, iterations: int = 5) -> str:
         )
     body = "\n".join(parts).rstrip(",")
     return f"{body}\nSELECT u AS node, rank_us FROM r{iterations}"
+
+
+def link_prediction_ra(
+    und: DataFrame,
+    k: int = 20,
+    hot_neighbor_cap: int | None = None,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009)
+    over a distinct undirected edge list ``und`` with columns
+    ``(a, b)``, ``a < b``: every NON-adjacent pair sharing at least
+    one neighbor, scored by Σ 1/degree(common neighbor) in exact
+    integer ppm, with the raw common-neighbor count and neighbor-set
+    Jaccard; top-``k`` under a fully deterministic tie-break
+    (ra desc, n_common desc, host_a, host_b).
+
+    ``hot_neighbor_cap`` (VERDICT r10 item 2) is the escape hatch this
+    family always ships (x02's ``hot_shingle_cap``, x48's
+    ``hot_block_cap``): candidate pairs are generated through shared
+    neighbors — adj ⋈ adj on the neighbor key — so ONE vertex of
+    degree d emits d·(d−1)/2 pairs, and a Zipf hub (a 10⁶-in-link
+    domain at crawl scale) would emit ~10¹² candidates alone. The cap
+    drops vertices with degree > cap from the SHARED-NEIGHBOR role
+    before the self-join (endpoint degrees for Jaccard stay exact):
+    each surviving neighbor emits ≤ cap·(cap−1)/2 pairs, bounding the
+    stage at |V|·cap² instead of Σd². The approximation is the
+    standard one for common-neighbor methods: a degree-d hub
+    contributes RA weight 1/d ≈ 0, so the top-k is insensitive —
+    capped candidates are a SUBSET of the uncapped candidates with
+    near-identical scores (property-tested), and at the catalog's
+    gate scales a cap of 64 is exactly inert (measured max degree 3).
+    """
+    adj = und.select(F.col("a").alias("host"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("host"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("host").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("d")
+    )
+    nbr_deg = deg
+    if hot_neighbor_cap is not None:
+        nbr_deg = deg.filter(F.col("d") <= F.lit(int(hot_neighbor_cap)))
+    pairs = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.expr("a1.nbr = a2.nbr AND a1.host < a2.host"))
+        .join(nbr_deg.alias("dn"), F.expr("dn.host = a1.nbr"))
+        .select(
+            F.col("a1.host").alias("ha"),
+            F.col("a2.host").alias("hb"),
+            F.col("dn.d").alias("nd"),
+        )
+    )
+    sc = pairs.groupBy("ha", "hb").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_common"),
+        F.expr("CAST(SUM(1000000 div nd) AS BIGINT)").alias("ra_ppm"),
+    )
+    non_adj = sc.join(und, (und.a == sc.ha) & (und.b == sc.hb), "left_anti")
+    out = (
+        non_adj.join(deg.alias("da"), F.expr("da.host = ha"))
+        .join(deg.alias("db"), F.expr("db.host = hb"))
+        .select(
+            F.col("ha").alias("host_a"),
+            F.col("hb").alias("host_b"),
+            "n_common",
+            "ra_ppm",
+            F.expr(
+                "CAST((1000000 * n_common) div (da.d + db.d - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("ra_ppm").desc(),
+        F.col("n_common").desc(),
+        "host_a",
+        "host_b",
+    ).limit(k)

@@ -44,7 +44,11 @@ See docs/SCALE.md "Lineage truncation and executor loss".
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def truncate_lineage(
@@ -111,6 +115,12 @@ class CheckpointRotator:
         self._reliable = reliable
         self._prev: list[str] = []
         self.high_water = 0  # max rdd-dirs observed live after a rotate
+        # ambiguous-ownership bookkeeping (ADVICE r10): every skipped
+        # claim is counted and its candidate dirs recorded, so a loop
+        # whose introspection keeps failing surfaces the leak instead
+        # of growing the checkpoint dir silently; close() reclaims.
+        self.skipped_claims = 0
+        self.unclaimed: list[str] = []
         if not reliable:
             return
         sc = spark.sparkContext
@@ -164,9 +174,50 @@ class CheckpointRotator:
             # len(diff) != 1, and deleting a foreign dir one round
             # later is silent data loss in an unrelated job (ADVICE r9)
             diff = sorted(self._rdd_dirs() - before)
-            created = diff if len(diff) == 1 else []
+            if len(diff) == 1:
+                created = diff
+            else:
+                # surfaced, not silent (ADVICE r10): count the skip and
+                # remember the candidate dirs so close() can reclaim
+                # them once the caller declares the loop done
+                created = []
+                self.skipped_claims += 1
+                self.unclaimed.extend(diff)
+                _log.warning(
+                    "CheckpointRotator: ownership introspection failed and "
+                    "the directory diff is ambiguous (%d new rdd dirs); "
+                    "skipping claim #%d — this round's checkpoint will not "
+                    "be auto-deleted. Call close(delete_unclaimed=True) at "
+                    "loop end if no concurrent checkpointer shares this "
+                    "checkpoint dir.",
+                    len(diff),
+                    self.skipped_claims,
+                )
         for p in self._prev:
             self._fs.delete(self._jpath_cls(p), True)
         self._prev = created
         self.high_water = max(self.high_water, len(self._rdd_dirs()))
         return out
+
+    def close(
+        self, delete_last: bool = True, delete_unclaimed: bool = False
+    ) -> None:
+        """Reclaim checkpoint dirs at loop end (ADVICE r10).
+
+        ``delete_last`` drops the final rotated round's dir — call only
+        once the caller is done with every frame derived from the last
+        ``rotate`` output. ``delete_unclaimed`` additionally deletes the
+        candidate dirs accumulated by ambiguous-diff skips; those sets
+        may include a CONCURRENT caller's checkpoints (that ambiguity is
+        why the claim was skipped), so opt in only when this rotator's
+        loop was the sole checkpointer of the directory. Idempotent."""
+        if not self._reliable:
+            return
+        if delete_last:
+            for p in self._prev:
+                self._fs.delete(self._jpath_cls(p), True)
+            self._prev = []
+        if delete_unclaimed:
+            for p in self.unclaimed:
+                self._fs.delete(self._jpath_cls(p), True)
+            self.unclaimed = []

@@ -17,10 +17,12 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.functions.scalars impo
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ over two array columns, computed in double.
 
-    Interpreted HOF path (fold over zip_with) — use
-    :func:`cosine_fixed` / :func:`l2_dist2_fixed` in any per-table
-    kernel when the dimensionality is known; this form remains for
-    unknown-dim or ad-hoc use."""
+    Column-API twin of the :func:`_sql_dot` fold (same accumulation
+    order, bit-identical values). Since round 11 the fold IS the hot
+    kernel form — the old dim-unrolled chain was re-measured 6.7×
+    slower at pair-kernel scale (tools/profile_dot_kernel.py); the
+    named-column helpers (:func:`cosine_fixed`/:func:`cosine_pre`)
+    remain the per-table entry points."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,30 +42,45 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with NULL on zero-norm inputs (nullif guard —
-    same NULL-division semantic as the rest of the engine).
-    Interpreted HOF path — see :func:`cosine_fixed`."""
+    same NULL-division semantic as the rest of the engine). Column-API
+    twin of :func:`cosine_fixed` — identical values."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def _sql_dot(a: str, b: str, dim: int) -> str:
-    """SQL text for a dim-unrolled dot product, left-associated from
-    0.0 so the accumulation order (and hence the float result) is
-    bit-identical to :func:`dot`'s fold. ``get()`` is 0-based and
-    returns NULL past the end in every SQL mode (``element_at`` throws
-    under ANSI), so malformed short vectors yield NULL, not an error."""
-    terms = " + ".join(
-        f"cast(get({a}, {i}) as double) * cast(get({b}, {i}) as double)"
-        for i in range(dim)
+    """SQL text for the pairwise dot product as a HOF fold,
+    left-associated from 0.0D — the accumulation order (and hence
+    every float result) is bit-identical to :func:`dot` AND to the
+    previous dim-unrolled ``get()`` chain (probed over 18k sf0.01
+    pairs, 0 mismatches, round 11).
+
+    Form chosen by measurement (tools/profile_dot_kernel.py, sf10
+    7M-pair eval-ladder kernel, VERDICT r10 item 1): the unrolled
+    64-term ``+`` chain codegens to a straight-line expression tree
+    the JIT cannot vectorize — r10 measured its ~45 core-µs/pair
+    floor — while this fold gives the engine a loop over the array
+    data and runs the identical kernel **6.7× faster** (22.9 s →
+    3.4 s median, same result set). ``dim`` is kept for signature
+    stability; the fixed-dim contract stands (arrays are exactly
+    ``dim`` — every sub/truncated-vector call site materializes via
+    ``slice()`` first), and a malformed SHORT vector still yields
+    NULL: ``zip_with`` pads the shorter side with NULLs, NULL·cast
+    propagates through the sum exactly like the old get()-past-end
+    NULL."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
     )
-    return f"(0.0D + {terms})"
 
 
 def _sql_norm2(a: str, dim: int) -> str:
-    terms = " + ".join(
-        f"cast(get({a}, {i}) as double) * cast(get({a}, {i}) as double)"
-        for i in range(dim)
+    """Σ aᵢ² as the same left-associated fold (see :func:`_sql_dot`;
+    bit-identical to the previous unrolled form)."""
+    return (
+        f"aggregate({a}, 0.0D,"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double))"
     )
-    return f"(0.0D + {terms})"
 
 
 def cosine_fixed(a: str, b: str, dim: int) -> Column:
@@ -71,15 +88,12 @@ def cosine_fixed(a: str, b: str, dim: int) -> Column:
     referenced BY NAME, built as one parsed SQL expression.
 
     Same value as :func:`cosine` (identical accumulation order, same
-    nullif zero-norm guard) but fully inside whole-stage codegen: the
-    HOF form runs an interpreted fold per row, which multiplied across
-    a corpus×candidates kernel is the dominant CPU (measured ~50× on
-    the brute-force scan). One ``F.expr`` keeps plan-build cost at a
-    single py4j call + a ~16 KB JVM parse, ~ms (an unrolled
-    ``F.get``-per-term tree would be ~256 py4j round trips). dim ≤ a
-    few hundred keeps the expression well under janino's method-size
-    limit; callers know their embedding dim (same contract as
-    lsh/ivf)."""
+    nullif zero-norm guard). Since round 11 the kernel body is the
+    HOF fold itself (see :func:`_sql_dot` — re-measured 6.7× faster
+    than the old unrolled chain at the sf10 pair-kernel scale); one
+    ``F.expr`` keeps plan-build cost at a single py4j call, and the
+    fold form stays tiny for any dim (no janino method-size concern).
+    Callers know their embedding dim (same contract as lsh/ivf)."""
     return F.expr(
         f"{_sql_dot(a, b, dim)} / nullif(sqrt({_sql_norm2(a, dim)})"
         f" * sqrt({_sql_norm2(b, dim)}), 0.0D)"
@@ -89,16 +103,14 @@ def cosine_fixed(a: str, b: str, dim: int) -> Column:
 def with_l2_norm(
     df: DataFrame, vec_col: str, dim: int, out_col: str = "__nrm"
 ) -> DataFrame:
-    """Attach the vector's L2 norm as a column (codegen'd unrolled sum).
+    """Attach the vector's L2 norm as a column (fold form, _sql_norm2).
 
-    Precompute norms BEFORE a pair join: janino rejects generated
-    methods over 64 KB, and a full :func:`cosine_fixed` (dot + two
-    norms ≈ 3·dim terms) inlined twice — once in the join filter, once
-    in the projection, since Catalyst pushes the predicate through the
-    project by re-substituting the expression — overflows that at
-    dim 64. The failure is silent (ERROR CodeGenerator + interpreted
-    fallback), which costs the entire codegen win. With norms as plain
-    columns the join stage inlines only the dim-term dot."""
+    Precompute norms BEFORE a pair join: a norm inlined at the pair
+    site is recomputed for every candidate pair — O(|pairs|·d) work
+    for a quantity that is O(|rows|·d). (Historically this also dodged
+    a janino 64 KB method overflow when the old unrolled cosine was
+    inlined twice; the fold form no longer risks that, but the
+    work-factoring argument stands on its own.)"""
     return df.withColumn(out_col, F.expr(f"sqrt({_sql_norm2(vec_col, dim)})"))
 
 
@@ -108,22 +120,23 @@ def cosine_pre(
     """Cosine from precomputed norms (see :func:`with_l2_norm`):
     identical value to :func:`cosine_fixed` — same dot accumulation
     order, same norm arithmetic, same nullif zero guard — but only
-    ``dim`` terms inline at the use site."""
+    the dot fold runs at the per-pair site."""
     return F.expr(_sql_dot(a_vec, b_vec, dim)) / F.nullif(
         F.col(a_nrm) * F.col(b_nrm), F.lit(0.0)
     )
 
 
 def l2_dist2_fixed(a: str, b: str, dim: int) -> Column:
-    """Squared L2 distance for named array columns of known dim —
-    codegen'd unrolled form of the zip_with/aggregate fold, same
-    accumulation order."""
-    terms = " + ".join(
-        f"(cast(get({a}, {i}) as double) - cast(get({b}, {i}) as double))"
-        f" * (cast(get({a}, {i}) as double) - cast(get({b}, {i}) as double))"
-        for i in range(dim)
+    """Squared L2 distance for named array columns of known dim — the
+    same left-associated HOF fold as :func:`_sql_dot` (bit-identical
+    values to the previous unrolled form; same round-11 measurement
+    basis)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " 0.0D, (acc, v) -> acc + v)"
     )
-    return F.expr(f"(0.0D + {terms})")
 
 
 def brute_force_topk(
@@ -173,7 +186,7 @@ def brute_force_topk(
 
 def _pairwise_sim(q, c, dim):
     """ONE definition of the pinned pairwise-cosine convention (rhu 6dp;
-    precomputed norms + unrolled dot when dim is known) shared by every
+    precomputed norms + the _sql_dot fold when dim is known) shared by every
     brute-force ranking op — knn_join_brute_force and
     hard_negative_topk must never diverge on it, or their oracles'
     shared arithmetic (the x72/x74/x77 triad convention) silently
@@ -537,9 +550,8 @@ def lsh_blocked_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Norms precomputed per side: a full cosine inlined in both the
-    # join filter and projection overflows janino's 64 KB method limit
-    # at dim 64 (silent interpreted fallback) — see with_l2_norm.
+    # Norms precomputed per side — O(rows·d) once, not O(pairs·d)
+    # at every candidate pair; see with_l2_norm.
     va = with_l2_norm(
         embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
         "va", dim, "__na",
@@ -776,41 +788,44 @@ def hyperplane_bucket_table_int(
     partitioning — what makes x59 fully oracle-checkable where the
     float path (``hyperplane_bucket_table``) can only be rows-only.
 
-    Same codegen shape as the float form: posexplode + one aggregate
-    with tables·planes conditional integer sums, coefficients embedded
-    as parsed SQL literals (single py4j round trip)."""
+    Shape (round 11): per-row integer-dot FOLDS in one narrow
+    projection — ``aggregate(zip_with(__vm, plane_literals, ...))``
+    per (table, plane) — replacing the old posexplode + groupBy(id)
+    with tables·planes conditional sums. The explode+agg form pushed
+    |rows|·dim exploded rows through a hash aggregate (an EXCHANGE on
+    id at scale); the fold form is exchange-free and measured 2.3×
+    faster at sf10 (tools/profile_lsh_stage.py: 1.59 s → 0.71 s).
+    Integer arithmetic is exact, so bucket ids are bit-identical by
+    construction (checked: fold_eq_current=True over all sf0.1 ids)."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
 
-    ex = fan_out(embeddings.select(id_col, vec_col)).select(
+    base = fan_out(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
-        F.posexplode(vec_col).alias("pos", "v"),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("__vm"),
     )
 
-    def dot_sql(t: int, p: int) -> str:
+    def dot_expr(t: int, p: int) -> str:
         arr = ",".join(
             f"{c}L" for c in _plane_coeffs_mic(t, p, dim, n_planes)
         )
-        vm = "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-        return f"sum({vm} * element_at(array({arr}), pos + 1))"
-
-    dots = ex.groupBy("id").agg(
-        *[
-            F.expr(dot_sql(t, p)).alias(f"__d_{t}_{p}")
-            for t in range(n_tables)
-            for p in range(n_planes)
-        ]
-    )
+        return (
+            f"aggregate(zip_with(__vm, array({arr}), (x, c) -> x * c),"
+            " 0L, (acc, v) -> acc + v)"
+        )
 
     def bucket(t: int) -> Column:
         out = None
         for p in range(n_planes):
-            bit = F.when(F.col(f"__d_{t}_{p}") >= 0, F.lit(1)).otherwise(
+            bit = F.when(F.expr(dot_expr(t, p)) >= 0, F.lit(1)).otherwise(
                 F.lit(0)
             ) * (1 << p)
             out = bit if out is None else out + bit
         return out
 
-    return dots.select(
+    return base.select(
         "id", F.array(*[bucket(t) for t in range(n_tables)]).alias("__buckets")
     )
 

@@ -1502,6 +1502,20 @@ def _lsh_approx_ranked_spark(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # Parallelism pin (round 11): the distinct's reduce side is tiny in
+    # BYTES (2.85M thin pairs ≈ 45 MB at sf10), so AQE under the
+    # session's parallelismFirst=false coalesces it to 1-2 partitions —
+    # and the downstream per-pair cosine stage (compute-dense, not
+    # byte-dense) then ran 2.85M folds on 1-2 cores: measured 14 s of
+    # the ladder's residual 26 s. An EXPLICIT numPartitions repartition
+    # is exempt from AQE coalescing; hashing on the join key lets the
+    # corpus-side join reuse the layout instead of adding an exchange.
+    # At 100 TB the candidate shuffle has real bytes and AQE keeps the
+    # width anyway — this pin only rescues the byte-sparse local case.
+    cand = cand.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        F.col("neighbor_id"),
+    )
     qv = S.with_l2_norm(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")

@@ -1290,13 +1290,19 @@ def _ensure_bucketed_table(
     loc = os.path.join(wh_path, name)
     marker = os.path.join(loc, "_SPARK_GRAFT_BUCKETS_OK")
     src = os.path.join(sf_dir, f"{source}.parquet")
+    # (name, size, mtime_ns): mtime guards against regenerated testdata
+    # whose part files keep identical names+sizes but different content
+    # silently reusing a stale layout (ADVICE r10).
+    def _stat_sig(path: str) -> tuple[str, int, int]:
+        st = os.stat(path)
+        return (os.path.basename(path), st.st_size, st.st_mtime_ns)
+
     if os.path.isdir(src):
         sig = sorted(
-            (f, os.path.getsize(os.path.join(src, f)))
-            for f in os.listdir(src)
+            _stat_sig(os.path.join(src, f)) for f in os.listdir(src)
         )
     else:
-        sig = [(os.path.basename(src), os.path.getsize(src))]
+        sig = [_stat_sig(src)]
     expected = {
         "n_buckets": n_buckets,
         "bucket_cols": list(bucket_cols),

@@ -133,3 +133,58 @@ def test_marker_mismatch_rebuilds(spark, sf_dir):
     assert _part_state(loc) != before, "stale layout was reused"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_same_size_regenerated_source_rebuilds(spark, sf_dir, tmp_path):
+    """ADVICE r10: regenerated testdata whose part files keep identical
+    names AND byte sizes must still invalidate the marker — the
+    signature carries mtime_ns, so a content rewrite (same bytes, new
+    write) forces a rebuild instead of silently reusing a stale
+    layout built from the old content. (Under the old (name, size)
+    signature this test reuses the stale layout and fails.)"""
+    wh_path = _wh(spark)
+    name = "t_reuse_regen"
+    built = "t_reuse_regen_built"
+    for t in (name, built):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
+
+    # private copy of the source so we can "regenerate" it
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    src = os.path.join(sf_dir, "orders.parquet")
+    dst = str(my_sf / "orders.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+
+    # build once (the "previous process"), then stage the fresh-session
+    # view under a new name: files + marker on disk, no catalog entry
+    _ensure_bucketed_table(
+        spark, wh_path, str(my_sf), built, "orders",
+        ["o_orderkey", "o_custkey"], ["o_orderkey"], 8,
+    )
+    loc = os.path.join(wh_path, name)
+    shutil.copytree(os.path.join(wh_path, built), loc)
+    before = _part_state(loc)
+
+    # "regenerate": rewrite every source file with its own bytes —
+    # names and sizes unchanged, mtime necessarily newer
+    targets = (
+        [os.path.join(r, f) for r, _, fs in os.walk(dst) for f in fs]
+        if os.path.isdir(dst)
+        else [dst]
+    )
+    for p in targets:
+        data = open(p, "rb").read()
+        open(p, "wb").write(data)
+
+    _ensure_bucketed_table(
+        spark, wh_path, str(my_sf), name, "orders",
+        ["o_orderkey", "o_custkey"], ["o_orderkey"], 8,
+    )
+    assert spark.catalog.tableExists(name)
+    assert _part_state(loc) != before, (
+        "same-name same-size regenerated source reused a stale layout"
+    )
+    for t in (name, built):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)

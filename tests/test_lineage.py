@@ -262,3 +262,61 @@ def test_rotator_never_deletes_foreign_checkpoint(spark, tmp_path_factory):
 
     # the foreign frame must still be fully readable from its files
     assert _rows(foreign, "id", "w") == foreign_rows
+
+
+def test_rotator_ambiguous_skip_surfaced_and_close_reclaims(
+    spark, tmp_path_factory, monkeypatch, caplog
+):
+    """ADVICE r10: when introspection fails AND the directory diff is
+    ambiguous, the skipped claim must be counted, warned about, and the
+    candidate dirs recorded so close(delete_unclaimed=True) can
+    reclaim them at loop end — no more silent unbounded growth."""
+    import logging
+
+    import aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.lineage as lin
+
+    d = str(tmp_path_factory.mktemp("amb_ckpt"))
+    spark.sparkContext.setCheckpointDir(d)
+    df = spark.range(20).withColumn("v", F.col("id") + 1)
+    rot = lin.CheckpointRotator(df, reliable=True)
+
+    # force the fallback path, and make every diff ambiguous by
+    # planting a second fresh rdd-* dir during the rotate
+    monkeypatch.setattr(
+        lin.CheckpointRotator,
+        "_own_checkpoint_dir",
+        staticmethod(lambda out: None),
+    )
+    root = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    root_fs = root[len("file:"):] if root.startswith("file:") else root
+    real_tl = lin.truncate_lineage
+    calls = {"n": 0}
+
+    def tl_plus_foreign(frame, **kw):
+        out = real_tl(frame, **kw)
+        calls["n"] += 1
+        os.makedirs(
+            os.path.join(root_fs, f"rdd-fake{calls['n']}"), exist_ok=True
+        )
+        return out
+
+    monkeypatch.setattr(lin, "truncate_lineage", tl_plus_foreign)
+
+    with caplog.at_level(logging.WARNING, logger=lin.__name__):
+        out = rot.rotate(df)
+    out2 = rot.rotate(out.withColumn("v", F.col("v") + 1))
+    assert out2.count() == 20
+
+    assert rot.skipped_claims == 2
+    assert rot._prev == []
+    assert len(rot.unclaimed) == 4  # 2 candidate dirs per skipped round
+    assert any("skipping claim" in r.message for r in caplog.records)
+    for p in rot.unclaimed:
+        assert rot._fs.exists(rot._jpath_cls(p)), p
+
+    leaked = list(rot.unclaimed)
+    rot.close(delete_unclaimed=True)
+    assert rot.unclaimed == [] and rot._prev == []
+    for p in leaked:
+        assert not rot._fs.exists(rot._jpath_cls(p)), p
+    rot.close(delete_unclaimed=True)  # idempotent

@@ -127,3 +127,39 @@ def test_tool_refuses_stale_adjudication(tmp_path):
     assert r.returncode == 1, r.stdout + r.stderr
     assert "stale" in r.stdout
     assert not out.exists()
+
+
+def test_round_log_bench_tables_match_artifacts():
+    """VERDICT r10 item 3: ROUND10.md quoted an sf10 total (8.26 s /
+    2.57×) that disagreed with the committed BENCH_local_sf10.json
+    (9.36 s / 2.92×). Round logs now embed the cross-scale table as an
+    AUTOGEN block; this test regenerates it from the committed
+    artifacts and byte-compares every round log that carries the
+    marker — prose can no longer drift from the JSON."""
+    from tools.gen_bench_prose import BEGIN, END, render
+
+    expected = render(str(REPO))
+    def _round_num(p: Path) -> int:
+        m = re.search(r"ROUND(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    carriers = [
+        p
+        for p in sorted((REPO / "docs").glob("ROUND*.md"), key=_round_num)
+        if BEGIN in p.read_text()
+    ]
+    assert carriers, (
+        "no round log embeds the AUTOGEN bench table — run "
+        "tools/gen_bench_prose.py and paste the block into the "
+        "current docs/ROUND{N}.md"
+    )
+    # only the LATEST carrier must match the current artifacts (older
+    # logs quoted the artifacts of their own round, which are
+    # overwritten in place by the per-round sweep)
+    latest = carriers[-1]
+    text = latest.read_text()
+    block = text[text.index(BEGIN): text.index(END) + len(END)]
+    assert block == expected, (
+        f"{latest.name}'s bench table does not match the committed "
+        "artifacts — regenerate with tools/gen_bench_prose.py"
+    )

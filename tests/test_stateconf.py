@@ -26,7 +26,10 @@ def test_rejects_non_positive_int_env(spark, monkeypatch, bad):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
-def test_overlapping_windows_raise(spark):
+def test_overlapping_windows_raise(spark, monkeypatch):
+    # pin the default explicitly so an ambient env override cannot
+    # change the value the inner-failure assertion expects (ADVICE r10)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     with pinned_state_partitions(spark):
         with pytest.raises(RuntimeError, match="overlap"):
