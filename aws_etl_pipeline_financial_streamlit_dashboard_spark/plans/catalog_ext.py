@@ -1495,26 +1495,28 @@ def _lsh_approx_ranked_spark(
     qe = ex.filter(_q_sample_col(mod, "id")).select(
         F.col("id").alias("query_id"), "t", "b"
     )
+    # Parallelism pins (round 11): the candidate stream is tiny in
+    # BYTES (3.7M thin pairs ≈ 45 MB at sf10), so AQE under the
+    # session's parallelismFirst=false coalesces its exchanges to 1-2
+    # partitions — and the two COMPUTE-dense consumers (the distinct's
+    # 3.7M-row final hash aggregate, then 2.85M per-pair cosine folds)
+    # ran on 1-2 cores: measured 14 s (folds) + ~4 s (distinct) of the
+    # ladder's residual 26 s. EXPLICIT numPartitions repartitions are
+    # exempt from AQE coalescing; the first hashes on EXACTLY the
+    # distinct keys so the aggregate reuses the distribution (no extra
+    # exchange), the second on the corpus join key for the same
+    # reason. At 100 TB the candidate shuffle has real bytes and AQE
+    # keeps the width anyway — the pins only rescue the byte-sparse
+    # local case.
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
     cand = (
         ex.select(F.col("id").alias("neighbor_id"), "t", "b")
         .join(qe, ["t", "b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
+        .repartition(n_par, F.col("query_id"), F.col("neighbor_id"))
         .distinct()
-    )
-    # Parallelism pin (round 11): the distinct's reduce side is tiny in
-    # BYTES (2.85M thin pairs ≈ 45 MB at sf10), so AQE under the
-    # session's parallelismFirst=false coalesces it to 1-2 partitions —
-    # and the downstream per-pair cosine stage (compute-dense, not
-    # byte-dense) then ran 2.85M folds on 1-2 cores: measured 14 s of
-    # the ladder's residual 26 s. An EXPLICIT numPartitions repartition
-    # is exempt from AQE coalescing; hashing on the join key lets the
-    # corpus-side join reuse the layout instead of adding an exchange.
-    # At 100 TB the candidate shuffle has real bytes and AQE keeps the
-    # width anyway — this pin only rescues the byte-sparse local case.
-    cand = cand.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism,
-        F.col("neighbor_id"),
+        .repartition(n_par, F.col("neighbor_id"))
     )
     qv = S.with_l2_norm(
         queries.select(
