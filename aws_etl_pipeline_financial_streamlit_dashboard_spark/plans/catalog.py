@@ -907,6 +907,25 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
+_SAMPLER_FRONT_R11 = [
+    # new this round (never sampled by construction)
+    "x130_countmin_bigrams",
+    # kernel-swap surface (round 11): _sql_dot/_sql_norm2/l2_dist2_fixed
+    # now emit the fold form; hyperplane_bucket_table_int is the
+    # exchange-free fold form; _lsh_approx_ranked_spark carries the two
+    # explicit width pins. All re-verified green locally — let the
+    # driver redraw the whole touched surface.
+    "x09_cosine_topk", "x11_knn_join", "x57_knn_label_propagation",
+    "x58_ivf_deterministic_topk",
+    "x59_lsh_deterministic_topk", "x60_lsh_dup_pairs_deterministic",
+    "x72_ann_recall_eval", "x74_matryoshka_recall", "x77_int8_recall",
+    "x83_lsh_band_recall", "x94_semantic_dedup", "x104_corpus_pipeline_e2e",
+    "x108_pq_recall", "x125_mrr_map_eval",
+    # x122 now routes through operators/graphrank.link_prediction_ra
+    # (hot_neighbor_cap wired, inert at gate scale)
+    "x122_link_prediction",
+]
+
 _SAMPLER_FRONT_R10 = [
     # new this round (never sampled by construction)
     "x119_k_anonymity_audit", "x120_curriculum_interleave",
@@ -942,7 +961,10 @@ _SAMPLER_FRONT_R10 = [
 
 
 def _rotate_front() -> None:
-    front = {n: QUERIES.pop(n) for n in _SAMPLER_FRONT_R10 if n in QUERIES}
+    order = _SAMPLER_FRONT_R11 + [
+        n for n in _SAMPLER_FRONT_R10 if n not in _SAMPLER_FRONT_R11
+    ]
+    front = {n: QUERIES.pop(n) for n in order if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update(front)

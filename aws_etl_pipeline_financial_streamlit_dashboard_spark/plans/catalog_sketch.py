@@ -278,3 +278,128 @@ def x114_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
             " div cnt"
         ).alias("approx_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x130 — deterministic count-min sketch (round 11)
+# ---------------------------------------------------------------------------
+# The third sketch class: x113 estimates CARDINALITY (HLL), x114
+# estimates QUANTILES (mergeable histogram); count-min (Cormode &
+# Muthukrishnan 2005) estimates FREQUENCIES — the heavy-hitter /
+# n-gram-count primitive a contamination checker or stop-list builder
+# runs when the exact vocabulary no longer fits. D=4 hash rows of
+# W=256 counters; est(g) = min over rows of cell[r][h_r(g)] — always
+# an OVER-estimate, never under. Row hashes are the repo's portable
+# md5 convention salted per row (md5(gram || '#' || r), first 8 hex),
+# so every cell, estimate, and overestimate is bit-identical across
+# engines, and the whole sketch — not just its size — value-hashes.
+# W=256 is deliberately TIGHT against the 916-bigram gate vocabulary
+# so the error the sketch trades for its 4·W footprint is VISIBLE in
+# the checked output (the two-scale probe measured overestimates on
+# 25-28 of the top-30 at both gate scales; a vacuous-at-gate width
+# would check nothing).
+
+_CM_D, _CM_W = 4, 256
+
+_X130_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest([array_to_string(w[i:i+1], ' ')
+                FOR i IN range(1, GREATEST(len(w)-1, 1) + 1)]) AS gram
+        FROM w
+    ),
+    freq AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS f FROM bg GROUP BY gram
+    ),
+    hashed AS (
+        SELECT gram, f, r,
+               CAST(('0x' || substr(md5(gram || '#' || CAST(r AS VARCHAR)),
+                                    1, 8))::UBIGINT % {_CM_W} AS BIGINT) AS c
+        FROM freq, UNNEST([0, 1, 2, 3]) AS t(r)
+    ),
+    sketch AS (
+        SELECT r, c, CAST(SUM(f) AS BIGINT) AS cell
+        FROM hashed GROUP BY r, c
+    ),
+    est AS (
+        SELECT h.gram, h.f, MIN(s.cell) AS cm_est
+        FROM hashed h JOIN sketch s ON s.r = h.r AND s.c = h.c
+        GROUP BY h.gram, h.f
+    )
+    SELECT gram, f AS exact_count, cm_est,
+           CAST((1000000 * (cm_est - f)) // f AS BIGINT) AS overestimate_ppm
+    FROM est
+    ORDER BY f DESC, gram ASC LIMIT 30
+"""
+
+
+@register(
+    "x130_countmin_bigrams",
+    _X130_ORACLE,
+    doc="""Deterministic count-min sketch over the corpus bigram
+    stream (Cormode & Muthukrishnan 2005) — frequency estimation, the
+    sketch class x113 (cardinality) and x114 (quantiles) don't cover.
+    D=4 portable md5-salted hash rows × W=256 counters; per bigram the
+    estimate is the MIN of its D cells (never an under-count), and the
+    checked output is the top-30 exact heavy hitters with exact count,
+    sketch estimate, and overestimate in exact ppm — the width/error
+    trade made visible and value-hashed (W is tight against the gate
+    vocabulary BY DESIGN; at production scale W grows and the shape is
+    unchanged).
+
+    Scale: ONE map-side-combining aggregate collapses the gram stream
+    to ≤ D·W integer cells (the sketch merges associatively across
+    partitions/executors/days — the streaming-friendly property that
+    motivates it); the estimate join BROADCASTS the sketch, which is
+    bounded by construction (D·W rows, constants), never by data. The
+    exact-count side exists only as the eval's ground truth — a
+    production deployment keeps just the sketch aggregate.""",
+)
+def x130_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        fan_out,
+        word_ngrams_all,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = fan_out(docs).select(
+        F.explode(word_ngrams_all(F.col("text"), 2)).alias("gram")
+    )
+    freq = bg.groupBy("gram").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("f")
+    )
+    hashes = F.array(
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(concat(gram, '#', '{r}')), 1, 8),"
+                f" 16, 10) AS BIGINT) % {_CM_W}"
+            )
+            for r in range(_CM_D)
+        ]
+    )
+    hashed = freq.select(
+        "gram", "f", F.posexplode(hashes).alias("r", "c")
+    )
+    sketch = hashed.groupBy("r", "c").agg(
+        F.expr("CAST(SUM(f) AS BIGINT)").alias("cell")
+    )
+    est = (
+        hashed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("gram", "f")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+    return (
+        est.select(
+            "gram",
+            F.col("f").alias("exact_count"),
+            "cm_est",
+            F.expr(
+                "CAST((1000000 * (cm_est - f)) div f AS BIGINT)"
+            ).alias("overestimate_ppm"),
+        )
+        .orderBy(F.col("exact_count").desc(), "gram")
+        .limit(30)
+    )

@@ -41,6 +41,14 @@ sys.path.insert(0, ".")
 # the construction the checkpoint hid (centroid/codebook/fraction/
 # margin/offsets frames; see the entry docstrings).
 ALLOWLIST = {
+    "x130_countmin_bigrams": {
+        "top=Aggregate scans=documents": (
+            1,
+            "the count-min sketch frame: groupBy(r, c) where r < D and"
+            " c = hash % W — D·W rows (= 1024) by CONSTRUCTION, constants"
+            " independent of data volume",
+        ),
+    },
     "x94_semantic_dedup": {
         "top=LogicalRDD scans=LogicalRDD:unknown": (3, "checkpointed k-means centroid frames (bounded k)"),
     },
