@@ -909,7 +909,7 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # ---------------------------------------------------------------------------
 _SAMPLER_FRONT_R11 = [
     # new this round (never sampled by construction)
-    "x130_countmin_bigrams",
+    "x130_countmin_bigrams", "s27_streaming_countmin",
     # kernel-swap surface (round 11): _sql_dot/_sql_norm2/l2_dist2_fixed
     # now emit the fold form; hyperplane_bucket_table_int is the
     # exchange-free fold form; _lsh_approx_ranked_spark carries the two

@@ -1876,3 +1876,100 @@ def s26_streaming_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFra
         "n_in_source",
         "lift_ppm",
     )
+
+
+# ===========================================================================
+# s27 — streaming count-min sketch (x130's twin; round 11)
+# ===========================================================================
+
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (  # noqa: E402
+    _X130_ORACLE as _S27_ORACLE,  # shared VERBATIM — one count-min convention
+)
+
+
+@register(
+    "s27_streaming_countmin",
+    _S27_ORACLE,
+    doc="""x130's count-min sketch run as STREAMING STATE — the live
+    n-gram frequency estimator: the bigram stream folds into the
+    (r, c) → Σcount cell table as ONE complete-mode streaming
+    aggregate (the raw gram stream hashes directly; summing raw
+    occurrences ≡ summing the batch side's pre-aggregated
+    frequencies), and the heavy-hitter estimate finish joins the
+    drained 1,024-cell table against the batch exact counts — x130's
+    oracle verbatim, so the streaming path can never drift from the
+    batch convention.
+
+    This is the sketch's whole point made executable: state is
+    D·W = 1,024 longs FOREVER regardless of stream volume (sum-merge
+    makes every micro-batch an associative cell merge — the same
+    mergeability tests/test_sketch_merge.py pins for x113's
+    registers), where an exact streaming vocabulary count would hold
+    per-gram state unbounded at crawl scale. No watermark: cells never
+    evict, they accumulate.""",
+)
+def s27_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        word_ngrams_all,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (
+        _CM_D,
+        _CM_W,
+    )
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("text string")
+        .format("parquet")
+        .load(glob)
+    )
+    grams = stream.select(
+        F.explode(word_ngrams_all(F.col("text"), 2)).alias("gram")
+    )
+    hashes = F.array(
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(concat(gram, '#', '{r}')), 1, 8),"
+                f" 16, 10) AS BIGINT) % {_CM_W}"
+            )
+            for r in range(_CM_D)
+        ]
+    )
+    cells = (
+        grams.select(F.posexplode(hashes).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cell"))
+    )
+    sketch = _drain_to_memory(cells, "complete", "stream_cm")
+
+    # batch finish over the drained bounded cell table — x130's shape
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    bg = docs.select(
+        F.explode(word_ngrams_all(F.col("text"), 2)).alias("gram")
+    )
+    freq = bg.groupBy("gram").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("f")
+    )
+    hashed = freq.select("gram", "f", F.posexplode(hashes).alias("r", "c"))
+    est = (
+        hashed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("gram", "f")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+    return (
+        est.select(
+            "gram",
+            F.col("f").alias("exact_count"),
+            "cm_est",
+            F.expr(
+                "CAST((1000000 * (cm_est - f)) div f AS BIGINT)"
+            ).alias("overestimate_ppm"),
+        )
+        .orderBy(F.col("exact_count").desc(), "gram")
+        .limit(30)
+    )
