@@ -160,3 +160,73 @@ def test_histogram_quantile_error_bounded_by_bucket_width(con):
     assert len(rows) == 12
     for flag, pct, a, e in rows:
         assert abs(a - float(e)) <= 128.0, (flag, pct, a, e)
+
+
+_CM_CELLS = r"""
+    SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cell
+    FROM (
+        SELECT u2.r AS r,
+               CAST(('0x' || substr(md5(gram || '#' || CAST(u2.r AS VARCHAR)),
+                                    1, 8))::UBIGINT % 256 AS BIGINT) AS c
+        FROM (
+            SELECT unnest([array_to_string(w[i:i+1], ' ')
+                    FOR i IN range(1, GREATEST(len(w)-1, 1) + 1)]) AS gram
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM read_parquet('{src}/documents.parquet')
+                  WHERE {pred})
+        ), UNNEST([0, 1, 2, 3]) AS u2(r)
+    )
+    GROUP BY r, c
+"""
+
+
+def test_countmin_cells_merge_by_sum(con):
+    """x130/s27's 100 TB property: count-min cells merge by bucket-wise
+    SUM — sketching two arbitrary document shards and summing their
+    cell tables is bit-identical to sketching the whole corpus (which
+    is also why the streaming twin's complete-mode aggregate IS the
+    batch sketch: every micro-batch is an associative cell merge)."""
+    whole = con.sql(_CM_CELLS.format(src=SF, pred="TRUE")).fetchall()
+    merged = con.sql(
+        f"""
+        SELECT r, c, SUM(cell) AS cell FROM (
+            {_CM_CELLS.format(src=SF, pred="doc_id % 2 = 0")}
+            UNION ALL
+            {_CM_CELLS.format(src=SF, pred="doc_id % 2 = 1")}
+        ) GROUP BY r, c
+        """
+    ).fetchall()
+    assert sorted(whole) == sorted(merged)
+    assert len(whole) > 0
+
+
+def test_countmin_estimate_never_undercounts(con):
+    """The count-min guarantee the entry's overestimate_ppm column
+    rests on: min-of-cells ≥ exact count for EVERY gram, not just the
+    reported top-30."""
+    bad = con.sql(
+        rf"""
+        WITH freq AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS f FROM (
+                SELECT unnest([array_to_string(w[i:i+1], ' ')
+                        FOR i IN range(1, GREATEST(len(w)-1, 1) + 1)]) AS gram
+                FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                      FROM read_parquet('{SF}/documents.parquet'))
+            ) GROUP BY gram
+        ),
+        hashed AS (
+            SELECT gram, f, r,
+                   CAST(('0x' || substr(md5(gram || '#' || CAST(r AS VARCHAR)),
+                                        1, 8))::UBIGINT % 256 AS BIGINT) AS c
+            FROM freq, UNNEST([0, 1, 2, 3]) AS t(r)
+        ),
+        sketch AS (SELECT r, c, CAST(SUM(f) AS BIGINT) AS cell
+                   FROM hashed GROUP BY r, c),
+        est AS (SELECT h.gram, h.f, MIN(s.cell) AS cm_est
+                FROM hashed h JOIN sketch s ON s.r = h.r AND s.c = h.c
+                GROUP BY h.gram, h.f)
+        SELECT COUNT(*) FROM est WHERE cm_est < f
+        """
+    ).fetchone()[0]
+    assert bad == 0
