@@ -146,6 +146,7 @@ def link_prediction_ra(
     und: DataFrame,
     k: int = 20,
     hot_neighbor_cap: int | None = None,
+    audit_cap_drops: bool = False,
 ) -> DataFrame:
     """Resource-allocation link prediction (Zhou, Lü & Zhang 2009)
     over a distinct undirected edge list ``und`` with columns
@@ -168,8 +169,21 @@ def link_prediction_ra(
     standard one for common-neighbor methods: a degree-d hub
     contributes RA weight 1/d ≈ 0, so the top-k is insensitive —
     capped candidates are a SUBSET of the uncapped candidates with
-    near-identical scores (property-tested), and at the catalog's
-    gate scales a cap of 64 is exactly inert (measured max degree 3).
+    near-identical scores (property-tested), and at EVERY testdata
+    scale a cap of 64 is exactly inert: the DuckDB degree probe
+    measures max host degree 3 over 20 hosts at sf0.001/0.01/0.1
+    (round 11) AND at the gitignored sf1/sf10 (round 12 — the
+    key-shifted replication reuses the host vocabulary, so the graph
+    does not grow), so the entry's oracle semantics are uncapped.
+
+    ``audit_cap_drops`` (ADVICE r11): because the cap silently
+    changes semantics the moment data grows a hub, opt in to a cheap
+    eager check — one tiny job over the degree table — that logs a
+    WARNING with the dropped-vertex count and max degree whenever the
+    cap actually excludes a shared-neighbor vertex (and a DEBUG line
+    when it is inert). Off by default so the operator stays fully
+    lazy; turn it on in scheduled pipelines where the input
+    distribution is not pinned by a probe like the catalog's.
     """
     adj = und.select(F.col("a").alias("host"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("host"), F.col("a").alias("nbr"))
@@ -180,6 +194,35 @@ def link_prediction_ra(
     nbr_deg = deg
     if hot_neighbor_cap is not None:
         nbr_deg = deg.filter(F.col("d") <= F.lit(int(hot_neighbor_cap)))
+        if audit_cap_drops:
+            import logging
+
+            stats = deg.agg(
+                F.sum(
+                    F.when(
+                        F.col("d") > F.lit(int(hot_neighbor_cap)), 1
+                    ).otherwise(0)
+                ).alias("dropped"),
+                F.max("d").alias("max_d"),
+            ).first()
+            log = logging.getLogger(__name__)
+            if stats and (stats["dropped"] or 0) > 0:
+                log.warning(
+                    "link_prediction_ra: hot_neighbor_cap=%d drops %d "
+                    "shared-neighbor vertices (max degree %d) — the "
+                    "result is the capped approximation, not the exact "
+                    "RA index",
+                    hot_neighbor_cap,
+                    stats["dropped"],
+                    stats["max_d"],
+                )
+            else:
+                log.debug(
+                    "link_prediction_ra: hot_neighbor_cap=%d inert "
+                    "(max degree %s)",
+                    hot_neighbor_cap,
+                    None if stats is None else stats["max_d"],
+                )
     pairs = (
         adj.alias("a1")
         .join(adj.alias("a2"), F.expr("a1.nbr = a2.nbr AND a1.host < a2.host"))

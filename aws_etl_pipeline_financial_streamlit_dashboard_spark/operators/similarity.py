@@ -66,7 +66,15 @@ def _sql_dot(a: str, b: str, dim: int) -> str:
     ``slice()`` first), and a malformed SHORT vector still yields
     NULL: ``zip_with`` pads the shorter side with NULLs, NULL·cast
     propagates through the sum exactly like the old get()-past-end
-    NULL."""
+    NULL. EMPTY-array semantics differ from the old chain, though:
+    ``aggregate`` over two empty arrays returns the ``0.0`` init
+    where ``get(a, 0)`` returned NULL — so dot([],[]) = 0.0 and
+    :func:`l2_dist2_fixed` ([],[]) = 0.0 ("identical"), not NULL.
+    No catalog data path can produce an empty embedding (readers
+    enforce the fixed dim; every truncation is ``slice(1, k)`` with
+    k ≥ 1), and cosine stays NULL-safe regardless via its
+    nullif-zero-norm guard, so the fold keeps the simple init rather
+    than paying a size() guard per pair (ADVICE r11)."""
     return (
         f"aggregate(zip_with({a}, {b},"
         " (x, y) -> cast(x as double) * cast(y as double)),"
@@ -130,7 +138,10 @@ def l2_dist2_fixed(a: str, b: str, dim: int) -> Column:
     """Squared L2 distance for named array columns of known dim — the
     same left-associated HOF fold as :func:`_sql_dot` (bit-identical
     values to the previous unrolled form; same round-11 measurement
-    basis)."""
+    basis). Empty-array caveat as in :func:`_sql_dot`: ([],[]) folds
+    to the 0.0 init ("distance 0") where the old get() chain gave
+    NULL — unreachable under the fixed-dim contract, documented per
+    ADVICE r11."""
     return F.expr(
         f"aggregate(zip_with({a}, {b},"
         " (x, y) -> (cast(x as double) - cast(y as double))"
@@ -796,7 +807,19 @@ def hyperplane_bucket_table_int(
     id at scale); the fold form is exchange-free and measured 2.3×
     faster at sf10 (tools/profile_lsh_stage.py: 1.59 s → 0.71 s).
     Integer arithmetic is exact, so bucket ids are bit-identical by
-    construction (checked: fold_eq_current=True over all sf0.1 ids)."""
+    construction (checked: fold_eq_current=True over all sf0.1 ids).
+
+    Malformed-row caveat (ADVICE r11): the old posexplode+groupBy
+    DROPPED an id whose vector was empty/NULL (nothing to explode);
+    the per-row fold KEEPS it — a NULL/empty dot folds to NULL→
+    otherwise(0)→sign bit 0, so such an id lands in bucket 0 of every
+    table and can surface as a candidate there. Acceptable under the
+    fixed-dim contract (readers enforce exactly-``dim`` arrays; no
+    catalog path feeds malformed vectors here), and harmless to
+    correctness in :func:`lsh_deterministic_topk` because the exact
+    re-rank's cosine is NULL for a NULL/zero-norm vector and NULL
+    sims sort last / fail the top-k filter. Callers outside that
+    contract should pre-filter ``size(vec) = dim``."""
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import fan_out
 
     base = fan_out(embeddings.select(id_col, vec_col)).select(

@@ -396,10 +396,13 @@ def _x122_oracle() -> str:
     before the self-join (they carry ~0 RA weight by definition, so
     the top-k is insensitive; property-tested like x02's
     hot_shingle_cap / x48's hot_block_cap). The entry passes cap=64,
-    exactly inert at every testdata scale (measured max host degree
-    3 at sf0.001/0.01/0.1 — DuckDB probe, round 11), so the oracle
-    is unchanged; the final top-20 is a TakeOrdered, not a global
-    sort.""",
+    exactly inert at every testdata scale (DuckDB degree probe: max
+    host degree 3 over 20 hosts at sf0.001/0.01/0.1 — round 11 — and
+    at sf1/sf10 — round 12, ADVICE item: the key-shifted replication
+    reuses the host vocabulary, so the graph never grows), so the
+    oracle is unchanged; an opt-in ``audit_cap_drops`` tripwire in
+    the operator WARNs if unpinned data ever grows a hub past the
+    cap. The final top-20 is a TakeOrdered, not a global sort.""",
 )
 def x122_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_host = sql_canon_parts("link_url", "spark")["host"]

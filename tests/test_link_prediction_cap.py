@@ -79,3 +79,32 @@ def test_cap_bounds_synthetic_hub_candidates(spark):
     ]
     assert ("s00", "s02") in capped
     assert len(surviving_spoke_pairs) <= 3
+
+
+def test_audit_cap_drops_warns_when_hub_dropped(spark, caplog):
+    """ADVICE r11: the opt-in audit must WARN (with the dropped count)
+    when the cap actually excludes a shared-neighbor vertex, and stay
+    below WARNING when the cap is inert — the runtime tripwire for
+    data that grows a hub past the probed degree."""
+    import logging
+
+    und = _hub_graph(spark)  # hub degree 12 > cap 3
+    with caplog.at_level(
+        logging.DEBUG,
+        logger="aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.graphrank",
+    ):
+        link_prediction_ra(und, k=5, hot_neighbor_cap=3, audit_cap_drops=True)
+    warns = [r for r in caplog.records if r.levelno >= logging.WARNING]
+    assert warns and "drops 1 " in warns[0].getMessage()
+    assert "max degree 12" in warns[0].getMessage()
+
+    caplog.clear()
+    with caplog.at_level(
+        logging.DEBUG,
+        logger="aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.graphrank",
+    ):
+        link_prediction_ra(
+            und, k=5, hot_neighbor_cap=1000, audit_cap_drops=True
+        )
+    assert not [r for r in caplog.records if r.levelno >= logging.WARNING]
+    assert any("inert" in r.getMessage() for r in caplog.records)

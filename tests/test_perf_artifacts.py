@@ -163,3 +163,23 @@ def test_round_log_bench_tables_match_artifacts():
         f"{latest.name}'s bench table does not match the committed "
         "artifacts — regenerate with tools/gen_bench_prose.py"
     )
+
+
+def test_bench_prose_zero_totals_render_dash(tmp_path):
+    """ADVICE r11: a legitimate 0.0 serving total must not be treated
+    as a MISSING artifact (`if ssrv and dsrv` truthiness), and a 0.0
+    DuckDB denominator must render '—' rather than raise
+    ZeroDivisionError into the byte-pin test."""
+    import json as _json
+
+    from tools.gen_bench_prose import render
+
+    (tmp_path / "BENCH_local_sf0.1.json").write_text(
+        _json.dumps({"value": 0.0, "serving_headline_total_sec": 0.0})
+    )
+    (tmp_path / "DUCK_sf0.1.json").write_text(
+        _json.dumps({"value": 0.0, "serving_headline_total_sec": 0.0})
+    )
+    out = render(str(tmp_path))
+    assert "0.00 s | 0.00 s | —" in out
+    assert "ZeroDivision" not in out

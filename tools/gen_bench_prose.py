@@ -46,13 +46,23 @@ def render(root: str) -> str:
         dv = d["value"]
         ssrv = b.get("serving_headline_total_sec")
         dsrv = d.get("serving_headline_total_sec")
+
+        def _ratio(num, den):
+            # `is not None`, not truthiness: a legitimate 0.0 total is
+            # a value, and a 0.0 denominator must render as "—", not
+            # raise ZeroDivisionError into the byte-pin test (ADVICE
+            # r11).
+            if num is None or den is None or den == 0:
+                return "—"
+            return f"{num / den:.2f}×"
+
         srv = (
-            f"{ssrv:.2f} s | {dsrv:.2f} s | {ssrv / dsrv:.2f}×"
-            if ssrv and dsrv
+            f"{ssrv:.2f} s | {dsrv:.2f} s | {_ratio(ssrv, dsrv)}"
+            if ssrv is not None and dsrv is not None
             else "— | — | —"
         )
         lines.append(
-            f"| {sf} | {sv:.2f} s | {dv:.2f} s | {sv / dv:.2f}× | {srv} |"
+            f"| {sf} | {sv:.2f} s | {dv:.2f} s | {_ratio(sv, dv)} | {srv} |"
         )
     lines.append(END)
     return "\n".join(lines)
