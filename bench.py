@@ -28,7 +28,12 @@ The artifact additionally records the OS cache state (before/after an
 explicit page-cache warm read of every input byte, with the warm-read
 time itself) so a container cache-eviction window — which blew the
 r10 sf10 bands out on environment alone — is visible IN the artifact
-rather than inferred afterwards (VERDICT r10 item 4).
+rather than inferred afterwards (VERDICT r10 item 4), and a CPU
+window (loadavg start/end, machine busy fraction, own-process-group
+CPU seconds, the derived foreign_cores_avg, and a `contended` flag)
+so a CPU-contended window — which disturbed the r11 driver bench
+uniformly ~1.6× with a warm cache and flat floors — self-documents
+the same way (VERDICT r11 item 2).
 """
 
 from __future__ import annotations
@@ -66,6 +71,110 @@ def _cache_state() -> dict[str, int]:
     except (OSError, ValueError, IndexError):
         pass
     return out
+
+
+def _pgrp_cpu_jiffies() -> int:
+    """Sum utime+stime (jiffies) over every live process in OUR process
+    group — the python driver plus the py4j-launched Spark JVM (probed:
+    the JVM inherits the group). Exited processes drop out, but both
+    members live for the whole window, so the start/end delta is the
+    session's own CPU."""
+    try:
+        pgrp = os.getpgid(0)
+    except OSError:
+        return -1
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                data = fh.read()
+            # comm may contain spaces/parens — split after the LAST ')'
+            rest = data[data.rindex(")") + 2 :].split()
+            if int(rest[2]) != pgrp:  # field 5 (pgrp), 0-indexed 2 here
+                continue
+            total += int(rest[11]) + int(rest[12])  # utime, stime
+        except (OSError, ValueError, IndexError):
+            continue
+    return total
+
+
+def _cpu_state() -> dict[str, object]:
+    """Machine + own-session CPU snapshot (VERDICT r11 item 2): the r11
+    driver bench window ran uniformly ~1.6× slow with a WARM cache and
+    flat floors — CPU contention the cache telemetry cannot see. With
+    loadavg and a /proc/stat busy delta (minus our own process group's
+    jiffies) in the artifact, a contended window self-documents the
+    way an evicted one already does."""
+    out: dict[str, object] = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            out["loadavg"] = [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        out["jiffies_total"] = sum(vals)
+        # idle + iowait; the rest (user/nice/system/irq/softirq/steal)
+        # is busy
+        out["jiffies_idle"] = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        pass
+    out["pgrp_jiffies"] = _pgrp_cpu_jiffies()
+    return out
+
+
+def _cpu_window(
+    start: dict[str, object], end: dict[str, object], wall_sec: float
+) -> dict[str, object]:
+    """Derive the window's contention verdict from two _cpu_state
+    snapshots. ``foreign_cores_avg`` — machine busy CPU-seconds minus
+    our own process group's, per wall second — is the discriminator:
+    near 0 in a quiet container no matter how hard Spark runs, ≈N when
+    N foreign cores compete with the timed reps. ``contended`` flags
+    the window by a documented rule (foreign_cores_avg > 1.0, or the
+    1-minute loadavg already > 4 BEFORE this session loaded the
+    machine)."""
+    d: dict[str, object] = {}
+    if "loadavg" in start:
+        d["loadavg_start"] = start["loadavg"]
+    if "loadavg" in end:
+        d["loadavg_end"] = end["loadavg"]
+    try:
+        clk = os.sysconf("SC_CLK_TCK") or 100
+        total = end["jiffies_total"] - start["jiffies_total"]  # type: ignore[operator]
+        idle = end["jiffies_idle"] - start["jiffies_idle"]  # type: ignore[operator]
+        busy_sec = (total - idle) / clk
+        self_j0, self_j1 = start["pgrp_jiffies"], end["pgrp_jiffies"]
+        d["busy_frac"] = round((total - idle) / total, 4) if total else None
+        d["self_cpu_sec"] = (
+            round((self_j1 - self_j0) / clk, 2)  # type: ignore[operator]
+            if self_j0 != -1 and self_j1 != -1
+            else None
+        )
+        foreign_sec = (
+            busy_sec - d["self_cpu_sec"]
+            if d["self_cpu_sec"] is not None
+            else None
+        )
+        d["foreign_cpu_sec"] = (
+            round(foreign_sec, 2) if foreign_sec is not None else None
+        )
+        d["foreign_cores_avg"] = (
+            round(max(0.0, foreign_sec) / wall_sec, 3)
+            if foreign_sec is not None and wall_sec > 0
+            else None
+        )
+    except (KeyError, TypeError, ZeroDivisionError):
+        pass
+    load1_start = (start.get("loadavg") or [0.0])[0]
+    fca = d.get("foreign_cores_avg")
+    d["contended"] = bool(
+        (fca is not None and fca > 1.0) or load1_start > 4.0
+    )
+    return d
 
 
 def _warm_page_cache(d: str) -> tuple[float, int]:
@@ -151,6 +260,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cache_info: dict[str, object] = {"start": _cache_state()}
+    cpu_start = _cpu_state()
+    cpu_wall0 = time.perf_counter()
     warm_sec, warm_bytes = _warm_page_cache(sf_dir)
     cache_info["warm_read_sec"] = warm_sec
     cache_info["warm_read_mb"] = warm_bytes >> 20
@@ -370,6 +481,9 @@ def main() -> None:
     }
     cache_info["end"] = _cache_state()
     out["cache"] = cache_info
+    out["cpu"] = _cpu_window(
+        cpu_start, _cpu_state(), time.perf_counter() - cpu_wall0
+    )
 
     # Protocol distributions (VERDICT r6 item 1): per-pass PAIRED sums —
     # rep r of the protocol total = sum over queries of their pass-r
