@@ -141,6 +141,94 @@ def _kmeans_core(
     return assigned, cents
 
 
+def _kmeans_core_fused_subspaces(
+    embeddings: DataFrame,
+    k: int,
+    n_iters: int,
+    subdim: int,
+    n_sub: int,
+    id_col: str,
+    vec_col: str,
+    seed_mod: int,
+) -> tuple[DataFrame, DataFrame]:
+    """All ``n_sub`` product-quantization subspace trainings as ONE
+    subspace-keyed Lloyd DAG (VERDICT r11 item 1) — the Spark twin of
+    what :func:`_kmeans_cte_parts`'s shared-WITH-prefix already does
+    on the oracle side.
+
+    Returns (assignments(sub, pid, cell), centroids(sub, cell, cm))
+    with ``sub`` in 0..n_sub−1, BIT-IDENTICAL per subspace to running
+    :func:`_kmeans_core` on each 16-dim slice separately: the seed set
+    is the same ``(id mod seed_mod, id)`` order/limit on the FULL
+    table (slicing commutes with row selection), every distance/mean
+    is exact integer micro arithmetic (grouping by (pid, sub) instead
+    of pid within 4 separate jobs cannot change an exact result), and
+    the per-subspace cell numbering is untouched.
+
+    Why fuse: the sequential form pays 4 × (scan + seed-sort +
+    per-iteration assign exchange + eager centroid localCheckpoint) —
+    at sf10 that is 8 eager driver jobs and 4 identical plan chains
+    scheduled back to back, and the barriers (checkpoints) serialize
+    them. The fused DAG scans once, quantizes the 64-dim vector once
+    and slices micros (cheaper than 4 float re-quantizations), runs
+    ONE broadcast-assign per iteration over the (pid, sub) union —
+    centroid state is k·n_sub rows, still broadcast-trivial — and
+    checkpoints once per round instead of once per round per subspace.
+    """
+    full_dim = subdim * n_sub
+    slices = F.array(
+        *[F.slice("__xm64", 1 + m * subdim, subdim) for m in range(n_sub)]
+    )
+    pts = (
+        embeddings.select(
+            F.col(id_col).alias("pid"),
+            F.expr(_quantize_sql(vec_col, full_dim)).alias("__xm64"),
+        )
+        .select("pid", F.posexplode(slices).alias("sub", "xm"))
+    )
+    cents = (
+        embeddings.orderBy(
+            F.pmod(F.col(id_col), F.lit(seed_mod)), F.col(id_col)
+        )
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col))).alias("cell"),
+            F.expr(_quantize_sql(vec_col, full_dim)).alias("__xm64"),
+        )
+        .select("cell", F.posexplode(slices).alias("sub", "cm"))
+        .localCheckpoint(eager=True)
+    )
+
+    d2 = F.expr(_int_dist2_sql("xm", "cm", subdim))
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            pts.join(F.broadcast(c), "sub")
+            .select("sub", "pid", "xm", "cell", d2.alias("d2"))
+            .groupBy("sub", "pid")
+            .agg(
+                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                F.first("xm").alias("xm"),
+            )
+        )
+
+    assigned = assign(cents)
+    for _ in range(n_iters - 1):
+        cents = (
+            assigned.select("sub", "cell", F.posexplode("xm").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.expr("SUM(x) div COUNT(*)").alias("m"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub", "cell", F.transform("pm", lambda s: s["m"]).alias("cm")
+            )
+            .localCheckpoint(eager=True)
+        )
+        assigned = assign(cents)
+    return assigned.select("sub", "pid", "cell"), cents
+
+
 def ivf_deterministic_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -907,6 +907,14 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
+_SAMPLER_FRONT_R12 = [
+    # x108's codebook training is the fused subspace-keyed Lloyd DAG
+    # this round (bit-identical recon, 1.85× at sf10 — VERDICT r11
+    # item 1); x122 gained the audit_cap_drops tripwire (entry path
+    # unchanged but redraw anyway)
+    "x108_pq_recall", "x122_link_prediction",
+]
+
 _SAMPLER_FRONT_R11 = [
     # new this round (never sampled by construction)
     "x130_countmin_bigrams", "s27_streaming_countmin",
@@ -961,9 +969,13 @@ _SAMPLER_FRONT_R10 = [
 
 
 def _rotate_front() -> None:
-    order = _SAMPLER_FRONT_R11 + [
-        n for n in _SAMPLER_FRONT_R10 if n not in _SAMPLER_FRONT_R11
+    order = _SAMPLER_FRONT_R12 + [
+        n
+        for n in _SAMPLER_FRONT_R11 + _SAMPLER_FRONT_R10
+        if n not in _SAMPLER_FRONT_R12
     ]
+    seen: set[str] = set()
+    order = [n for n in order if not (n in seen or seen.add(n))]
     front = {n: QUERIES.pop(n) for n in order if n in QUERIES}
     rest = dict(QUERIES)
     QUERIES.clear()

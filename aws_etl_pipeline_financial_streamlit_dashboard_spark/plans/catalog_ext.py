@@ -2413,6 +2413,75 @@ def _x108_oracle() -> str:
 """
 
 
+def _pq_recon_sequential(emb: DataFrame) -> DataFrame:
+    """The pre-round-12 reconstruction: 4 SEQUENTIAL _kmeans_core
+    trainings (8 eager checkpoints, 4 identical plan chains) joined
+    pairwise on pid. Kept as the A/B baseline for
+    tools/profile_pq_fuse.py — the entry ships the fused form."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _kmeans_core,
+    )
+
+    recon = None
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", 1 + m * _PQ_SUBDIM, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        assigned, cents = _kmeans_core(
+            sub, _PQ_KC, _PQ_ITERS, _PQ_SUBDIM,
+            "vec_id", "embedding", _PQ_SEED_MOD,
+        )
+        r = assigned.select("pid", "cell").join(
+            F.broadcast(cents.withColumnRenamed("cm", f"cm{m}")), "cell"
+        ).select("pid", f"cm{m}")
+        recon = r if recon is None else recon.join(r, "pid")
+    return recon.select(
+        F.col("pid").alias("vec_id"),
+        F.expr(
+            "transform(concat(cm0, cm1, cm2, cm3),"
+            " x -> CAST(x AS DOUBLE) / 1000000.0)"
+        ).alias("__cvec"),
+    )
+
+
+def _pq_recon_fused(emb: DataFrame) -> DataFrame:
+    """Round-12 reconstruction (VERDICT r11 item 1): all 4 subspace
+    codebooks trained in ONE subspace-keyed Lloyd DAG
+    (operators/clustering._kmeans_core_fused_subspaces — one scan, one
+    broadcast-assign exchange per iteration over (pid, sub), k×4-row
+    centroid state, one checkpoint per round instead of four), then
+    one (sub, cell) broadcast join + one groupBy(pid) reassembles the
+    64-dim reconstruction in subspace order. Bit-identical to the
+    sequential form — exact integer micro arithmetic throughout, and
+    the fused seed set slices the SAME (id mod seed_mod, id)-ordered
+    rows — verified value-for-value over every sf0.01 and sf0.1
+    vector (tools/profile_pq_fuse.py --check)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        _kmeans_core_fused_subspaces,
+    )
+
+    assigned4, cents4 = _kmeans_core_fused_subspaces(
+        emb, _PQ_KC, _PQ_ITERS, _PQ_SUBDIM, _PQ_M,
+        "vec_id", "embedding", _PQ_SEED_MOD,
+    )
+    return (
+        assigned4.join(F.broadcast(cents4), ["sub", "cell"])
+        .groupBy("pid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cm"))).alias("__sc"))
+        .select(
+            F.col("pid").alias("vec_id"),
+            F.expr(
+                "transform(flatten(transform(__sc, s -> s.cm)),"
+                " x -> CAST(x AS DOUBLE) / 1000000.0)"
+            ).alias("__cvec"),
+        )
+    )
+
+
+
 @register(
     "x108_pq_recall",
     _x108_oracle(),
@@ -2432,41 +2501,25 @@ def _x108_oracle() -> str:
     deterministic integers.
 
     Scale: codebook training is 4 independent k-means over 16-dim
-    sub-vectors (cheaper than one 64-dim clustering); encoding is an
-    8-way broadcast argmin per subspace; the recall eval runs on a
-    mod-hash query SAMPLE — the production acceptance gate before
-    shipping a PQ index.""",
+    sub-vectors (cheaper than one 64-dim clustering), FUSED into one
+    subspace-keyed Lloyd DAG since round 12 (VERDICT r11 item 1) —
+    one corpus scan, one broadcast-assign exchange per iteration over
+    (pid, sub), centroid state k×4 rows, one checkpoint per round
+    instead of four; bit-identical to the sequential trainings
+    (exact integer micros; tools/profile_pq_fuse.py --check).
+    Encoding is an 8-way broadcast argmin per subspace; the recall
+    eval runs on a mod-hash query SAMPLE — the production acceptance
+    gate before shipping a PQ index.""",
 )
 def x108_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
-        _kmeans_core,
-    )
+    return _x108_pipeline(spark, sf_dir, _pq_recon_fused)
+
+
+def _x108_pipeline(spark: SparkSession, sf_dir: str, recon_builder) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.skew import grouped_topk
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    recon = None
-    for m in range(_PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", 1 + m * _PQ_SUBDIM, _PQ_SUBDIM).alias(
-                "embedding"
-            ),
-        )
-        assigned, cents = _kmeans_core(
-            sub, _PQ_KC, _PQ_ITERS, _PQ_SUBDIM,
-            "vec_id", "embedding", _PQ_SEED_MOD,
-        )
-        r = assigned.select("pid", "cell").join(
-            F.broadcast(cents.withColumnRenamed("cm", f"cm{m}")), "cell"
-        ).select("pid", f"cm{m}")
-        recon = r if recon is None else recon.join(r, "pid")
-    recon = recon.select(
-        F.col("pid").alias("vec_id"),
-        F.expr(
-            "transform(concat(cm0, cm1, cm2, cm3),"
-            " x -> CAST(x AS DOUBLE) / 1000000.0)"
-        ).alias("__cvec"),
-    )
+    recon = recon_builder(emb)
 
     exact = _exact_topk_spark(emb, _PQ_MOD, _PQ_K, 64)
 
