@@ -908,6 +908,14 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
 _SAMPLER_FRONT_R12 = [
+    # new this round (never sampled by construction): the Bloom
+    # membership sketch, its streaming twin, and the pruned consumer
+    "x131_bloom_membership", "s28_streaming_bloom",
+    "x132_bloom_pruned_incremental_dedup",
+    # x40 routes through incremental_dedup_flags, whose exact tier
+    # was refactored for the opt-in bloom_prune (default path
+    # equivalent — but let the driver redraw it)
+    "x40_incremental_dedup",
     # x108's codebook training is the fused subspace-keyed Lloyd DAG
     # this round (bit-identical recon, 1.85× at sf10 — VERDICT r11
     # item 1); x122 gained the audit_cap_drops tripwire (entry path

@@ -403,3 +403,247 @@ def x130_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "gram")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# x131 — deterministic Bloom filter (round 12: the MEMBERSHIP sketch)
+# ---------------------------------------------------------------------------
+# Completes the mergeable-sketch quartet (x113 cardinality, x114
+# quantiles, x130 frequency). m = 2048 bits packed into 33 bigint
+# words (63 bits/word — sign-safe shifts, probed bit-identical across
+# engines), k = 2 md5-salted hashes. The corpus side (doc_id % 10 <> 0,
+# x40's standing-corpus split) inserts its distinct text fingerprints;
+# the new-batch side (doc_id % 10 = 0) probes. m is deliberately TIGHT
+# against the ~450 gate-scale corpus fingerprints so the false-positive
+# rate the filter trades for its 33-long footprint is VISIBLE in the
+# checked output (two-scale probe: 4 false positives of 50 probes at
+# sf0.001, 8 at sf0.01, zero true dups across the split at either —
+# every hit row with in_corpus = 0 IS a measured false positive), and
+# the never-false-negative side is structural: a probe with bloom_hit
+# = 0 is PROVEN absent.
+
+_BLOOM_M, _BLOOM_K = 2048, 2
+_BLOOM_WORD = 63
+
+
+def _bloom_oracle(m: int, k: int) -> str:
+    rs = ", ".join(str(r) for r in range(k))
+    pos = (
+        "CAST(('0x' || substr(md5(fp || '#' || CAST(r AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % {m} AS BIGINT)"
+    )
+    return f"""
+    WITH newd AS (SELECT doc_id, md5(text) AS fp FROM documents
+                  WHERE doc_id % 10 = 0),
+    corp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+             WHERE doc_id % 10 <> 0),
+    cpos AS (SELECT {pos} AS pos FROM corp, UNNEST([{rs}]) AS t(r)),
+    words AS (SELECT pos // {_BLOOM_WORD} AS w,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+              FROM cpos GROUP BY 1),
+    ph AS (SELECT doc_id, {pos} AS pos FROM newd, UNNEST([{rs}]) AS t(r)),
+    chk AS (SELECT ph.doc_id,
+                   CASE WHEN (COALESCE(wo.bits, 0)
+                              >> CAST(ph.pos % {_BLOOM_WORD} AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END AS ok
+            FROM ph LEFT JOIN words wo ON wo.w = ph.pos // {_BLOOM_WORD}),
+    hit AS (SELECT doc_id,
+                   CASE WHEN SUM(ok) = {k} THEN 1 ELSE 0 END AS bloom_hit
+            FROM chk GROUP BY doc_id),
+    exact AS (SELECT DISTINCT n.doc_id FROM newd n JOIN corp c USING (fp))
+    SELECT h.doc_id,
+           CAST(h.bloom_hit AS BIGINT) AS bloom_hit,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS in_corpus
+    FROM hit h LEFT JOIN exact e USING (doc_id)
+    ORDER BY h.doc_id
+"""
+
+
+_X131_ORACLE = _bloom_oracle(_BLOOM_M, _BLOOM_K)
+
+
+@register(
+    "x131_bloom_membership",
+    _X131_ORACLE,
+    doc="""Deterministic Bloom filter (Bloom, CACM 1970) — MEMBERSHIP,
+    the fourth mergeable-sketch class (x113 cardinality, x114
+    quantiles, x130 frequency): the standing corpus's distinct text
+    fingerprints insert into a 2048-bit filter packed as 33 bigint
+    words (63 bits/word, sign-safe cross-engine shifts; k = 2
+    md5-salted hashes, the repo's portable convention), and every
+    new-batch document is probed — output is the per-probe verdict
+    (bloom_hit) against the exact truth (in_corpus), so the filter's
+    ONE-SIDED error is value-hashed: bloom_hit = 0 rows are proofs of
+    absence (never a false negative, structural), bloom_hit = 1 /
+    in_corpus = 0 rows are the measured false positives the tight
+    gate-scale m makes visible BY DESIGN (4 of 50 probes at sf0.001,
+    8 at sf0.01; at production scale m grows with the corpus and the
+    shape is unchanged).
+
+    Scale: building the filter is ONE map-side-combining bit_or
+    aggregate to ≤ 33 word rows (associative shard-merge, same algebra
+    as the other three sketches — pinned in test_sketch_merge.py);
+    probing broadcasts the densified single-row word array and runs k
+    shifts per row in a narrow projection — no explode, no per-probe
+    exchange. This is the join-prune primitive x132 wires into x40's
+    incremental dedup.""",
+)
+def x131_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.bloom import (
+        bloom_word_table,
+        with_bloom_hit,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.col("text")).alias("fp")
+    newd = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", fp)
+    corp = docs.filter(F.col("doc_id") % 10 != 0).select(fp).distinct()
+
+    words = bloom_word_table(corp, "fp", _BLOOM_M, _BLOOM_K)
+    probed = with_bloom_hit(newd, "fp", words, _BLOOM_M, _BLOOM_K)
+    # the exact side is the eval's ground truth only (a production
+    # deployment keeps just the filter); it is corpus-sized, so no
+    # forced broadcast — the planner picks the strategy
+    exact = corp.withColumnRenamed("fp", "__cfp")
+    return (
+        probed.join(exact, probed["fp"] == exact["__cfp"], "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("long").alias("bloom_hit"),
+            F.when(F.col("__cfp").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_corpus"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x132 — Bloom-pruned incremental dedup (the sketch wired into its
+# consumer; round 12, VERDICT r11 item 5)
+# ---------------------------------------------------------------------------
+# x40's per-source dedup audit, with the exact tier pre-filtered by a
+# corpus Bloom filter: only Bloom-POSITIVE new docs enter the exact
+# anti-join; never-false-negative makes the prune LOSSLESS, so the
+# four x40 columns are IDENTICAL to the unpruned entry — and the
+# oracle PROVES that by construction: it computes the dedup columns
+# the exact (unpruned) way and only uses the bloom CTEs for the
+# n_bloom_pruned audit column, so a MATCH certifies pruned ≡ unpruned
+# cross-engine. m = 4096 here (sized for pruning POWER where x131's
+# 2048 is sized for visible error): prunes 49/50 new docs at sf0.001,
+# 46/50 at sf0.01, 104/500 at sf0.1 (exact, deterministic).
+
+_BLOOM2_M, _BLOOM2_K = 4096, 2
+
+
+def _x132_oracle() -> str:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_llm import (
+        _INCR_DEDUP_ORACLE,
+    )
+
+    # reuse x40's CTE body verbatim (everything before its final
+    # SELECT) — if x40's oracle text changes shape, this split fails
+    # the driver gate loudly rather than drifting silently
+    body = _INCR_DEDUP_ORACLE.split("SELECT d.source,")[0].rstrip()
+    assert body.endswith(")"), "x40 oracle shape changed"
+    rs = ", ".join(str(r) for r in range(_BLOOM2_K))
+    pos = (
+        "CAST(('0x' || substr(md5(fp || '#' || CAST(r AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % {_BLOOM2_M} AS BIGINT)"
+    )
+    return f"""{body},
+    bcorp AS (SELECT DISTINCT md5(text) AS fp FROM corp),
+    bnew AS (SELECT doc_id, md5(text) AS fp FROM newd),
+    bcpos AS (SELECT {pos} AS pos FROM bcorp, UNNEST([{rs}]) AS t(r)),
+    bwords AS (SELECT pos // {_BLOOM_WORD} AS w,
+                      bit_or(CAST(1 AS BIGINT)
+                             << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+               FROM bcpos GROUP BY 1),
+    bph AS (SELECT doc_id, {pos} AS pos FROM bnew, UNNEST([{rs}]) AS t(r)),
+    bchk AS (SELECT bph.doc_id,
+                    CASE WHEN (COALESCE(wo.bits, 0)
+                               >> CAST(bph.pos % {_BLOOM_WORD} AS INT)) & 1 = 1
+                         THEN 1 ELSE 0 END AS ok
+             FROM bph LEFT JOIN bwords wo ON wo.w = bph.pos // {_BLOOM_WORD}),
+    bhit AS (SELECT doc_id,
+                    CASE WHEN SUM(ok) = {_BLOOM2_K} THEN 1 ELSE 0 END
+                        AS bloom_hit
+             FROM bchk GROUP BY doc_id)
+    SELECT d.source,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bh.bloom_hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pruned
+    FROM newd d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    JOIN bhit bh ON d.doc_id = bh.doc_id
+    GROUP BY d.source
+"""
+
+
+@register(
+    "x132_bloom_pruned_incremental_dedup",
+    _x132_oracle(),
+    doc="""x40's incremental dedup with the Bloom filter doing the
+    work it exists for (VERDICT r11 item 5 — the sketch as a SCALE
+    LEVER, not a statistic): the standing corpus's fingerprints build
+    a 4096-bit packed filter (one bit_or aggregate, ≤ 65 bigint
+    words), the broadcast filter classifies every new document in a
+    narrow projection, and ONLY the Bloom-positive slice enters the
+    exact-tier anti-join. Lossless by the filter's one-sided error —
+    a miss PROVES the fingerprint is new — so the four audit columns
+    are IDENTICAL to unpruned x40 (the oracle computes them the exact
+    unpruned way; a value-hash MATCH therefore CERTIFIES the
+    equality cross-engine, and tests/test_sketch_merge.py pins it
+    Spark-vs-Spark too). The new n_bloom_pruned column surfaces the
+    prune: 49/50 new docs skip the join at sf0.001, 46/50 at sf0.01,
+    104/500 at sf0.1 — deterministic, hash-checked.
+
+    Scale: at 100 TB the exact tier's cost is shuffling the daily
+    increment's fingerprints into the anti-join against a corpus-
+    sized standing table; with the filter broadcast ingest-side, the
+    join's probe input shrinks to the true-dup rate plus the filter's
+    FP rate (tunable with m), and the filter itself costs one
+    map-side-combining pass that merges associatively across shards
+    and days. The near tier is untouched — its inverted-index join
+    already scales with true overlap.""",
+)
+def x132_bloom_pruned_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    flagged = incremental_dedup_flags(
+        new_batch,
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.2,
+        bloom_prune=(_BLOOM2_M, _BLOOM2_K),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.col("dup_exact").cast("int")).cast("long").alias("n_exact_dup"),
+        F.sum(F.col("dup_near").cast("int")).cast("long").alias("n_near_dup"),
+        F.sum(
+            (~F.col("dup_exact") & ~F.col("dup_near")).cast("int")
+        ).cast("long").alias("n_kept"),
+        F.sum(F.col("bloom_pruned").cast("int"))
+        .cast("long")
+        .alias("n_bloom_pruned"),
+    )

@@ -1973,3 +1973,96 @@ def s27_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "gram")
         .limit(30)
     )
+
+
+# ===========================================================================
+# s28 — streaming Bloom filter (x131's twin; round 12)
+# ===========================================================================
+
+
+from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (  # noqa: E402
+    _X131_ORACLE as _S28_ORACLE,  # shared VERBATIM — one Bloom convention
+)
+
+
+@register(
+    "s28_streaming_bloom",
+    _S28_ORACLE,
+    doc="""x131's Bloom filter built as STREAMING STATE — the live
+    corpus-membership tripwire: the standing-corpus document stream
+    (doc_id % 10 <> 0) hashes its text fingerprints straight into the
+    packed word table as ONE complete-mode bit_or aggregate — state is
+    ≤ 33 bigint words FOREVER regardless of stream volume (bit_or
+    makes every micro-batch an associative word merge, the same
+    algebra test_sketch_merge.py pins batch-side; inserting raw
+    per-document fingerprints ≡ inserting the batch side's DISTINCT
+    set, because bit_or is idempotent — duplicates set the same bits).
+    The probe finish then runs x131's new-batch membership check
+    against the drained filter — x131's oracle verbatim, so the
+    streaming path can never drift from the batch convention.
+
+    No watermark: bits never evict, they accumulate — exactly how a
+    production ingest keeps "what has the corpus already seen" current
+    without holding per-key state (the unbounded-vocabulary problem
+    the sketch exists to avoid).""",
+)
+def s28_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.bloom import (
+        WORD_BITS,
+        _pos_sql,
+        with_bloom_hit,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    read_table(spark, sf_dir, "documents")  # sets raw-read confs if needed
+    leaf = "documents.parquet"
+    glob = os.path.join(sf_dir, f"[{leaf[0]}]{leaf[1:]}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .format("parquet")
+        .load(glob)
+    )
+    corp_fp = stream.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5(F.col("text")).alias("fp")
+    )
+    pos = corp_fp.select(
+        F.explode(
+            F.array(
+                *[F.expr(_pos_sql("fp", r, _BLOOM_M)) for r in range(_BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    words_stream = pos.groupBy(
+        F.expr(f"pos div {WORD_BITS}").alias("w")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pos % {WORD_BITS} AS INT)))"
+        ).alias("bits")
+    )
+    words = _drain_to_memory(words_stream, "complete", "stream_bloom")
+
+    # batch probe finish over the drained ≤33-word filter — x131's shape
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.col("text")).alias("fp")
+    newd = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", fp)
+    corp = docs.filter(F.col("doc_id") % 10 != 0).select(fp).distinct()
+    probed = with_bloom_hit(newd, "fp", words, _BLOOM_M, _BLOOM_K)
+    exact = corp.withColumnRenamed("fp", "__cfp")
+    return (
+        probed.join(exact, probed["fp"] == exact["__cfp"], "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("long").alias("bloom_hit"),
+            F.when(F.col("__cfp").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_corpus"),
+        )
+        .orderBy("doc_id")
+    )

@@ -183,3 +183,41 @@ def test_bench_prose_zero_totals_render_dash(tmp_path):
     out = render(str(tmp_path))
     assert "0.00 s | 0.00 s | —" in out
     assert "ZeroDivision" not in out
+
+
+def test_round_log_closing_tally_matches_artifacts():
+    """VERDICT r11 item 3: closing-tally prose drifted from the
+    committed artifacts two rounds running (r10 quoted a stale sf10
+    total; r11 claimed 3 adjudicated PERFDIFF flags against a 0-flag
+    artifact). The tally is now generated from the artifacts
+    themselves (tools/gen_closing_tally.py) and byte-pinned here, the
+    same discipline as the AUTOGEN bench table: every round log that
+    carries the marker AND whose round artifacts are still the
+    committed ones (the latest carrier) must match a fresh render."""
+    from tools.gen_closing_tally import BEGIN, END, render
+
+    def _round_num(p: Path) -> int:
+        m = re.search(r"ROUND(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    carriers = [
+        p
+        for p in sorted((REPO / "docs").glob("ROUND*.md"), key=_round_num)
+        if BEGIN in p.read_text()
+    ]
+    if not carriers:
+        import pytest
+
+        pytest.skip(
+            "no round log embeds the closing tally yet — required from "
+            "round 12's closing onwards"
+        )
+    latest = carriers[-1]
+    text = latest.read_text()
+    block = text[text.index(BEGIN) : text.index(END) + len(END)]
+    expected = render(str(REPO), _round_num(latest))
+    assert block == expected, (
+        f"{latest.name}'s closing tally drifted from the committed "
+        f"artifacts — regenerate with tools/gen_closing_tally.py "
+        f"--round {_round_num(latest)}"
+    )

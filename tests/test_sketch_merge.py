@@ -230,3 +230,114 @@ def test_countmin_estimate_never_undercounts(con):
         """
     ).fetchone()[0]
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (x131/x132/s28, round 12) — merge-by-OR, the one-sided
+# error guarantee, and the lossless consumer prune
+# ---------------------------------------------------------------------------
+
+
+def _bloom_m_k():
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    return _BLOOM_M, _BLOOM_K
+
+
+def test_bloom_words_merge_by_or(spark):
+    """The shard-combine property the 100 TB story rests on:
+    filter(A ∪ B) ≡ bit_or-merge(filter(A), filter(B)), word for
+    word — so per-shard/per-day filters combine without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.bloom import (
+        bloom_merge,
+        bloom_word_table,
+    )
+
+    m, k = _bloom_m_k()
+    a = spark.createDataFrame([(f"key-a-{i}",) for i in range(40)], "fp string")
+    b = spark.createDataFrame([(f"key-b-{i}",) for i in range(40)], "fp string")
+    direct = {
+        r["w"]: r["bits"]
+        for r in bloom_word_table(a.unionAll(b), "fp", m, k).collect()
+    }
+    merged = {
+        r["w"]: r["bits"]
+        for r in bloom_merge(
+            bloom_word_table(a, "fp", m, k), bloom_word_table(b, "fp", m, k)
+        ).collect()
+    }
+    assert direct == merged and direct
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """The one-sided error guarantee x132's lossless prune rests on:
+    EVERY inserted key must probe positive — over the real corpus
+    fingerprints, not just synthetics."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.bloom import (
+        bloom_word_table,
+        with_bloom_hit,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    m, k = _bloom_m_k()
+    corp = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    words = bloom_word_table(corp, "fp", m, k)
+    probed = with_bloom_hit(corp, "fp", words, m, k)
+    n = probed.count()
+    assert n > 0
+    assert probed.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_bloom_pruned_dedup_equals_unpruned(spark, sf_dir):
+    """VERDICT r11 item 5's 'done' bar: the Bloom-pruned incremental
+    dedup must produce EXACTLY the unpruned x40 flags (the prune is
+    lossless), while actually pruning a nonzero slice (the lever is
+    exercised, not vacuous)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_sketch import (
+        _BLOOM2_K,
+        _BLOOM2_M,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    def flags(**kw):
+        return {
+            r["doc_id"]: (r["dup_exact"], r["dup_near"])
+            for r in incremental_dedup_flags(
+                new_batch, corpus, id_col="doc_id", text_col="text",
+                n=3, threshold=0.2, **kw
+            ).collect()
+        }
+
+    plain = flags()
+    pruned_df = incremental_dedup_flags(
+        new_batch, corpus, id_col="doc_id", text_col="text",
+        n=3, threshold=0.2, bloom_prune=(_BLOOM2_M, _BLOOM2_K),
+    )
+    pruned = {
+        r["doc_id"]: (r["dup_exact"], r["dup_near"])
+        for r in pruned_df.collect()
+    }
+    assert plain == pruned and plain
+    n_pruned = pruned_df.filter(F.col("bloom_pruned")).count()
+    assert n_pruned > 0, "the prune never fired — the lever is vacuous"
