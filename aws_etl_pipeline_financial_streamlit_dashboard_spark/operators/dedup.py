@@ -499,21 +499,42 @@ def incremental_dedup_flags(
     re-clustering the corpus. Every join here is asymmetric
     (new × corpus) — the corpus never self-joins:
 
-    - exact tier: left-semi join on md5(text); only 16-byte hashes of
-      both sides shuffle, and at steady state the corpus hash set is a
-      standing bucketed table, so the increment alone shuffles;
+    - DISTINCT-TEXT COLLAPSE FIRST (round 12): both dup flags are
+      properties of a document's TEXT, not its row — two new docs with
+      identical bytes get identical verdicts — so every tier below
+      runs at the distinct-fingerprint level and the per-doc answer is
+      one hash-keyed flag join at the end. This is the exact-first
+      rule a 100 TB pipeline lives by (never do pairwise work on rows
+      an exact dedup would have collapsed), and it is what took x40
+      from 529 s to seconds at sf10, where 500k docs carry only ~5k
+      distinct texts and the shingle join was paying the ×10,000
+      pair-space blowup of the replication (decomposition in
+      docs/PERF.md round-12; the driver oracle KEEPS the per-row
+      relational text, so every x40/x132 gate MATCH is a collapse-vs-
+      per-row equivalence proof, and tests/test_incremental_dedup.py's
+      handwritten fixtures pin the semantics Spark-side);
+    - exact tier: left-semi join on md5(text) fingerprints — only
+      16-byte hashes of the (collapsed) sides shuffle, and at steady
+      state the corpus hash set is a standing bucketed table;
     - near tier: inverted-index join of the increment's shingles
       against the corpus's shingles keyed on the shingle — candidates
-      scale with true cross-overlap (|increment|-proportional), never
+      scale with the DISTINCT texts' true cross-overlap, never
       |corpus|²; exact Jaccard verify on the candidate pairs, same
       rounding as :func:`ngram_jaccard_pairs` so thresholds are
       engine-portable. Hot-shingle capping applies unchanged if the
-      corpus carries boilerplate.
+      corpus carries boilerplate (probed NOT to be the sf10 cost:
+      hottest shingle touches 600 of 450k docs).
     """
-    new_hash = F.md5(F.col(text_col))
     corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("__h")).distinct()
-    new_keys = new_df.select(F.col(id_col), new_hash.alias("__h"))
-    pruned_ids = None
+    new_keyed = new_df.withColumn("__h", F.md5(F.col(text_col)))
+    new_fps = new_keyed.select("__h", text_col).dropDuplicates(["__h"])
+    corp_fps = (
+        corpus_df.select(F.md5(F.col(text_col)).alias("__h"), text_col)
+        .dropDuplicates(["__h"])
+    )
+
+    probe_fps = new_fps.select("__h")
+    pruned_fps = None
     if bloom_prune is not None:
         from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.bloom import (
             bloom_word_table,
@@ -522,35 +543,33 @@ def incremental_dedup_flags(
 
         bm, bk = bloom_prune
         words = bloom_word_table(corpus_hashes, "__h", bm, bk)
-        classified = with_bloom_hit(new_keys, "__h", words, bm, bk)
-        new_keys = classified.filter(F.col("bloom_hit") == 1).drop("bloom_hit")
-        pruned_ids = (
+        classified = with_bloom_hit(probe_fps, "__h", words, bm, bk)
+        probe_fps = classified.filter(F.col("bloom_hit") == 1).drop("bloom_hit")
+        pruned_fps = (
             classified.filter(F.col("bloom_hit") == 0)
-            .select(id_col)
+            .select("__h")
             .withColumn("__pruned", F.lit(True))
         )
-    exact_ids = (
-        new_keys.join(corpus_hashes, "__h", "leftsemi")
-        .select(id_col)
-        .distinct()
+    exact_fps = (
+        probe_fps.join(corpus_hashes, "__h", "leftsemi")
         .withColumn("__exact", F.lit(True))
     )
 
-    sh_new = fan_out(new_df.select(id_col, text_col)).select(
-        F.col(id_col).alias("nid"),
+    sh_new = fan_out(new_fps).select(
+        F.col("__h").alias("__hn"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    sh_corp = fan_out(corpus_df.select(id_col, text_col)).select(
-        F.col(id_col).alias("cid"),
+    sh_corp = fan_out(corp_fps).select(
+        F.col("__h").alias("__hc"),
         word_shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    ex_new = sh_new.select("nid", "n_sh", F.explode("sh").alias("s"))
+    ex_new = sh_new.select("__hn", "n_sh", F.explode("sh").alias("s"))
     ex_corp = sh_corp.select(
-        F.col("cid"), F.col("n_sh").alias("n_sh_c"), F.explode("sh").alias("s")
+        "__hc", F.col("n_sh").alias("n_sh_c"), F.explode("sh").alias("s")
     )
     pairs = (
         ex_new.join(ex_corp, "s")
-        .groupBy("nid", "cid")
+        .groupBy("__hn", "__hc")
         .agg(
             F.count("*").alias("inter"),
             F.first("n_sh").alias("na"),
@@ -558,17 +577,17 @@ def incremental_dedup_flags(
         )
     )
     jac = rhu(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-    near_ids = (
+    near_fps = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("nid").alias(id_col))
+        .select(F.col("__hn").alias("__h"))
         .distinct()
         .withColumn("__near", F.lit(True))
     )
 
     out = (
-        new_df.join(exact_ids, id_col, "left")
-        .join(near_ids, id_col, "left")
+        new_keyed.join(exact_fps, "__h", "left")
+        .join(near_fps, "__h", "left")
         .withColumn("dup_exact", F.coalesce(F.col("__exact"), F.lit(False)))
         .withColumn(
             "dup_near",
@@ -576,15 +595,15 @@ def incremental_dedup_flags(
         )
         .drop("__exact", "__near")
     )
-    if pruned_ids is not None:
+    if pruned_fps is not None:
         out = (
-            out.join(pruned_ids, id_col, "left")
+            out.join(pruned_fps, "__h", "left")
             .withColumn(
                 "bloom_pruned", F.coalesce(F.col("__pruned"), F.lit(False))
             )
             .drop("__pruned")
         )
-    return out
+    return out.drop("__h")
 
 
 def word_ngrams_all(text: Column, n: int = 2) -> Column:

@@ -792,6 +792,41 @@ _X127_ORACLE = f"""
 """
 
 
+def _x127_ring_literal(n_shards: int) -> str:
+    """The ring as ONE sorted bigint-array SQL literal: each virtual
+    node encodes as pos·1000 + shard (the old relational form's MIN
+    key), sorted ascending — so numeric order IS (pos, shard) order
+    and a first-match probe reproduces the MIN's tie-break exactly.
+    Positions are computed here in Python with the same md5-prefix
+    convention as _H_SPARK/_H_DUCK (pinned equal in
+    tests/test_x127_probe_form.py); one literal string = one py4j
+    round trip (the F.lit-per-element plan-build trap, PERF.md)."""
+    import hashlib
+
+    def pos(s: int, v: int) -> int:
+        return int(hashlib.md5(f"node-{s}-{v}".encode()).hexdigest()[:8], 16)
+
+    enc = sorted(
+        pos(s, v) * 1000 + s for s in range(n_shards) for v in range(16)
+    )
+    return "array(" + ", ".join(f"{e}L" for e in enc) + ")"
+
+
+def _x127_successor_sql(arr: str) -> str:
+    """Successor lookup on the sorted encoded ring: first element whose
+    position (enc div 1000) ≥ h, wrapping to the array head — the
+    binary-probe shape (here a filter walk over a ≤144-element literal
+    array in a NARROW projection; no 272× row inflation, no per-doc
+    aggregate). Identical value to the relational MIN form by the
+    sorted-encoding argument above."""
+    return (
+        f"CAST(COALESCE(try_element_at(filter({arr},"
+        f" e -> e div 1000 >= h), 1), element_at({arr}, 1))"
+        f" % 1000 AS BIGINT)"
+    )
+
+
+
 @register(
     "x127_consistent_hash_sharding",
     _X127_ORACLE,
@@ -807,15 +842,71 @@ _X127_ORACLE = f"""
     (MIN over pos·1000+shard with the wrap fallback) — no min_by
     tie semantics, no floats, portable md5 positions on both ends.
 
-    Scale: the ring (272 rows) broadcast-crosses the corpus and the
-    partial aggregate collapses the 272 candidates per document
-    MAP-SIDE — the exchange carries |docs| rows, and the report
-    aggregates are |shards|-bounded. At real scale the ring lookup
-    compiles to the same bounded-literal pattern (a sorted ring array
-    + binary probe); the relational form here keeps both engines on
-    identical text.""",
+    Scale: since round 12 the Spark side runs the PRODUCTION lookup
+    shape (the carried r10 PERF note made real): the ring is a sorted
+    ≤144-element bigint-array literal (pos·1000+shard encoding — the
+    relational MIN's own key, so numeric first-match ≡ the MIN with
+    its tie-break) and each document's successor is a narrow per-row
+    filter probe — no 272× broadcast-cross inflation, no per-doc
+    aggregate, no exchange before the |shards|-bounded report. The
+    DuckDB oracle KEEPS the relational MIN text, so the driver MATCH
+    is itself a cross-form equivalence proof; bit-identity vs the old
+    Spark form and the Python/SQL md5-position convention are pinned
+    in tests/test_x127_probe_form.py.""",
 )
 def x127_consistent_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_H_SPARK.format(x="CAST(doc_id AS STRING)")).alias("h"),
+    )
+    asg = docs.select(
+        F.expr(_x127_successor_sql(_x127_ring_literal(8))).alias("ring_old"),
+        F.expr(_x127_successor_sql(_x127_ring_literal(9))).alias("ring_new"),
+        F.expr("CAST(h % 8 AS BIGINT)").alias("naive_old"),
+        F.expr("CAST(h % 9 AS BIGINT)").alias("naive_new"),
+    )
+    return _x127_report(asg)
+
+
+def _x127_report(asg: DataFrame) -> DataFrame:
+    tot = asg.groupBy().agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    ringside = asg.groupBy(F.col("ring_new").alias("shard")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_moved_in_ring"),
+    )
+    naiveside = asg.groupBy(F.col("naive_new").alias("shard")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN naive_old <> naive_new THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_moved_in_naive"),
+    )
+    return (
+        ringside.join(F.broadcast(naiveside), "shard", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            F.expr("CAST((1000000 * n_docs) div n AS BIGINT)").alias(
+                "balance_ppm"
+            ),
+            "n_moved_in_ring",
+            F.expr("CAST(COALESCE(n_moved_in_naive, 0) AS BIGINT)").alias(
+                "n_moved_in_naive"
+            ),
+        )
+    )
+
+
+def _x127_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-12 form — ring broadcast-cross (×272 row
+    inflation) collapsed by a per-doc MIN aggregate. Kept as the A/B
+    baseline and the bit-identity reference for the probe form
+    (tests/test_x127_probe_form.py); the DuckDB ORACLE still uses this
+    relational text, so a driver MATCH on the probe entry is itself a
+    cross-form equivalence check."""
     ring = spark.sql(
         "SELECT tag, shard, "
         + _H_SPARK.format(
@@ -856,35 +947,7 @@ def x127_consistent_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("CAST(h % 8 AS BIGINT)").alias("naive_old"),
         F.expr("CAST(h % 9 AS BIGINT)").alias("naive_new"),
     )
-    tot = asg.groupBy().agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
-    ringside = asg.groupBy(F.col("ring_new").alias("shard")).agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
-        F.expr(
-            "CAST(SUM(CASE WHEN ring_old <> ring_new THEN 1 ELSE 0 END)"
-            " AS BIGINT)"
-        ).alias("n_moved_in_ring"),
-    )
-    naiveside = asg.groupBy(F.col("naive_new").alias("shard")).agg(
-        F.expr(
-            "CAST(SUM(CASE WHEN naive_old <> naive_new THEN 1 ELSE 0 END)"
-            " AS BIGINT)"
-        ).alias("n_moved_in_naive"),
-    )
-    return (
-        ringside.join(F.broadcast(naiveside), "shard", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "shard",
-            "n_docs",
-            F.expr("CAST((1000000 * n_docs) div n AS BIGINT)").alias(
-                "balance_ppm"
-            ),
-            "n_moved_in_ring",
-            F.expr("CAST(COALESCE(n_moved_in_naive, 0) AS BIGINT)").alias(
-                "n_moved_in_naive"
-            ),
-        )
-    )
+    return _x127_report(asg)
 
 
 # ---------------------------------------------------------------------------

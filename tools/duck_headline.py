@@ -45,6 +45,14 @@ def main() -> None:
                 f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
 
+    # same CPU-contention telemetry as bench.py (VERDICT r11 item 2):
+    # the paired-window protocol reads Spark-vs-DuckDB in ONE window,
+    # so the DuckDB side self-documents contention the same way
+    from bench import _cpu_state, _cpu_window
+
+    cpu_start = _cpu_state()
+    cpu_wall0 = time.perf_counter()
+
     reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
@@ -97,6 +105,9 @@ def main() -> None:
         out["serving_headline_median_sec"],
         out["serving_headline_band_sec"],
     ) = _dist(srv_sums)
+    out["cpu"] = _cpu_window(
+        cpu_start, _cpu_state(), time.perf_counter() - cpu_wall0
+    )
     print(json.dumps(out))
 
 
