@@ -912,10 +912,10 @@ _SAMPLER_FRONT_R12 = [
     # membership sketch, its streaming twin, and the pruned consumer
     "x131_bloom_membership", "s28_streaming_bloom",
     "x132_bloom_pruned_incremental_dedup",
-    # x40 routes through incremental_dedup_flags, whose exact tier
-    # was refactored for the opt-in bloom_prune (default path
-    # equivalent — but let the driver redraw it)
-    "x40_incremental_dedup",
+    # x40 routes through incremental_dedup_flags, which now collapses
+    # to distinct text fingerprints before every tier (84× at sf10,
+    # exact); x127 ships the sorted-ring probe form — both redrawn
+    "x40_incremental_dedup", "x127_consistent_hash_sharding",
     # x108's codebook training is the fused subspace-keyed Lloyd DAG
     # this round (bit-identical recon, 1.85× at sf10 — VERDICT r11
     # item 1); x122 gained the audit_cap_drops tripwire (entry path
