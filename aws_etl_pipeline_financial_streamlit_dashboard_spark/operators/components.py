@@ -308,3 +308,56 @@ def triangle_count(
         .crossJoin(e.groupBy().agg(F.count("*").alias("n_edges")))
         .crossJoin(wedge_stats)
     )
+
+
+def doc_components_by_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    n: int = 3,
+    star: bool = False,
+) -> DataFrame:
+    """Near-dup connected components for EVERY document, computed at
+    the DISTINCT-TEXT level (round 12): returns (id_col, component_id)
+    with component_id = MIN document id in the cluster — one row per
+    input document, exactly the per-row closure's labels.
+
+    Why this exists: n-gram Jaccard is a property of a document's
+    TEXT, so byte-identical documents are pairwise connected by
+    construction (Jaccard 1 ≥ any sane threshold) and a document
+    cluster is precisely a text-level component expanded through the
+    fingerprint map. Running the shingle self-join per ROW pays the
+    replication's quadratic clique blowup for edges the expansion gets
+    for free — the first sf10 run of x18 spilled the disk to death on
+    exactly that (500k docs, ~5k distinct texts, ×10,000 pair space;
+    docs/PERF.md round-12). The equivalence is pinned two ways: the
+    x18/x43 DuckDB oracles KEEP the per-row recursive-CTE closure
+    (every gate MATCH is a proof), and
+    tests/test_incremental_dedup.py compares both constructions on
+    handwritten replicated fixtures.
+
+    ``star=True`` routes the text-level closure through
+    :func:`connected_components_star` (O(log n) rounds) instead of
+    min-label propagation — x43's algorithm contract, unchanged.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    fp = F.md5(F.col(text_col))
+    fpmap = docs.select(F.col(id_col), fp.alias("__h"))
+    texts = docs.select(fp.alias("__h"), F.col(text_col)).dropDuplicates(
+        ["__h"]
+    )
+    edges = ngram_jaccard_pairs(
+        texts, id_col="__h", text_col=text_col, n=n, threshold=threshold
+    ).select("doc_a", "doc_b")
+    cc = connected_components_star if star else connected_components
+    tcomp = cc(edges, src="doc_a", dst="doc_b")
+    lbl = fpmap.join(tcomp, fpmap["__h"] == tcomp["node"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component_id"), F.col("__h")).alias("__lbl"),
+    )
+    comp_min = lbl.groupBy("__lbl").agg(
+        F.min(id_col).alias("component_id")
+    )
+    return lbl.join(comp_min, "__lbl").select(id_col, "component_id")

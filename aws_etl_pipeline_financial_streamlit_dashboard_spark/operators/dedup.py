@@ -757,3 +757,91 @@ def blocked_levenshtein_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .drop("__blk")
     )
+
+
+def neardup_pair_rollup(
+    docs: DataFrame,
+    attr_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Count near-dup DOC pairs grouped by the (least, greatest) of a
+    per-doc attribute — x62's source matrix / x63's split-leakage
+    shape — WITHOUT materializing the doc-pair set (round 12).
+
+    Jaccard is a text property, so the doc-pair count expands from
+    text-level structure by pure multiplicity arithmetic:
+
+    - cross-text pairs: for every text pair (t1, t2) with Jaccard ≥
+      threshold, each (attr_a, attr_b) cell gains
+      cnt(t1, a1) · cnt(t2, a2) pairs — computed by joining the
+      text-pair frame to the per-(text, attr) count table twice;
+    - within-text pairs (byte-identical docs, Jaccard 1): same-attr
+      cells gain C(c, 2) per (text, attr); cross-attr cells gain
+      c_a · c_b per attr pair within the text.
+
+    Identical totals to joining the per-row pair set against the attr
+    map (the x62/x63 oracles KEEP that per-row text — every gate MATCH
+    proves the expansion; fixtures in tests/test_incremental_dedup.py
+    pin it Spark-vs-Spark), at the distinct-text join cost instead of
+    the replication-quadratic one — the same ×10,000 sf10 blowup
+    class found on x40/x18 (docs/PERF.md round-12).
+    """
+    fp = F.md5(F.col(text_col))
+    cnt = (
+        docs.select(fp.alias("__h"), F.col(attr_col))
+        .groupBy("__h", attr_col)
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__c"))
+    )
+    texts = docs.select(fp.alias("__h"), F.col(text_col)).dropDuplicates(
+        ["__h"]
+    )
+    tp = ngram_jaccard_pairs(
+        texts, id_col="__h", text_col=text_col, n=n, threshold=threshold
+    ).select(F.col("doc_a").alias("__ha"), F.col("doc_b").alias("__hb"))
+    a = cnt.select(
+        F.col("__h").alias("__ha"),
+        F.col(attr_col).alias("__attr_a"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cnt.select(
+        F.col("__h").alias("__hb"),
+        F.col(attr_col).alias("__attr_b"),
+        F.col("__c").alias("__cb"),
+    )
+    cross = (
+        tp.join(a, "__ha")
+        .join(b, "__hb")
+        .select(
+            F.least("__attr_a", "__attr_b").alias("__lo"),
+            F.greatest("__attr_a", "__attr_b").alias("__hi"),
+            (F.col("__ca") * F.col("__cb")).alias("__m"),
+        )
+    )
+    within_same = cnt.select(
+        F.col(attr_col).alias("__lo"),
+        F.col(attr_col).alias("__hi"),
+        F.expr("__c * (__c - 1) div 2").alias("__m"),
+    )
+    x, y = cnt.alias("x"), cnt.alias("y")
+    within_cross = (
+        x.join(
+            y,
+            (F.col("x.__h") == F.col("y.__h"))
+            & (F.col(f"x.{attr_col}") < F.col(f"y.{attr_col}")),
+        )
+        .select(
+            F.col(f"x.{attr_col}").alias("__lo"),
+            F.col(f"y.{attr_col}").alias("__hi"),
+            (F.col("x.__c") * F.col("y.__c")).alias("__m"),
+        )
+    )
+    return (
+        cross.unionByName(within_same)
+        .unionByName(within_cross)
+        .groupBy(F.col("__lo"), F.col("__hi"))
+        .agg(F.expr("CAST(SUM(__m) AS BIGINT)").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )

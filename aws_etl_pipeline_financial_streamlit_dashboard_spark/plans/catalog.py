@@ -916,6 +916,12 @@ _SAMPLER_FRONT_R12 = [
     # to distinct text fingerprints before every tier (84× at sf10,
     # exact); x127 ships the sorted-ring probe form — both redrawn
     "x40_incremental_dedup", "x127_consistent_hash_sharding",
+    # the whole per-row near-dup-pair family re-routed through the
+    # distinct-text collapse (doc_components_by_text /
+    # neardup_pair_rollup) — all six re-verified MATCH, redraw them
+    "x18_dedup_components", "x38_neardup_collapse",
+    "x43_components_star", "x62_cross_source_dup_matrix",
+    "x63_split_leakage_audit", "x69_cluster_representative",
     # x108's codebook training is the fused subspace-keyed Lloyd DAG
     # this round (bit-identical recon, 1.85× at sf10 — VERDICT r11
     # item 1); x122 gained the audit_cap_drops tripwire (entry path

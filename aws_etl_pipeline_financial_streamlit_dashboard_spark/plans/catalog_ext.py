@@ -1114,24 +1114,18 @@ _X62_ORACLE = jaccard_pairs_cte("source", "src") + """
 )
 def x62_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    src = docs.select("doc_id", "source")
-    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    # No broadcast hint: the (doc_id, source) map is CORPUS-sized — at
-    # scale these are id-keyed shuffle joins probing with the small
-    # pair set (locally the size policy broadcasts them on its own).
-    dup = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+    # round 12: pair counts expand from the distinct-text pair frame by
+    # multiplicity arithmetic (operators/dedup.neardup_pair_rollup) —
+    # identical totals to joining the materialized per-row pair set
+    # (the oracle keeps that text), at the distinct-text join cost
+    return (
+        D.neardup_pair_rollup(docs, "source", n=3, threshold=0.2)
         .select(
-            F.least("src_a", "src_b").alias("source_a"),
-            F.greatest("src_a", "src_b").alias("source_b"),
+            F.col("__lo").alias("source_a"),
+            F.col("__hi").alias("source_b"),
+            "n_dup_pairs",
         )
-    )
-    return dup.groupBy("source_a", "source_b").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.expr("source_a <> source_b").alias("crosses_sources"),
+        .withColumn("crosses_sources", F.expr("source_a <> source_b"))
     )
 
 
@@ -1175,23 +1169,17 @@ def x63_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = SP.hash_split(
         read_table(spark, sf_dir, "documents"), "text"
     ).select("doc_id", "text", "split")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    sp = docs.select("doc_id", "split")
-    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
-    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
-    # corpus-sized split map joins by id, probed by the small pair set
-    # (no broadcast hint — see x62)
-    dup = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+    # round 12: expanded from the distinct-text pair frame — see x62
+    # (split is itself md5(text)-derived, so identical texts can never
+    # straddle splits; the leakage the audit finds is near-dup only)
+    return (
+        D.neardup_pair_rollup(docs, "split", n=3, threshold=0.2)
         .select(
-            F.least("split_a", "split_b").alias("split_lo"),
-            F.greatest("split_a", "split_b").alias("split_hi"),
+            F.col("__lo").alias("split_lo"),
+            F.col("__hi").alias("split_hi"),
+            "n_dup_pairs",
         )
-    )
-    return dup.groupBy("split_lo", "split_hi").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.expr("split_lo <> split_hi").alias("is_leakage"),
+        .withColumn("is_leakage", F.expr("split_lo <> split_hi"))
     )
 
 

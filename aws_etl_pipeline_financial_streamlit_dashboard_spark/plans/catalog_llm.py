@@ -552,18 +552,13 @@ _COLLAPSE_ORACLE = r"""
 )
 def x38_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
-        connected_components,
-    )
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        doc_components_by_text,
     )
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import token_count
 
     docs = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
-    labeled = docs.join(comp, docs.doc_id == comp.node, "left").withColumn(
-        "component_id", F.coalesce(F.col("component_id"), F.col("doc_id"))
+    labeled = docs.join(
+        doc_components_by_text(docs, threshold=0.2), "doc_id"
     )
     kept = F.col("doc_id") == F.col("component_id")
     return labeled.groupBy("source").agg(
@@ -1213,23 +1208,15 @@ def x42_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x43_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
-        connected_components_star,
-    )
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        doc_components_by_text,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    comp = connected_components_star(edges, src="doc_a", dst="doc_b")
-    return (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
-        )
-        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    # star=True: the large/small-star closure runs on the text-level
+    # edges (round-12 collapse — see doc_components_by_text); the
+    # algorithm contract of this entry is unchanged
+    return doc_components_by_text(docs, threshold=0.2, star=True).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component_id")
     )
 
 
@@ -1972,27 +1959,12 @@ _X69_ORACLE = _cm._COMPONENTS_CTES + """
 )
 def x69_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
-        connected_components,
-    )
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        doc_components_by_text,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    comp = connected_components(edges, src="doc_a", dst="doc_b").select(
-        F.col("node").alias("doc_id"), "component_id"
-    )
-    labeled = (
-        docs.select("doc_id", "n_chars")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
-                "component_id"
-            ),
-        )
+    labeled = docs.select("doc_id", "n_chars").join(
+        doc_components_by_text(docs, threshold=0.2), "doc_id"
     )
     best = F.max(
         F.struct(

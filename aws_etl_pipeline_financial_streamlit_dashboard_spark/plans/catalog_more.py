@@ -755,27 +755,29 @@ _COMPONENTS_ORACLE = _COMPONENTS_CTES + """
     b≈c groups {a,b,c} even when a,c never matched. Oracle: DuckDB
     recursive CTE computing the same closure. Iterative (non-SQL) on
     the Spark side: one shuffle per round, lineage truncated per round,
-    O(diameter) rounds.""",
+    O(diameter) rounds.
+
+    Scale (round 12): the pair/closure stages run at the DISTINCT-TEXT
+    level — Jaccard is a text property, so byte-identical docs are
+    connected by construction (Jaccard 1 ≥ any sane threshold) and a
+    doc cluster is exactly a text-component expanded through the
+    fingerprint map; component_id re-derives as MIN(doc_id) per
+    expanded group, so labels are identical to the per-row closure
+    (the oracle KEEPS the per-row recursive CTE — every gate MATCH is
+    the equivalence proof; fixtures in tests/test_incremental_dedup.py
+    pin the collapse class). Before the collapse the first sf10 run of
+    this entry spilled the DISK to death: ~500k replicated docs =
+    ~5k distinct texts, and the per-row shingle self-join paid the
+    ×10,000 clique blowup (docs/PERF.md round-12).""",
 )
 def x18_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
-        connected_components,
-    )
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        doc_components_by_text,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
-    return (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
-        )
-        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    return doc_components_by_text(docs, threshold=0.2).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component_id")
     )
 
 

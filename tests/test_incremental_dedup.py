@@ -68,3 +68,114 @@ def test_identical_new_texts_get_identical_flags(spark):
 def test_no_corpus_partner_is_kept(spark):
     got = _flags(spark, [(1, _NOVEL)], [(100, _BASE)])
     assert got[1] == (False, False)
+
+
+def test_x18_components_collapse_matches_per_row_closure(spark):
+    """x18's distinct-text collapse (round 12): components over
+    replicated docs must equal the per-row closure — same clusters,
+    component_id = min doc_id, one canonical per cluster — including
+    (a) a cluster whose docs span two near-dup TEXTS, (b) a
+    pure-replication cluster (one text, many docs), (c) a singleton."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        connected_components,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (10, _BASE), (11, _BASE), (12, _NEAR),       # cluster {10,11,12}
+        (20, _NOVEL), (21, _NOVEL), (22, _NOVEL),    # cluster {20,21,22}
+        (30, "lone wolf text with nothing shared here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # per-row reference closure (the oracle's shape, Spark-side)
+    ref_edges = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    ref_comp = connected_components(ref_edges, src="doc_a", dst="doc_b")
+    import pyspark.sql.functions as F
+
+    ref = {
+        r["doc_id"]: r["component_id"]
+        for r in docs.select("doc_id")
+        .join(ref_comp, docs.doc_id == ref_comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+        .collect()
+    }
+
+    # the shipped collapsed entry, driven through a temp view-free path:
+    # re-create its logic by calling the entry over a parquet dir is
+    # heavier than needed — exercise the same construction directly
+    fpmap = docs.select("doc_id", F.md5("text").alias("__h"))
+    texts = docs.select(F.md5("text").alias("__h"), "text").dropDuplicates(
+        ["__h"]
+    )
+    edges = ngram_jaccard_pairs(
+        texts, id_col="__h", text_col="text", threshold=0.2
+    ).select("doc_a", "doc_b")
+    tcomp = connected_components(edges, src="doc_a", dst="doc_b")
+    lbl = fpmap.join(tcomp, fpmap["__h"] == tcomp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("__h")).alias("__lbl"),
+    )
+    comp_min = lbl.groupBy("__lbl").agg(F.min("doc_id").alias("component_id"))
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in lbl.join(comp_min, "__lbl")
+        .select("doc_id", "component_id")
+        .collect()
+    }
+    assert got == ref
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == 30
+
+
+def test_neardup_pair_rollup_matches_materialized_pairs(spark):
+    """x62/x63's round-12 expansion arithmetic vs the materialized
+    per-row pair set, on a fixture with every contribution class:
+    within-text same-attr, within-text cross-attr, cross-text pairs,
+    and replication (multiple docs per text)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        neardup_pair_rollup,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, _BASE, "web"), (2, _BASE, "web"), (3, _BASE, "books"),
+        (4, _NEAR, "web"), (5, _NEAR, "books"),
+        (6, _NOVEL, "web"), (7, _NOVEL, "web"),
+        (8, "totally unrelated words nobody else uses anywhere near", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    ref = {
+        (r["lo"], r["hi"]): r["n"]
+        for r in pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("lo"), F.greatest("sa", "sb").alias("hi")
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["__lo"], r["__hi"]): r["n_dup_pairs"]
+        for r in neardup_pair_rollup(
+            docs, "source", n=3, threshold=0.2
+        ).collect()
+    }
+    assert got == ref and got
+    # sanity: the fixture really exercised all classes
+    assert ("web", "web") in got and ("books", "web") in got
