@@ -29,7 +29,7 @@ explicit page-cache warm read of every input byte, with the warm-read
 time itself) so a container cache-eviction window — which blew the
 r10 sf10 bands out on environment alone — is visible IN the artifact
 rather than inferred afterwards (VERDICT r10 item 4), and a CPU
-window (loadavg start/end, machine busy fraction, own-process-group
+window (loadavg start/end, machine busy fraction, own descendant-tree
 CPU seconds, the derived foreign_cores_avg, and a `contended` flag)
 so a CPU-contended window — which disturbed the r11 driver bench
 uniformly ~1.6× with a warm cache and flat floors — self-documents
@@ -74,16 +74,18 @@ def _cache_state() -> dict[str, int]:
 
 
 def _pgrp_cpu_jiffies() -> int:
-    """Sum utime+stime (jiffies) over every live process in OUR process
-    group — the python driver plus the py4j-launched Spark JVM (probed:
-    the JVM inherits the group). Exited processes drop out, but both
-    members live for the whole window, so the start/end delta is the
-    session's own CPU."""
-    try:
-        pgrp = os.getpgid(0)
-    except OSError:
-        return -1
-    total = 0
+    """Sum utime+stime (jiffies) over THIS process and every live
+    descendant — the python driver plus the py4j-launched Spark JVM
+    (a direct child). Descendant-tree attribution, NOT process-group:
+    under `sh script.sh` every back-to-back step shares the script's
+    pgrp, so a previous step's JVM still shutting down at window start
+    would be counted then vanish, driving the self delta NEGATIVE and
+    the derived foreign load absurd (measured: self −237 s /
+    foreign_cores 58.7 in a DuckDB window of the round-12 paired
+    sweep). Our own descendants live for the whole window, so the
+    start/end delta is exactly the session's CPU."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -92,20 +94,31 @@ def _pgrp_cpu_jiffies() -> int:
                 data = fh.read()
             # comm may contain spaces/parens — split after the LAST ')'
             rest = data[data.rindex(")") + 2 :].split()
-            if int(rest[2]) != pgrp:  # field 5 (pgrp), 0-indexed 2 here
-                continue
-            total += int(rest[11]) + int(rest[12])  # utime, stime
+            procs[int(pid)] = (
+                int(rest[1]),  # ppid
+                int(rest[11]) + int(rest[12]),  # utime + stime
+            )
         except (OSError, ValueError, IndexError):
             continue
-    return total
+
+    def _is_ours(pid: int) -> bool:
+        seen = 0
+        while pid in procs and seen < 64:
+            if pid == me:
+                return True
+            pid = procs[pid][0]
+            seen += 1
+        return pid == me
+
+    return sum(j for pid, (_, j) in procs.items() if _is_ours(pid))
 
 
 def _cpu_state() -> dict[str, object]:
     """Machine + own-session CPU snapshot (VERDICT r11 item 2): the r11
     driver bench window ran uniformly ~1.6× slow with a WARM cache and
     flat floors — CPU contention the cache telemetry cannot see. With
-    loadavg and a /proc/stat busy delta (minus our own process group's
-    jiffies) in the artifact, a contended window self-documents the
+    loadavg and a /proc/stat busy delta (minus our own descendant
+    tree's jiffies) in the artifact, a contended window self-documents the
     way an evicted one already does."""
     out: dict[str, object] = {}
     try:
@@ -131,12 +144,15 @@ def _cpu_window(
 ) -> dict[str, object]:
     """Derive the window's contention verdict from two _cpu_state
     snapshots. ``foreign_cores_avg`` — machine busy CPU-seconds minus
-    our own process group's, per wall second — is the discriminator:
-    near 0 in a quiet container no matter how hard Spark runs, ≈N when
-    N foreign cores compete with the timed reps. ``contended`` flags
-    the window by a documented rule (foreign_cores_avg > 1.0, or the
-    1-minute loadavg already > 4 BEFORE this session loaded the
-    machine)."""
+    our own descendant tree's, per wall second — is the
+    discriminator: near 0 in a quiet container no matter how hard
+    Spark runs, ≈N when N foreign cores compete with the timed reps.
+    ``contended`` flags the window on that signal alone
+    (foreign_cores_avg > 1.0); loadavg start/end are reported as
+    context but do NOT gate the flag — in back-to-back paired windows
+    (scale_bench) the start loadavg is the PREVIOUS window's own load
+    still decaying, which flagged every r12 window until the rule was
+    scoped (the foreign fields correctly read ~0 throughout)."""
     d: dict[str, object] = {}
     if "loadavg" in start:
         d["loadavg_start"] = start["loadavg"]
@@ -169,11 +185,8 @@ def _cpu_window(
         )
     except (KeyError, TypeError, ZeroDivisionError):
         pass
-    load1_start = (start.get("loadavg") or [0.0])[0]
     fca = d.get("foreign_cores_avg")
-    d["contended"] = bool(
-        (fca is not None and fca > 1.0) or load1_start > 4.0
-    )
+    d["contended"] = bool(fca is not None and fca > 1.0)
     return d
 
 
