@@ -343,11 +343,17 @@ def doc_components_by_text(
     """
     from .dedup import ngram_jaccard_pairs
 
-    fp = F.md5(F.col(text_col))
+    # Null-safe: md5(NULL) is NULL and the __h/__lbl equi-joins below
+    # would silently drop NULL-text documents (NULL never equals NULL),
+    # breaking the one-row-per-input-document contract. Coalescing to ''
+    # matches the per-row closure's ['']-shingle treatment of NULL text
+    # (ADVICE r12). No-op on the catalog corpus (no NULL texts).
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     fpmap = docs.select(F.col(id_col), fp.alias("__h"))
-    texts = docs.select(fp.alias("__h"), F.col(text_col)).dropDuplicates(
-        ["__h"]
-    )
+    texts = docs.select(
+        fp.alias("__h"),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    ).dropDuplicates(["__h"])
     edges = ngram_jaccard_pairs(
         texts, id_col="__h", text_col=text_col, n=n, threshold=threshold
     ).select("doc_a", "doc_b")

@@ -789,15 +789,19 @@ def neardup_pair_rollup(
     the replication-quadratic one — the same ×10,000 sf10 blowup
     class found on x40/x18 (docs/PERF.md round-12).
     """
-    fp = F.md5(F.col(text_col))
+    # Null-safe fingerprint: md5(NULL) is NULL and would vanish from the
+    # __h equi-joins, dropping NULL-text docs from every pair count.
+    # coalesce-to-'' mirrors the per-row ['']-shingle path (ADVICE r12).
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     cnt = (
         docs.select(fp.alias("__h"), F.col(attr_col))
         .groupBy("__h", attr_col)
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__c"))
     )
-    texts = docs.select(fp.alias("__h"), F.col(text_col)).dropDuplicates(
-        ["__h"]
-    )
+    texts = docs.select(
+        fp.alias("__h"),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    ).dropDuplicates(["__h"])
     tp = ngram_jaccard_pairs(
         texts, id_col="__h", text_col=text_col, n=n, threshold=threshold
     ).select(F.col("doc_a").alias("__ha"), F.col("doc_b").alias("__hb"))

@@ -182,8 +182,13 @@ def link_prediction_ra(
     WARNING with the dropped-vertex count and max degree whenever the
     cap actually excludes a shared-neighbor vertex (and a DEBUG line
     when it is inert). Off by default so the operator stays fully
-    lazy; turn it on in scheduled pipelines where the input
-    distribution is not pinned by a probe like the catalog's.
+    lazy; note that when enabled, PLAN CONSTRUCTION ITSELF runs that
+    eager job (a ``.first()`` on the degree aggregate) and re-runs it
+    each time the builder is re-invoked — acceptable for a scheduled
+    pipeline's one build per run, wrong for interactive plan
+    exploration (ADVICE r12). Turn it on in scheduled pipelines where
+    the input distribution is not pinned by a probe like the
+    catalog's.
     """
     adj = und.select(F.col("a").alias("host"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("host"), F.col("a").alias("nbr"))

@@ -545,9 +545,14 @@ def _x132_oracle() -> str:
     )
 
     # reuse x40's CTE body verbatim (everything before its final
-    # SELECT) — if x40's oracle text changes shape, this split fails
-    # the driver gate loudly rather than drifting silently
-    body = _INCR_DEDUP_ORACLE.split("SELECT d.source,")[0].rstrip()
+    # SELECT) — anchored on the LAST occurrence via rsplit so an
+    # earlier appearance of the marker inside a CTE could never
+    # truncate the body early and still pass the shape assert
+    # (ADVICE r12); if x40's oracle changes shape, this fails the
+    # driver gate loudly rather than drifting silently
+    parts = _INCR_DEDUP_ORACLE.rsplit("SELECT d.source,", 1)
+    assert len(parts) == 2, "x40 oracle shape changed (marker missing)"
+    body = parts[0].rstrip()
     assert body.endswith(")"), "x40 oracle shape changed"
     rs = ", ".join(str(r) for r in range(_BLOOM2_K))
     pos = (
@@ -596,8 +601,9 @@ def _x132_oracle() -> str:
     doc="""x40's incremental dedup with the Bloom filter doing the
     work it exists for (VERDICT r11 item 5 — the sketch as a SCALE
     LEVER, not a statistic): the standing corpus's fingerprints build
-    a 4096-bit packed filter (one bit_or aggregate, ≤ 65 bigint
-    words), the broadcast filter classifies every new document in a
+    a 4096-bit packed filter (one bit_or aggregate, ceil(4096/63) =
+    66 bigint words), the broadcast filter classifies every new
+    document in a
     narrow projection, and ONLY the Bloom-positive slice enters the
     exact-tier anti-join. Lossless by the filter's one-sided error —
     a miss PROVES the fingerprint is new — so the four audit columns

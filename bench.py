@@ -82,8 +82,12 @@ def _pgrp_cpu_jiffies() -> int:
     would be counted then vanish, driving the self delta NEGATIVE and
     the derived foreign load absurd (measured: self −237 s /
     foreign_cores 58.7 in a DuckDB window of the round-12 paired
-    sweep). Our own descendants live for the whole window, so the
-    start/end delta is exactly the session's CPU."""
+    sweep). A descendant that EXITS mid-window (e.g. a restarted JVM)
+    would likewise vanish from the end snapshot, so each live
+    process's cutime+cstime (reaped-children CPU, /proc stat fields
+    16/17) is summed too (ADVICE r12) — a reaped descendant's jiffies
+    move into its parent's cutime atomically with the reap, so the
+    tree total never double-counts and never loses an exited child."""
     me = os.getpid()
     procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
     for pid in os.listdir("/proc"):
@@ -96,7 +100,12 @@ def _pgrp_cpu_jiffies() -> int:
             rest = data[data.rindex(")") + 2 :].split()
             procs[int(pid)] = (
                 int(rest[1]),  # ppid
-                int(rest[11]) + int(rest[12]),  # utime + stime
+                # utime + stime + cutime + cstime: own CPU plus CPU of
+                # already-reaped children (fields 14-17 of /proc/stat)
+                int(rest[11])
+                + int(rest[12])
+                + int(rest[13])
+                + int(rest[14]),
             )
         except (OSError, ValueError, IndexError):
             continue

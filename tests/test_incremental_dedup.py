@@ -179,3 +179,39 @@ def test_neardup_pair_rollup_matches_materialized_pairs(spark):
     assert got == ref and got
     # sanity: the fixture really exercised all classes
     assert ("web", "web") in got and ("books", "web") in got
+
+
+def test_null_text_docs_survive_collapse(spark):
+    """ADVICE r12: md5(NULL) is NULL, so before the null-safe
+    fingerprint the __h equi-joins silently dropped NULL-text docs
+    from doc_components_by_text (breaking one-row-per-input-document)
+    and from every neardup_pair_rollup count. NULL text is treated as
+    '' — the per-row closure's ['']-shingle path."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
+        doc_components_by_text,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        neardup_pair_rollup,
+    )
+
+    rows = [(1, None), (2, None), (3, ""), (10, _BASE), (11, _NEAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in doc_components_by_text(docs, threshold=0.2).collect()
+    }
+    assert set(comp) == {1, 2, 3, 10, 11}, "every input doc labeled"
+    # NULL and '' share one fingerprint -> one cluster, min-id label
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+    rows2 = [(1, None, "web"), (2, None, "books"), (3, "", "web")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    got = {
+        (r["__lo"], r["__hi"]): r["n_dup_pairs"]
+        for r in neardup_pair_rollup(docs2, "source").collect()
+    }
+    # one distinct (coalesced) text, counts (web: 2, books: 1):
+    # within-text same-attr C(2,2)=1 web pair; cross-attr 2*1 pairs
+    assert got == {("web", "web"): 1, ("books", "web"): 2}
