@@ -281,6 +281,53 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Self-healing contention retry (VERDICT r12 item 2): two
+    # consecutive driver windows were CPU-contended (r11 silently, r12
+    # self-documented at foreign_cores_avg 2.88) and each needed a
+    # manual judge re-run for the operative number. bench.py already
+    # detects the condition; close the loop here — when the completed
+    # window reads contended: true, re-run the WHOLE window (bounded,
+    # default one retry) and publish the cleanest window as primary
+    # with every discarded window kept verbatim inside the artifact
+    # under contention_retry.discarded_windows, so nothing is hidden
+    # and round-over-round diffs can still see the disturbed draw.
+    # The retry reuses the session: every query re-passes its own
+    # 2-warmup + reps protocol, so JIT state does not change what the
+    # protocol measures (best-of-reps after warmups).
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_RETRIES", "1"))
+    attempts = [_run_window(spark, sf_dir)]
+    while (
+        bool(attempts[-1].get("cpu", {}).get("contended"))
+        and len(attempts) <= retries
+    ):
+        print(
+            f"bench: window {len(attempts)} contended "
+            f"(foreign_cores_avg="
+            f"{attempts[-1]['cpu'].get('foreign_cores_avg')}) — retrying",
+            file=sys.stderr,
+        )
+        attempts.append(_run_window(spark, sf_dir))
+    out = min(
+        attempts,
+        key=lambda a: (
+            bool(a.get("cpu", {}).get("contended")),
+            a.get("cpu", {}).get("foreign_cores_avg") or 0.0,
+        ),
+    )
+    if len(attempts) > 1:
+        out["contention_retry"] = {
+            "n_windows": len(attempts),
+            "primary_window_index": attempts.index(out),
+            "discarded_windows": [a for a in attempts if a is not out],
+        }
+    print(json.dumps(out))
+
+
+def _run_window(spark, sf_dir: str) -> dict:
+    """One complete bench window (floors, headline reps, concurrent,
+    split-scan, serving layout) against an already-built session —
+    returns the artifact dict instead of printing so main() can
+    adjudicate contention across windows."""
     cache_info: dict[str, object] = {"start": _cache_state()}
     cpu_start = _cpu_state()
     cpu_wall0 = time.perf_counter()
@@ -558,7 +605,7 @@ def main() -> None:
         out["serving_skipped"] = serving_skipped
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
