@@ -438,10 +438,17 @@ def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x10_ivf_topk",
     None,  # approximate by construction → rows-only check
-    doc="""IVF approximate top-k: deterministic k-means coarse quantizer
-    (Lloyd iterations as DataFrame aggs), probe the 4 nearest of 16
-    cells, exact cosine inside probed cells — ~4/16 of the scan cost at
-    corpus scale. Recall vs x09 asserted in tests.""",
+    doc="""IVF approximate top-k: float k-means coarse quantizer with
+    broadcast-codebook NARROW assignment (round 13 — the codebook
+    folds into one broadcast row and each vector takes an in-row
+    argmin, so a Lloyd iteration shuffles only the centroid mean and
+    the serve path is one narrow pass + per-partition top-k heaps),
+    probe the 4 nearest of 16 cells, exact cosine inside probed cells
+    — ~4/16 of the scan cost at corpus scale. The previous
+    cached-crossJoin form pinned its exchanges at the session's
+    static shuffle width (AQE cannot re-plan cached subtrees), which
+    was the whole of the entry's 9.7 s r12 sweep line. Recall vs x09
+    asserted in tests.""",
 )
 def x10_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
