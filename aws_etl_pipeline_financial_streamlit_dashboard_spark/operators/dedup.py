@@ -39,22 +39,61 @@ def fan_out(df: DataFrame) -> DataFrame:
     logical-plan file listing, no physical planning — so the 100 TB
     case (a corpus with ≥ default-parallelism files, which
     parallelizes its generate stage without help) decides without
-    forcing a full physical plan per call. Only the ambiguous local
-    shapes (few files, or not file-backed: maybe an explicit upstream
-    repartition already widened the frame) fall back to the
-    ``df.rdd.getNumPartitions()`` probe, where frames are small and
-    the plan-build cost is nil."""
+    forcing a full physical plan per call. The file count is only
+    evidence about the frame's width while the plan is scan-rooted
+    (narrow ops over the scan): round 13's all-distinct probe caught
+    the guard no-op'ing on a dropDuplicates OUTPUT over a 32-file
+    input — ``inputFiles()`` still reported the scan's 32 files, but
+    the dedup exchange had been AQE-coalesced to ONE partition (the
+    documented byte-sparse/compute-dense trap) and the shingle join
+    ran a single core, 53 s vs 6 s (docs/PERF.md round-13). The fast
+    path therefore applies only when no exchange-introducing operator
+    sits between the scan and here; frames with an upstream
+    aggregate/join/dedup/sort/window/repartition fall back to the
+    ``df.rdd.getNumPartitions()`` probe, which reflects the
+    post-shuffle (and AQE-final) width."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if len(files) >= target:
-        return df
+    if _scan_rooted(df):
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        if len(files) >= target:
+            return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# Logical operators whose presence means the frame's width is set by a
+# shuffle (or a single-partition collapse), not by the scan's file
+# count — the fan_out fast path is only valid when none appear.
+_EXCHANGE_NODES = (
+    "Aggregate",
+    "Join",
+    "Deduplicate",
+    "Window",
+    "Sort",
+    "Repartition",
+    "GlobalLimit",
+    "CoGroup",
+    "FlatMapGroups",
+)
+
+
+def _scan_rooted(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains no
+    exchange-introducing operator (see ``_EXCHANGE_NODES``) — i.e. the
+    frame is the scan plus narrow ops, so ``inputFiles()`` counts its
+    actual partitions. One py4j toString on the ANALYZED plan (no
+    physical planning, no jobs); on any doubt (py4j failure) returns
+    False so the caller uses the authoritative partition probe."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(node in plan for node in _EXCHANGE_NODES)
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

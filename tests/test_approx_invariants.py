@@ -242,6 +242,38 @@ def test_fan_out_guard(spark, sf_dir):
     assert fan_out(narrow).rdd.getNumPartitions() == par
 
 
+def test_fan_out_ignores_file_count_past_an_exchange(spark, tmp_path):
+    """Round-13 regression: the inputFiles() fast path reported the
+    SCAN's file count for a dropDuplicates OUTPUT, so over a multi-file
+    input the guard no-op'ed while AQE had coalesced the dedup exchange
+    to one partition — the downstream shingle join ran a single core
+    (53 s vs 6 s on the all-distinct probe corpus, docs/PERF.md). The
+    fast path must only trust the file count on scan-rooted frames."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
+        _scan_rooted,
+        fan_out,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    d = str(tmp_path / "multi")
+    spark.range(2000).select(
+        F.col("id"), F.col("id").cast("string").alias("text")
+    ).repartition(par + 4).write.parquet(d)
+    docs = spark.read.parquet(d)
+    assert len(docs.inputFiles()) >= par
+    assert _scan_rooted(docs) and fan_out(docs) is docs
+
+    deduped = docs.dropDuplicates(["text"])
+    assert not _scan_rooted(deduped)
+    fanned = fan_out(deduped)
+    assert fanned is not deduped or (
+        deduped.rdd.getNumPartitions() >= par
+    ), "guard trusted the scan's file count past the dedup exchange"
+    assert fanned.rdd.getNumPartitions() >= par
+
+
 def test_ivf_deterministic_recall_vs_brute_force(spark, sf_dir):
     exact = {
         r.neighbor_id
