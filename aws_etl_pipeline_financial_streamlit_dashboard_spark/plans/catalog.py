@@ -907,6 +907,27 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans import (  # noqa
 # full-catalog artifact CORRECTNESS_FULL_rN.json covers everything
 # regardless. Pure dict reordering — specs, names, semantics untouched.
 # ---------------------------------------------------------------------------
+_SAMPLER_FRONT_R13 = [
+    # new this round (never sampled by construction): the streaming
+    # NEAR-dup twin — x40's near tier as a real 3-micro-batch
+    # foreachBatch query against the standing corpus, oracle shared
+    # verbatim with x40
+    "s29_streaming_neardup_dedup",
+    # x10's trainer/serve path rebuilt: broadcast-codebook narrow
+    # argmin assignment, checkpointed centroids, no cache (the 9.7 s
+    # sweep line was AQE-blocked cache width); rows-only, redraw
+    "x10_ivf_topk",
+    # fan_out's scan-rooted fast-path fix + the null-safe fingerprint
+    # coalesce touch every collapse-family kernel — all re-verified
+    # MATCH locally; let the driver redraw the touched surface
+    "x40_incremental_dedup", "x132_bloom_pruned_incremental_dedup",
+    "x18_dedup_components", "x38_neardup_collapse",
+    "x43_components_star", "x62_cross_source_dup_matrix",
+    "x63_split_leakage_audit", "x69_cluster_representative",
+    "x08_lang_id", "x130_countmin_bigrams", "x02_ngram_jaccard_pairs",
+    "x03_simhash_dedup", "x04_minhash_lsh_pairs",
+]
+
 _SAMPLER_FRONT_R12 = [
     # new this round (never sampled by construction): the Bloom
     # membership sketch, its streaming twin, and the pruned consumer
@@ -983,10 +1004,10 @@ _SAMPLER_FRONT_R10 = [
 
 
 def _rotate_front() -> None:
-    order = _SAMPLER_FRONT_R12 + [
+    order = _SAMPLER_FRONT_R13 + [
         n
-        for n in _SAMPLER_FRONT_R11 + _SAMPLER_FRONT_R10
-        if n not in _SAMPLER_FRONT_R12
+        for n in _SAMPLER_FRONT_R12 + _SAMPLER_FRONT_R11 + _SAMPLER_FRONT_R10
+        if n not in _SAMPLER_FRONT_R13
     ]
     seen: set[str] = set()
     order = [n for n in order if not (n in seen or seen.add(n))]

@@ -2066,3 +2066,67 @@ def s28_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# s29 — streaming NEAR-dup audit against the standing corpus (round 13)
+# ===========================================================================
+
+
+def _s29_oracle() -> str:
+    # x40's oracle VERBATIM (house rule for streaming twins: the oracle
+    # is shared with the batch form, so a MATCH proves the streamed
+    # multi-batch execution equals the one-shot batch semantics)
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.plans.catalog_llm import (
+        _INCR_DEDUP_ORACLE,
+    )
+
+    return _INCR_DEDUP_ORACLE
+
+
+@register(
+    "s29_streaming_neardup_dedup",
+    _s29_oracle(),
+    doc="""Streaming NEAR-duplicate audit — the streaming twin of
+    batch x40's near tier and the dedup ladder's last streaming
+    asymmetry (VERDICT r12 item 5): s11 streams the EXACT tier and
+    s28 streams the Bloom words, but until now a new-docs stream was
+    never checked for near-duplicates (Jaccard ≥ 0.2 shingle overlap)
+    against the standing corpus. Runs as a REAL multi-batch streaming
+    query: the increment (doc_id % 10 = 0) is written as 3 files and
+    drained through maxFilesPerTrigger=1, each micro-batch running
+    the batch operator (distinct-text collapse + md5 exact tier +
+    shingle inverted-index near tier) against the STATIC corpus frame
+    via foreachBatch, flags landing in a batch-id-keyed parquet sink
+    (redelivery overwrites its own directory — idempotent). Summary
+    re-aggregates the sink batch-side into x40's exact columns.
+
+    NO streaming state: flags are per-TEXT properties against a
+    standing index, so the result is independent of micro-batching —
+    the oracle is x40's VERBATIM relational text, making the gate
+    MATCH a proof that 3-batch streamed execution ≡ one-shot batch.
+    At 100 TB the corpus shingle index is the standing distinct-text
+    table (bucketed on shingle in production); per-batch cost scales
+    with the increment's true overlap, nothing accumulates in any
+    state store, and the corpus never self-joins
+    (streaming/jobs.run_foreach_batch_neardup).""",
+)
+def s29_streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.streaming.jobs import (
+        run_foreach_batch_neardup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    flags = run_foreach_batch_neardup(
+        spark, new_batch, corpus, prefix="s29", n=3, threshold=0.2
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.col("dup_exact").cast("int")).cast("long").alias("n_exact_dup"),
+        F.sum(F.col("dup_near").cast("int")).cast("long").alias("n_near_dup"),
+        F.sum(
+            (~F.col("dup_exact") & ~F.col("dup_near")).cast("int")
+        ).cast("long").alias("n_kept"),
+    )
