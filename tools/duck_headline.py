@@ -34,6 +34,39 @@ from aws_etl_pipeline_financial_streamlit_dashboard_spark.schemas import (  # no
 
 
 def main() -> None:
+    # self-healing contention retry, mirroring bench.py (round 13): a
+    # contended window re-runs once (bounded) and the cleanest window
+    # publishes as primary with discarded windows kept in the artifact
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_CONTENTION_RETRIES", "1"))
+    attempts = [_run_window()]
+    while (
+        bool(attempts[-1].get("cpu", {}).get("contended"))
+        and len(attempts) <= retries
+    ):
+        print(
+            f"duck_headline: window {len(attempts)} contended "
+            f"(foreign_cores_avg="
+            f"{attempts[-1]['cpu'].get('foreign_cores_avg')}) — retrying",
+            file=sys.stderr,
+        )
+        attempts.append(_run_window())
+    out = min(
+        attempts,
+        key=lambda a: (
+            bool(a.get("cpu", {}).get("contended")),
+            a.get("cpu", {}).get("foreign_cores_avg") or 0.0,
+        ),
+    )
+    if len(attempts) > 1:
+        out["contention_retry"] = {
+            "n_windows": len(attempts),
+            "primary_window_index": attempts.index(out),
+            "discarded_windows": [a for a in attempts if a is not out],
+        }
+    print(json.dumps(out))
+
+
+def _run_window() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     con = duckdb.connect()
@@ -108,7 +141,7 @@ def main() -> None:
     out["cpu"] = _cpu_window(
         cpu_start, _cpu_state(), time.perf_counter() - cpu_wall0
     )
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
