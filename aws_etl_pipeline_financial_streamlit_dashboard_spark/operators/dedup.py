@@ -54,13 +54,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     post-shuffle (and AQE-final) width."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if _scan_rooted(df):
-        try:
-            files = df.inputFiles()
-        except Exception:
-            files = []
-        if len(files) >= target:
-            return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    # _scan_rooted is consulted ONLY when the file count could fire
+    # the fast path: its analyzed-plan toString costs ~1.4 s on the
+    # components entries' big iterative plans (measured, round 13),
+    # while under-split frames (the whole local catalog — single-file
+    # tables) never need the answer.
+    if len(files) >= target and _scan_rooted(df):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
