@@ -59,23 +59,32 @@ def connected_components(
     the default executor-local blocks would turn one executor loss into
     a dead job.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # Truncate the EDGE lineage once, before anything derives from it:
+    # the caller's edge frame is typically expensive (the collapse
+    # family feeds the full shingle self-join here), and deriving both
+    # sym and the label init from the raw frame re-executed that
+    # derivation per materialization — measured as 2 full edge
+    # computations inside one x69 pass at gate scale (round 13). One
+    # upfront truncation makes sym a narrow union over the checkpoint
+    # and the label init a cheap distinct over it.
+    ed = truncate_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")),
+        reliable,
     )
+    sym = ed.union(ed.select(F.col("d").alias("s"), F.col("s").alias("d")))
     labels = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        ed.select(F.col("s").alias("node"))
+        .union(ed.select(F.col("d").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
     )
     # the per-round label state ROTATES: round N's durable checkpoint
     # makes round N-1's files dead, so the rotator deletes them — a
     # HARD ≤2-live-rounds footprint bound instead of the best-effort
-    # ContextCleaner path (ADVICE r8). sym is loop-invariant and
-    # checkpointed once outside the rotation.
+    # ContextCleaner path (ADVICE r8). sym stays narrow over the
+    # loop-invariant edge checkpoint.
     rot = CheckpointRotator(labels, reliable)
     labels = rot.rotate(labels)
-    sym = truncate_lineage(sym, reliable)
 
     label_type = labels.schema["label"].dataType
     for _ in range(max_iter):
