@@ -926,6 +926,10 @@ _SAMPLER_FRONT_R13 = [
     "x63_split_leakage_audit", "x69_cluster_representative",
     "x08_lang_id", "x130_countmin_bigrams", "x02_ngram_jaccard_pairs",
     "x03_simhash_dedup", "x04_minhash_lsh_pairs",
+    # connected_components now truncates its edge input once at entry
+    # (the double-materialization fix) — x87 is the remaining consumer
+    # not already fronted above
+    "x87_cluster_aware_split",
 ]
 
 _SAMPLER_FRONT_R12 = [
