@@ -453,7 +453,17 @@ def minhash_lsh_pairs(
     candidate id-pairs shuffle; the S-curve keeps candidates ~linear.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # lazily checkpointed, NOT cache(): the banding self-join consumes
+    # the signatures twice, and a cache would pin every exchange in
+    # the cached subtree at the session's static shuffle width (AQE
+    # cannot re-plan cached plans — the x10 lesson, round 13) AND make
+    # repeated timings read the CacheManager instead of computing.
+    # The checkpoint materializes once on first use, serves both join
+    # branches, is per-instance (no session-wide leak), and carries k
+    # longs per document.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
     # Band bucket = the comma-joined band slice itself (portable string
     # equality — the same value any engine derives from the signature).
     # At corpus scale wrap it in a hash to shrink the shuffle payload;
