@@ -16,6 +16,8 @@ raw text twice.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,34 +72,60 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-# Logical operators whose presence means the frame's width is set by a
-# shuffle (or a single-partition collapse), not by the scan's file
-# count — the fan_out fast path is only valid when none appear.
-_EXCHANGE_NODES = (
-    "Aggregate",
-    "Join",
-    "Deduplicate",
-    "Window",
-    "Sort",
-    "Repartition",
-    "GlobalLimit",
-    "CoGroup",
-    "FlatMapGroups",
+# Logical operators KNOWN to preserve the scan's partitioning (narrow,
+# no exchange, no partition collapse) — the fan_out fast path is only
+# valid when every node in the analyzed plan is one of these. Round 14
+# (VERDICT r13 item 2): the previous form was a DENYLIST of
+# exchange-introducing node names, which fails OPEN — SQL-path
+# ``Distinct`` (only the DataFrame API's dropDuplicates analyzes to
+# ``Deduplicate``), ``Intersect`` and ``Except`` all introduce
+# exchanges but were not listed, so a ``SELECT DISTINCT`` frame over a
+# ≥default-parallelism-file scan would reproduce exactly the round-13
+# single-core trap. An allowlist fails CLOSED: any unknown operator
+# falls back to the authoritative ``rdd.getNumPartitions()`` probe.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",  # file-source scan (analyzed-plan print)
+        "LogicalRelation",
+        "LogicalRDD",
+        "LocalRelation",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",  # temp-view reference (wraps the relation)
+        "Generate",  # explode — row fan-out, same partitions
+        "Union",  # concatenates children's partitions
+        "Sample",
+        "ResolvedHint",
+        "UnresolvedHint",
+    }
 )
+
+# First identifier on a plan line, past tree-drawing prefixes
+# (`+- `, `:- `, `:  +- `…) and the SQL-text quote Catalyst prints for
+# unresolved nodes. Matching the LINE-START token (not a bare substring
+# of the whole toString) also stops a column alias that happens to
+# contain a node name from influencing the verdict.
+_NODE_NAME = re.compile(r"^[\s:+\-]*'?([A-Za-z][A-Za-z0-9]*)")
 
 
 def _scan_rooted(df: DataFrame) -> bool:
-    """True when the analyzed logical plan contains no
-    exchange-introducing operator (see ``_EXCHANGE_NODES``) — i.e. the
-    frame is the scan plus narrow ops, so ``inputFiles()`` counts its
-    actual partitions. One py4j toString on the ANALYZED plan (no
-    physical planning, no jobs); on any doubt (py4j failure) returns
-    False so the caller uses the authoritative partition probe."""
+    """True when every node of the analyzed logical plan is a
+    known-narrow operator (see ``_NARROW_NODES``) — i.e. the frame is
+    the scan plus narrow ops, so ``inputFiles()`` counts its actual
+    partitions. One py4j toString on the ANALYZED plan (no physical
+    planning, no jobs); on any doubt (py4j failure, unknown node)
+    returns False so the caller uses the authoritative partition
+    probe."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return not any(node in plan for node in _EXCHANGE_NODES)
+    for line in plan.splitlines():
+        m = _NODE_NAME.match(line)
+        if m and m.group(1) not in _NARROW_NODES:
+            return False
+    return True
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -460,7 +488,14 @@ def minhash_lsh_pairs(
     # repeated timings read the CacheManager instead of computing.
     # The checkpoint materializes once on first use, serves both join
     # branches, is per-instance (no session-wide leak), and carries k
-    # longs per document.
+    # longs per document. Fault-tolerance trade (ADVICE r13): a LOCAL
+    # checkpoint lives in executor block storage, so on a multi-node
+    # cluster an executor loss fails the job instead of recomputing —
+    # acceptable here because the signatures are one narrow projection
+    # of the input (cheap to re-run the job), unlike the iterative
+    # operators whose accumulated rounds route through
+    # lineage.truncate_lineage(reliable=True). A deployment that needs
+    # durable intermediates should persist signatures as a table.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=False
     )
@@ -578,11 +613,22 @@ def incremental_dedup_flags(
       corpus carries boilerplate (probed NOT to be the sf10 cost:
       hottest shingle touches 600 of 450k docs).
     """
-    corpus_hashes = corpus_df.select(F.md5(F.col(text_col)).alias("__h")).distinct()
-    new_keyed = new_df.withColumn("__h", F.md5(F.col(text_col)))
+    # Null-safe fingerprint (round 14, ADVICE r13): md5(NULL) is NULL,
+    # so a NULL-text increment doc got __h=NULL and could never match in
+    # the exact/near flag equi-joins (NULL≠NULL) — permanently reported
+    # dup_exact=dup_near=false even against a NULL/''-text corpus,
+    # inconsistent with the rest of the collapse family
+    # (doc_components_by_text / neardup_pair_rollup, round 13).
+    # Coalescing to '' matches word_shingles' ['']-shingle treatment of
+    # NULL text. No-op on the catalog corpus (no NULL texts — so every
+    # x40/x132/s29 gate hash is unchanged); pinned on a handwritten
+    # NULL-text fixture in tests/test_incremental_dedup.py.
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    corpus_hashes = corpus_df.select(fp.alias("__h")).distinct()
+    new_keyed = new_df.withColumn("__h", fp)
     new_fps = new_keyed.select("__h", text_col).dropDuplicates(["__h"])
     corp_fps = (
-        corpus_df.select(F.md5(F.col(text_col)).alias("__h"), text_col)
+        corpus_df.select(fp.alias("__h"), text_col)
         .dropDuplicates(["__h"])
     )
 

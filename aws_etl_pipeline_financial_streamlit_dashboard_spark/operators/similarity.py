@@ -318,6 +318,15 @@ def ivf_assign_centroids(
     RNG). Float means remain summation-order-dependent → consumers
     stay rows-only with recall-invariant tests. Returns
     (assignments(pid, cell, vec), centroids(cell, centroid)).
+
+    Fault-tolerance note (ADVICE r13): the checkpoints here are LOCAL
+    (executor block storage) — on a multi-node cluster an executor
+    loss after materialization fails the job instead of recomputing
+    from lineage. Acceptable for an index BUILD (re-runnable, and a
+    production build persists ``assigned``/``cents`` as tables — the
+    durable form); iterative operators that accumulate many rounds of
+    lineage route through ``lineage.truncate_lineage(reliable=True)``
+    instead.
     """
     seeds = (
         embeddings.orderBy(F.pmod(F.col(id_col), F.lit(seed_mod)), F.col(id_col))

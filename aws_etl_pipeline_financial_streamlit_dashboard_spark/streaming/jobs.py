@@ -588,4 +588,14 @@ def run_foreach_batch_neardup(
         .start()
         .awaitTermination()
     )
+    # Empty-increment guard (ADVICE r13): zero micro-batches means no
+    # batch_* directory exists and the glob read would raise
+    # AnalysisException instead of reporting "nothing arrived".
+    import glob
+
+    if not glob.glob(os.path.join(out_root, "batch_*")):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, source string, dup_exact boolean, dup_near boolean",
+        )
     return spark.read.parquet(os.path.join(out_root, "batch_*"))

