@@ -190,6 +190,22 @@ def link_prediction_ra(
     the input distribution is not pinned by a probe like the
     catalog's.
     """
+    # Truncate the edge list ONCE at entry (round 14 — the
+    # connected_components round-13 fix applied here; found by
+    # tools/audit_reuse.py): ``und`` is consumed by adj (twice), the
+    # non-adjacency anti-join, and through adj by deg and both pair
+    # sides — without a boundary the caller's edge DERIVATION (x122:
+    # a full-corpus HTML parse + href explode + URL canonicalization)
+    # re-executes per consumer (5 surviving copies in the optimized
+    # plan). The distinct edge list is exactly SCALE.md rule 5's
+    # expensive-to-derive, small-to-materialize shape. Lazy local
+    # checkpoint: one narrow derivation job on first use, no
+    # plan-build job; cheap to re-run on executor loss (the durable
+    # tier stays lineage.truncate_lineage(reliable=True) for callers
+    # that need it).
+    from .lineage import truncate_lineage
+
+    und = truncate_lineage(und, eager=False)
     adj = und.select(F.col("a").alias("host"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("host"), F.col("a").alias("nbr"))
     )
