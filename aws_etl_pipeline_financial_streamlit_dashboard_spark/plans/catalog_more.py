@@ -1094,8 +1094,6 @@ _TFIDF_ORACLE = r"""
     aggregates, never raw token streams.""",
 )
 def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1105,7 +1103,20 @@ def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").alias("n_docs_total"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # DF from TF, not from a second explode (round 14,
+    # tools/audit_reuse.py): tf already holds one row per (doc, token),
+    # so COUNT(*) per token over tf IS count_distinct(doc) over the
+    # token stream — same values, and the two consumers of tf share one
+    # exchange subtree (ReuseExchange), so the corpus explode +
+    # (doc,token) shuffle runs ONCE instead of twice. The tf >= 1
+    # filter is semantically a no-op (counts are >= 1) but BLOCKS the
+    # optimizer from pruning the count out of this branch's partial
+    # aggregate — a pruned branch is a DIFFERENT exchange subtree and
+    # ReuseExchange only dedupes identical ones (measured: without the
+    # filter the plan keeps 2 Generates + 2 corpus-wide exchanges).
+    df = tf.filter(F.col("tf") >= 1).groupBy("token").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("df")
+    )
     scored = (
         tf.join(df, "token")
         .join(F.broadcast(n), how="cross")
@@ -1119,11 +1130,30 @@ def x23_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    # Per-doc argmax as ONE map-side-combining hash aggregate instead
+    # of a row_number window (round 14): min over a (-tfidf, token)
+    # struct is the identical total order (tfidf DESC, token ASC —
+    # scores are already HALF_UP-rounded so the tie-break is engine-
+    # stable), and the aggregate partial-combines before the doc_id
+    # exchange where the window had to shuffle AND SORT every
+    # (doc, token) row. (Struct min is a SortAggregate — min/max over
+    # struct buffers can't hash-aggregate — but the partial pass
+    # collapses |doc·token| rows to |docs| BEFORE the exchange, which
+    # the window never could.) Measured at sf10 with the DF reuse
+    # together: 66.4 → 15.9 s median (OPTIMIZATION_r14.md).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "min(named_struct('neg', -tfidf, 'token', token,"
+                " 'tfidf', tfidf)) AS w"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("w.token").alias("top_term"),
+            F.col("w.tfidf").alias("tfidf"),
+        )
     )
 
 
