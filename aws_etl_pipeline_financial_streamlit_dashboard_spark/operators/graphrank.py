@@ -69,17 +69,37 @@ def pagerank_int(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    sym = truncate_lineage(sym, reliable)
-    degrees = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    out = truncate_lineage(sym.join(degrees, "u"), reliable)
+    # ONE graph-scale loop invariant, not two (round 14, guide §5):
+    # the previous form checkpointed sym (|2E| rows) AND the
+    # sym⋈degrees join output (|2E| rows again) — two pinned,
+    # un-evictable deserialized copies of the edge closure, neither
+    # consumed inside the loop except `out` — and the first sf10 probe
+    # of x46 OOM'd the 24 GB local heap on exactly that (50M distinct
+    # pairs → ~100M sym rows ×2 checkpoints). The degree now attaches
+    # in the same pass as the closure via a count window over u (no
+    # separate aggregate, no graph-scale join, no sym checkpoint), and
+    # the single surviving checkpoint stores SERIALIZED bytes
+    # (MEMORY_AND_DISK with deserialized=False) instead of per-row
+    # objects. Same (u, v, deg) rows — window count per u IS the
+    # degree — so the recurrence and the oracle are untouched.
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    out = truncate_lineage(
+        sym.withColumn("deg", F.count("*").over(Window.partitionBy("u"))),
+        reliable,
+        storage_level=None if reliable else StorageLevel.MEMORY_AND_DISK,
+    )
 
     # per-round rank state rotates: round N's durable checkpoint makes
     # round N-1's files dead, so they are deleted immediately — hard
     # ≤2-live-rounds footprint (lineage.CheckpointRotator, ADVICE r8).
-    # sym/out are loop-invariant and stay checkpointed for the loop.
-    rot = CheckpointRotator(degrees, reliable)
+    # `out` is loop-invariant and stays checkpointed for the loop.
+    rot = CheckpointRotator(out, reliable)
     ranks = rot.rotate(
-        degrees.select("u", F.lit(MICRO).cast("long").alias("rank_us"))
+        out.select("u")
+        .distinct()
+        .select("u", F.lit(MICRO).cast("long").alias("rank_us"))
     )
 
     for _ in range(iterations):

@@ -52,7 +52,8 @@ _log = logging.getLogger(__name__)
 
 
 def truncate_lineage(
-    df: DataFrame, reliable: bool = False, eager: bool = True
+    df: DataFrame, reliable: bool = False, eager: bool = True,
+    storage_level=None,
 ) -> DataFrame:
     """Truncate ``df``'s lineage; see module docstring for the tiers.
 
@@ -60,9 +61,20 @@ def truncate_lineage(
     (``spark.sparkContext.setCheckpointDir(...)``); we fail fast with
     instructions rather than silently picking a local temp dir — a
     non-durable default would defeat the only reason to flip the knob.
+
+    ``storage_level`` (local tier only; Spark 4 localCheckpoint API):
+    graph-/corpus-scale loop invariants should pass
+    ``StorageLevel.MEMORY_AND_DISK`` (SERIALIZED — pyspark's
+    deserialized flag is False there) so the pinned, un-evictable
+    checkpoint blocks hold compact bytes instead of per-row objects:
+    a 100M-row deserialized checkpoint OOM'd a 24 GB heap in x46's
+    sf10 probe (round 14) where the serialized form fits. ``None``
+    keeps Spark's default (deserialized) — right for the small k-row
+    states most callers checkpoint. Ignored for the reliable tier
+    (durable checkpoints are disk files by construction).
     """
     if not reliable:
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=eager, storageLevel=storage_level)
     sc = df.sparkSession.sparkContext
     ckpt_dir = sc._jsc.sc().getCheckpointDir()
     if ckpt_dir.isEmpty():
