@@ -32,6 +32,15 @@ def main() -> int:
     spark = get_spark()
     out = {}
     for name in args.entries:
+        # Release the PREVIOUS entry's checkpoint blocks before timing
+        # this one: localCheckpoint RDD blocks are un-evictable and only
+        # freed when the driver GC drops the py4j handle — in a batch
+        # session the leftovers accumulate in the block manager and
+        # distorted round-14 sf10 draws (a 5.7 s entry wedged for 17 min
+        # after x80's corpus-scale rounds ran in the same session).
+        import gc
+
+        gc.collect()
         spec = QUERIES[name]
         spec.spark(spark, args.sf_dir).collect()  # warm-up (IO cache, codegen)
         times = []
