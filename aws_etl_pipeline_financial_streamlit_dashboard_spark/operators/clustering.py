@@ -509,9 +509,47 @@ def semdedup(
         F.col(vec_col).alias("__hvec"),
         F.col("__nrm").alias("__hnrm"),
     )
+    # Blocked self-join on the cell key (round 14, guide §2.5): the
+    # join key has exactly k distinct values, so with a SMALL k the
+    # whole Σ|cell|² cosine stage runs on ≤ k tasks no matter how many
+    # cores exist — x94 (k=4) at sf10 serialized ~5·10⁹ pair folds onto
+    # 2-4 cores and sat for tens of minutes. Standard 2-D blocking
+    # (matrix-multiply tiling): each side takes a deterministic block
+    # tag (pmod of its id, b sub-blocks per side) and replicates b ways
+    # tagged with the OTHER side's block values, so every (lo, hi) cell
+    # pair meets exactly once — pair multiset identical, max unchanged
+    # — while the join key (cell, bl, bh) carries k·b² values, sized
+    # ≈8× the core count so the hash spreads evenly (a key count equal
+    # to the partition count leaves ~1/e of partitions empty — measured
+    # 8 of 32 cores busy on the 1-D variant). b derives from k and the
+    # cluster width only: at paper-scale k (|cells| ≥ 8·cores) b = 1
+    # and the plan is the unblocked one.
+    import math
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    b = max(1, math.ceil(math.sqrt(8.0 * par / max(k, 1))))
+    if b > 1:
+        lo = lo.withColumn(
+            "__bl", F.pmod(F.col("lo_id"), F.lit(b))
+        ).withColumn("__bh", F.explode(F.expr(f"sequence(0, {b - 1})")))
+        hi = hi.withColumn(
+            "__bh", F.pmod(F.col("hi_id"), F.lit(b))
+        ).withColumn("__bl", F.explode(F.expr(f"sequence(0, {b - 1})")))
+        join_keys = ["cell", "__bl", "__bh"]
+        # Width pin (the x72 lesson, SCALE.md round-11 rule): the pair
+        # join's inputs are byte-modest but its OUTPUT is Σ|cell|²
+        # compute-dense folds, which AQE — planning by bytes — coalesces
+        # (measured 16 of 32 cores at sf10). An explicit numPartitions
+        # repartition on the join keys is AQE-exempt; both sides share
+        # the distribution so the join adds no further exchange.
+        width = 2 * par
+        lo = lo.repartition(width, *join_keys)
+        hi = hi.repartition(width, *join_keys)
+    else:
+        join_keys = ["cell"]
     sim = rhu(cosine_pre("__hvec", "__lvec", "__hnrm", "__lnrm", dim), 6)
     mx = (
-        lo.join(hi, "cell")
+        lo.join(hi, join_keys)
         .filter(F.col("lo_id") < F.col("hi_id"))
         .select("hi_id", sim.alias("__sim"))
         .groupBy("hi_id")
