@@ -2917,25 +2917,23 @@ _X87_ORACLE = _COMPONENTS_CTES + """
 def x87_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators import splits as SP
     from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.components import (
-        connected_components,
-    )
-    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        doc_components_by_text,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    comp = connected_components(edges, src="doc_a", dst="doc_b")
-    labeled = (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
-                "component_id"
-            ),
-        )
-    )
+    # Distinct-text collapse (round 14): this entry still composed the
+    # RAW per-row pair operators (x02 pairs → x18 components) after
+    # round 12 re-routed the rest of the family — on the ×100-replicated
+    # sf10 corpus the per-row shingle self-join is the documented
+    # ×10,000 pair-space blowup, and the sf10 probe DIED ON DISK
+    # (>78 GB of shuffle/checkpoint). doc_components_by_text computes
+    # the identical (doc_id, component_id = min cluster doc id, one row
+    # per doc — isolated docs keep their own id) labels at the
+    # distinct-fingerprint level; x18's gate MATCH against the per-row
+    # recursive-CTE oracle is the standing equivalence proof, and this
+    # entry's own oracle keeps the per-row closure so its MATCH
+    # re-proves it here.
+    labeled = doc_components_by_text(docs, threshold=0.2)
     # hash only the canonical members' texts (the min-label winner is
     # itself a member, so doc_id == component_id picks exactly one row
     # per cluster) — hashing every document and dropping non-canonical
