@@ -64,51 +64,80 @@ def pagerank_int(
     executor loss mid-iteration recomputes from storage instead of
     killing the job.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
-    # ONE graph-scale loop invariant, not two (round 14, guide §5):
-    # the previous form checkpointed sym (|2E| rows) AND the
-    # sym⋈degrees join output (|2E| rows again) — two pinned,
-    # un-evictable deserialized copies of the edge closure, neither
-    # consumed inside the loop except `out` — and the first sf10 probe
-    # of x46 OOM'd the 24 GB local heap on exactly that (50M distinct
-    # pairs → ~100M sym rows ×2 checkpoints). The degree now attaches
-    # in the same pass as the closure via a count window over u (no
-    # separate aggregate, no graph-scale join, no sym checkpoint), and
-    # the single surviving checkpoint stores SERIALIZED bytes
-    # (MEMORY_AND_DISK with deserialized=False) instead of per-row
-    # objects. Same (u, v, deg) rows — window count per u IS the
-    # degree — so the recurrence and the oracle are untouched.
-    from pyspark.sql import Window
+    # Loop-invariant build, ONE exchange and NO sort (round 15, guide
+    # §§2.4, 1.2 — VERDICT r14 item 4's decomposition found the old
+    # build spent ~40 s of x46's ~117 s/pass at sf10 on three corpus
+    # exchanges plus a full |2E| window sort):
+    #
+    #   union → repartition(u) → dropDuplicates(u,v) → count per u
+    #
+    # HashPartitioning(u) satisfies ClusteredDistribution for BOTH the
+    # (u, v) distinct and the per-u degree count (partitioning keys
+    # are a subset of the grouping keys), so after the single
+    # repartition exchange both aggregates run in place — the old
+    # shape paid a distinct exchange on (u, v) AND a window exchange
+    # on u, and the window additionally SORTED all |2E| rows. The
+    # degree lives in its own |V|-row checkpoint instead of riding
+    # every edge row: the big pinned invariant is 2 longs/row, not 3
+    # (guide §2.3 — shuffle/store fewer bytes).
+    #
+    # AQE is disabled around the invariant build only: under AQE the
+    # checkpoint captures UnknownPartitioning (the adaptive root hides
+    # the final partitioning from Dataset.checkpoint), and every
+    # iteration would re-exchange — and re-sort, under the vanilla
+    # session's sort-merge default — the full edge list. Round 14's
+    # "exchange-free iteration join" claim silently rested on AQE
+    # auto-broadcasting the |V|-row rank state, which stops at the
+    # broadcast caps long before 100 TB. With the partitioning
+    # recorded, the SHUFFLE_HASH-hinted iteration joins stream the
+    # edge checkpoint in place at ANY graph size: per iteration, one
+    # pass over the edges plus the unavoidable contribution-aggregate
+    # exchange — zero sorts, zero edge-side exchanges (plan dumps in
+    # plans/r15/). The conf toggle is driver-side, build-time only,
+    # and restored in a finally.
     from pyspark.storagelevel import StorageLevel
 
-    out = truncate_lineage(
-        sym.withColumn("deg", F.count("*").over(Window.partitionBy("u"))),
-        reliable,
-        storage_level=None if reliable else StorageLevel.MEMORY_AND_DISK,
+    spark = edges.sparkSession
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = truncate_lineage(
+            raw.repartition("u").dropDuplicates(["u", "v"]),
+            reliable,
+            storage_level=None if reliable else StorageLevel.MEMORY_AND_DISK,
+        )
+        degs = truncate_lineage(
+            out.groupBy("u").agg(F.count("*").alias("deg")), reliable
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
-    # per-round rank state rotates: round N's durable checkpoint makes
-    # round N-1's files dead, so they are deleted immediately — hard
+    # per-round rank state rotates: round N's checkpoint makes round
+    # N-1's blocks/files dead, so they are released immediately — hard
     # ≤2-live-rounds footprint (lineage.CheckpointRotator, ADVICE r8).
-    # `out` is loop-invariant and stays checkpointed for the loop.
+    # `out`/`degs` are loop-invariant and stay checkpointed. The rank
+    # init is degs' node set — identical to distinct(u) over sym, but
+    # |V| rows instead of a |2E| distinct pass.
     rot = CheckpointRotator(out, reliable)
     ranks = rot.rotate(
-        out.select("u")
-        .distinct()
-        .select("u", F.lit(MICRO).cast("long").alias("rank_us"))
+        degs.select("u", F.lit(MICRO).cast("long").alias("rank_us"))
     )
 
     for _ in range(iterations):
         # `div` = exact integer division on longs in BOTH engines
         # (DuckDB `//`); double `/` + cast could truncate k-1 when the
-        # float quotient lands one ulp under an exact integer.
-        contribs = out.join(ranks, "u").select(
-            F.col("v").alias("u"),
-            F.expr("rank_us div deg").alias("c"),
+        # float quotient lands one ulp under an exact integer. The
+        # per-node contribution joins ranks⋈degs FIRST (|V|⋈|V|), so
+        # the edge-scale join carries one small column instead of
+        # rank and degree separately.
+        cu = ranks.join(degs.hint("SHUFFLE_HASH"), "u").select(
+            "u", F.expr("rank_us div deg").alias("c")
+        )
+        contribs = out.join(cu.hint("SHUFFLE_HASH"), "u").select(
+            F.col("v").alias("u"), "c"
         )
         ranks = (
             contribs.groupBy("u")

@@ -1300,13 +1300,15 @@ def x46_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # No .distinct() here (round 15): pagerank_int dedups the
+    # symmetric closure internally — distinct(union(E, swap(E))) is
+    # identical whether or not E was pre-distinct'd, and the entry's
+    # extra distinct cost a full |E|-row exchange before the
+    # operator's single repartition (oracle text unchanged: its inner
+    # DISTINCT stays, same rows either way — x46 MATCH re-verified).
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return pagerank_int(edges, iterations=5)
 
