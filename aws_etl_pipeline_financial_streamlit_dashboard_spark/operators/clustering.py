@@ -468,6 +468,13 @@ def semdedup(
     kernel, an id-based keep rule — so the whole output value-hash
     matches the unrolled-CTE oracle (x94).
 
+    ``id_col`` must be NUMERIC (ADVICE r14): the deterministic seed
+    rule (pmod(id, seed_mod)) raises an ANSI cast error on any
+    non-numeric id before the pair join runs — loud, not silent. The
+    pair-join block tags additionally hash the id, so they are
+    type-safe and the output is invariant to the block assignment
+    regardless.
+
     Scale: clustering bounds the quadratic — the pair join is
     cell-blocked, Σ|cell|² work, exactly the SemDeDup economics (k
     grows with the corpus so |cell| stays ~constant; the paper runs
@@ -529,11 +536,19 @@ def semdedup(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     b = max(1, math.ceil(math.sqrt(8.0 * par / max(k, 1))))
     if b > 1:
+        # Block on a HASH of the id (ADVICE r14): pmod on the raw id
+        # yields NULL for a non-numeric id_col, which would silently
+        # fail every (cell,__bl,__bh) equi-join and return keep=true
+        # for all vectors. xxhash64 is deterministic for any type; the
+        # output is invariant to the block assignment (every (lo, hi)
+        # pair still meets exactly once — at block
+        # (hash(lo)%b, hash(hi)%b) — so the pair multiset and per-id
+        # max are unchanged; x94 MATCH re-verified).
         lo = lo.withColumn(
-            "__bl", F.pmod(F.col("lo_id"), F.lit(b))
+            "__bl", F.pmod(F.xxhash64(F.col("lo_id")), F.lit(b))
         ).withColumn("__bh", F.explode(F.expr(f"sequence(0, {b - 1})")))
         hi = hi.withColumn(
-            "__bh", F.pmod(F.col("hi_id"), F.lit(b))
+            "__bh", F.pmod(F.xxhash64(F.col("hi_id")), F.lit(b))
         ).withColumn("__bl", F.explode(F.expr(f"sequence(0, {b - 1})")))
         join_keys = ["cell", "__bl", "__bh"]
         # Width pin (the x72 lesson, SCALE.md round-11 rule): the pair

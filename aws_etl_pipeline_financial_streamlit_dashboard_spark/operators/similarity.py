@@ -396,8 +396,16 @@ def ivf_assign_centroids(
         n_rows = points.count()
         step = -(-n_rows // train_sample_rows)  # ceil div
         if step > 1:
+            # Select on a HASH of the id (ADVICE r14): pmod on the raw
+            # id assumes dense/uniform residues — a stride-allocated or
+            # sparse id space could yield a far-smaller (even empty)
+            # training sample, and an empty sample propagates to an
+            # empty codebook and NULL cells with no error. xxhash64
+            # spreads any id structure uniformly, stays deterministic
+            # (reproducible-index contract), and the expected sample
+            # size is n/step for ANY id layout.
             train_pts = points.filter(
-                F.pmod(F.col("pid"), F.lit(step)) == 0
+                F.pmod(F.xxhash64(F.col("pid")), F.lit(step)) == 0
             )
 
     def assign(cents: DataFrame, pts: DataFrame = points) -> DataFrame:

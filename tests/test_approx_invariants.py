@@ -400,11 +400,20 @@ def test_ivf_train_sampling_gate(spark, sf_dir):
     assert cells and cells <= set(range(1, 9))
     assert cents.count() == len(cells)
 
-    # the sample selector is pure arithmetic on the id — two builds
-    # pick the same training rows (reproducible index contract)
+    # the sample selector is pure arithmetic on a HASH of the id
+    # (ADVICE r14 — id-layout-independent), so two builds pick the
+    # same training rows (reproducible index contract) and a sparse /
+    # stride-allocated id space still yields ~n/step rows
     from pyspark.sql import functions as F
 
     step = -(-n // 50)
     s1 = {r["vec_id"] for r in emb.filter(
-        F.pmod(F.col("vec_id"), F.lit(step)) == 0).collect()}
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0).collect()}
     assert 0 < len(s1) < n
+    # stride-allocated ids (every id ≡ 0 mod a large stride) — the raw
+    # pmod selector would have taken the WHOLE corpus or nothing
+    sparse = emb.select((F.col("vec_id") * 1000).alias("vec_id"), "embedding")
+    s2 = sparse.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0
+    ).count()
+    assert 0 < s2 < n

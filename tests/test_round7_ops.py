@@ -249,6 +249,28 @@ def test_semdedup_invariants(spark):
     }
 
 
+def test_semdedup_non_numeric_ids_fail_loudly_not_all_keep(spark):
+    """ADVICE r14 flagged the 2-D blocked pair join's raw-id pmod block
+    tags: NULL for a string id_col → every pair silently fails the
+    equi-join → ALL vectors come back keep=true. Two-part resolution:
+    the tags now hash the id (works for any type, and the output is
+    invariant to the block assignment), and the documented contract is
+    that semdedup requires NUMERIC ids anyway — the deterministic
+    seed rule (pmod(id, seed_mod)) raises an ANSI cast error on any
+    non-numeric id BEFORE the pair join can mis-handle it. Pin the
+    loud failure: the silent all-keep outcome must be impossible."""
+    import pytest
+
+    from aws_etl_pipeline_financial_streamlit_dashboard_spark.operators.clustering import (
+        semdedup,
+    )
+
+    rows = [(f"doc_{i:02d}", [1.0, 0.0, 0.0, 0.5]) for i in range(1, 7)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        semdedup(emb, threshold=0.9, k=1, n_iters=1, dim=4).collect()
+
+
 def test_quality_classifier_score_matches_pure_python(spark):
     """Pin x95's scoring SEMANTICS against a third, pure-Python
     implementation (the Spark/DuckDB oracle pair share SQL idioms; this
